@@ -1,0 +1,293 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Headline relational analytics over the fact tables.
+  *
+  * Scale notes (100 TB): every query here keeps the dimension side of each
+  * join under `broadcast(...)` so the only shuffles are the fact-side
+  * aggregations on their group keys; money aggregations run in
+  * DECIMAL(18,2) so partial (map-side) aggregation is exact and
+  * reassociation-safe — results are bit-identical regardless of partition
+  * count, which also makes them hash-comparable against the DuckDB oracle.
+  */
+object AnalyticsOps {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  // ---------------------------------------------------------------- q1
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("2000-12-31"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))
+          * (lit(1).cast(DecimalType(18, 2)) + dec(col("l_tax")))).cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-31'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q3
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01")
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+    // customer at sf is small relative to the facts: broadcast it so the
+    // orders⋈lineitem equi-join is the only shuffle.
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q5
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, dir)
+    val c = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+    val l = Tables.lineitem(s, dir)
+    // All dims broadcast: the plan is lineitem⋈orders (shuffle on orderkey)
+    // with every other join map-side.
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name ASC""".stripMargin
+
+  // ------------------------------------------------- top-k per group
+  def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    val rev = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("double").as("part_revenue"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("part_revenue").desc, col("p_partkey").asc)
+    rev.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("p_brand", "p_partkey", "part_revenue", "rnk")
+      .orderBy("p_brand", "rnk")
+  }
+
+  val topkPerGroupSql: String =
+    """WITH rev AS (
+      |  SELECT p_brand, p_partkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_revenue
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY p_brand, p_partkey)
+      |SELECT p_brand, p_partkey, part_revenue, rnk FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY p_brand ORDER BY part_revenue DESC, p_partkey ASC) AS INTEGER) AS rnk
+      |  FROM rev)
+      |WHERE rnk <= 3
+      |ORDER BY p_brand, rnk""".stripMargin
+
+  // ------------------------------------------------------ rollup agg
+  def rollupRevenue(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("total_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  val rollupRevenueSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |  count(*) AS n_orders
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------------ pivot
+  def pivotEvents(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0, types)
+      .orderBy("user_id")
+  }
+
+  val pivotEventsSql: String =
+    """SELECT user_id,
+      |  count(*) FILTER (WHERE event_type = 'click') AS click,
+      |  count(*) FILTER (WHERE event_type = 'error') AS error,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  count(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------- running window
+  def runningWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 100)
+      .withColumn("running_spend",
+        sum(dec(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .withColumn("order_seq", row_number().over(w))
+      .select("o_custkey", "o_orderkey", "o_orderdate", "running_spend", "order_seq")
+      .orderBy("o_custkey", "order_seq")
+  }
+
+  val runningWindowSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_spend,
+      |  CAST(row_number() OVER w AS INTEGER) AS order_seq
+      |FROM orders
+      |WHERE o_custkey < 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, order_seq""".stripMargin
+
+  // ------------------------------------------------- percentiles
+  def percentiles(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+      .orderBy("o_orderpriority")
+  }
+
+  val percentilesSql: String =
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------------- distinct users
+  def distinctUsers(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  val distinctUsersSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------- json extract
+  def jsonExtract(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  val jsonExtractSql: String =
+    """SELECT event_type,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------- tumbling window
+  def tumblingWindow(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy("bucket", "event_type")
+  }
+
+  val tumblingWindowSql: String =
+    """SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+
+  // ------------------------------------------------- registry
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary"  -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_local_supplier"   -> (q5LocalSupplier _),
+    "q_topk_per_group"    -> (topkPerGroup _),
+    "q_rollup_revenue"    -> (rollupRevenue _),
+    "q_pivot_events"      -> (pivotEvents _),
+    "q_running_window"    -> (runningWindow _),
+    "q_percentiles"       -> (percentiles _),
+    "q_distinct_users"    -> (distinctUsers _),
+    "q_json_extract"      -> (jsonExtract _),
+    "q_tumbling_window"   -> (tumblingWindow _))
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary"  -> q1Sql,
+    "q3_shipping_priority" -> q3Sql,
+    "q5_local_supplier"   -> q5Sql,
+    "q_topk_per_group"    -> topkPerGroupSql,
+    "q_rollup_revenue"    -> rollupRevenueSql,
+    "q_pivot_events"      -> pivotEventsSql,
+    "q_running_window"    -> runningWindowSql,
+    "q_percentiles"       -> percentilesSql,
+    "q_distinct_users"    -> distinctUsersSql,
+    "q_json_extract"      -> jsonExtractSql,
+    "q_tumbling_window"   -> tumblingWindowSql)
+}
