@@ -74,4 +74,124 @@ object ScanOps {
     val filtered = filters.map(compile).reduceOption(_ && _).map(df.filter).getOrElse(df)
     if (fields.isEmpty) filtered else filtered.select(fields.map(col): _*)
   }
+
+  // ----------------------------------------------------------------------
+  // §2 checklist queries: each exercises the scan algebra over a test table
+  // and is oracle-checked against plain SQL. Filters + projections compile
+  // to Catalyst predicates, so .explain shows them in PushedFilters /
+  // ReadSchema — at 100 TB that's the difference between reading two
+  // columns of matching row groups and paging the whole table like the
+  // reference's DynamoDB scan loop.
+  // ----------------------------------------------------------------------
+  import org.apache.spark.sql.SparkSession
+  import graft.Tables
+
+  def scanProject(s: SparkSession, dir: String): DataFrame =
+    scan(Tables.orders(s, dir), fields = Seq("o_orderkey", "o_orderdate", "o_totalprice"))
+      .orderBy("o_orderkey")
+
+  val scanProjectSql: String =
+    "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders ORDER BY o_orderkey"
+
+  def filterBeginsWith(s: SparkSession, dir: String): DataFrame =
+    scan(Tables.customer(s, dir),
+      fields = Seq("c_custkey", "c_name", "c_mktsegment"),
+      filters = Seq(ScanFilter("c_name", "^", "Customer#0000013")))
+      .orderBy("c_custkey")
+
+  val filterBeginsWithSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE c_name LIKE 'Customer#0000013%' ORDER BY c_custkey""".stripMargin
+
+  def filterContains(s: SparkSession, dir: String): DataFrame =
+    scan(Tables.part(s, dir),
+      fields = Seq("p_partkey", "p_name", "p_type"),
+      filters = Seq(ScanFilter("p_type", "*", "MED")))
+      .orderBy("p_partkey")
+
+  val filterContainsSql: String =
+    """SELECT p_partkey, p_name, p_type FROM part
+      |WHERE p_type LIKE '%MED%' ORDER BY p_partkey""".stripMargin
+
+  def filterCmp(s: SparkSession, dir: String): DataFrame =
+    scan(Tables.lineitem(s, dir),
+      fields = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag"),
+      filters = Seq(
+        ScanFilter("l_quantity", ">", 45.0),
+        ScanFilter("l_discount", "<=", 0.02),
+        ScanFilter("l_returnflag", "==", "R"),
+        ScanFilter("l_linestatus", "!=", "O"),
+        ScanFilter("l_extendedprice", ">=", 1000.0),
+        ScanFilter("l_tax", "<", 0.05)))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val filterCmpSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag FROM lineitem
+      |WHERE l_quantity > 45.0 AND l_discount <= 0.02 AND l_returnflag = 'R'
+      |  AND l_linestatus <> 'O' AND l_extendedprice >= 1000.0 AND l_tax < 0.05
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  def filterBetweenIn(s: SparkSession, dir: String): DataFrame =
+    scan(Tables.orders(s, dir),
+      fields = Seq("o_orderkey", "o_totalprice", "o_orderpriority"),
+      filters = Seq(
+        ScanFilter("o_totalprice", "[]", Seq(200000.0, 210000.0)),
+        ScanFilter("o_orderpriority", "in", Seq("1-URGENT", "2-HIGH"))))
+      .orderBy("o_orderkey")
+
+  val filterBetweenInSql: String =
+    """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+      |WHERE o_totalprice BETWEEN 200000.0 AND 210000.0
+      |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** `== None` / `!= None` (attribute-exists semantics) over a derived
+    * nullable column, since the test tables are dense. */
+  def filterNullSemantics(s: SparkSession, dir: String): DataFrame = {
+    val withNullable = Tables.orders(s, dir)
+      .withColumn("open_status", when(col("o_orderstatus") === "O", lit(null: String))
+        .otherwise(col("o_orderstatus")))
+    scan(withNullable,
+      fields = Seq("o_orderkey", "open_status"),
+      filters = Seq(ScanFilter.Ne("open_status", None), ScanFilter("o_orderkey", "<", 2000L)))
+      .orderBy("o_orderkey")
+  }
+
+  val filterNullSemanticsSql: String =
+    """SELECT o_orderkey, nullif(o_orderstatus, 'O') AS open_status FROM orders
+      |WHERE nullif(o_orderstatus, 'O') IS NOT NULL AND o_orderkey < 2000
+      |ORDER BY o_orderkey""".stripMargin
+
+  def scanFilterProject(s: SparkSession, dir: String): DataFrame =
+    scan(Tables.events(s, dir),
+      fields = Seq("event_id", "user_id", "event_type", "value"),
+      filters = Seq(
+        ScanFilter("event_type", "in", Seq("purchase", "signup")),
+        ScanFilter("value", ">=", 10.0),
+        ScanFilter("user_id", "[]", Seq(10L, 60L))))
+      .orderBy("event_id")
+
+  val scanFilterProjectSql: String =
+    """SELECT event_id, user_id, event_type, value FROM events
+      |WHERE event_type IN ('purchase', 'signup') AND value >= 10.0
+      |  AND user_id BETWEEN 10 AND 60
+      |ORDER BY event_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_project"          -> (scanProject _),
+    "q_filter_begins_with"    -> (filterBeginsWith _),
+    "q_filter_contains"       -> (filterContains _),
+    "q_filter_cmp"            -> (filterCmp _),
+    "q_filter_between_in"     -> (filterBetweenIn _),
+    "q_filter_null_semantics" -> (filterNullSemantics _),
+    "q_scan_filter_project"   -> (scanFilterProject _))
+
+  def oracles: Map[String, String] = Map(
+    "q_scan_project"          -> scanProjectSql,
+    "q_filter_begins_with"    -> filterBeginsWithSql,
+    "q_filter_contains"       -> filterContainsSql,
+    "q_filter_cmp"            -> filterCmpSql,
+    "q_filter_between_in"     -> filterBetweenInSql,
+    "q_filter_null_semantics" -> filterNullSemanticsSql,
+    "q_scan_filter_project"   -> scanFilterProjectSql)
 }

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Status-pipeline analytics.
+  *
+  * Reference: `aws/dynamo_manager.py:30-43` defines the 12 STATUS_STEPS
+  * and per-submission status code strings (one char per step, 'z' = not
+  * started); `aws/submissions.py` maps flow states to letters
+  * (SUCCEEDED→S, ACTIVE→P, FAILED→F, UNKNOWN→U) and serves user-scoped
+  * listings; `aws/source_id_manager.py:fetch_org_rules` OR-merges curation
+  * flags up an organization parent chain.
+  *
+  * The event stream stands in for per-step status transitions: each event
+  * type maps to a step/letter, and the per-user code string is assembled
+  * by an ordered aggregation instead of the reference's per-record Python
+  * mutation. Assembly is one shuffle on the group key; at 100 TB the
+  * map-side partial `collect_list` keeps only per-user slices in memory.
+  */
+object StatusOps {
+
+  /** Flow-state letters, submissions.py:10-15. */
+  def statusLetter(eventType: Column): Column =
+    when(eventType === "purchase", "S")
+      .when(eventType === "signup", "S")
+      .when(eventType === "click", "P")
+      .when(eventType === "error", "F")
+      .otherwise("U")
+
+  /** Event type → pipeline step name (subset of STATUS_STEPS). */
+  def stepName(eventType: Column): Column =
+    when(eventType === "signup", "sub_start")
+      .when(eventType === "click", "data_download")
+      .when(eventType === "view", "extracting")
+      .when(eventType === "purchase", "ingest_search")
+      .otherwise("ingest_cleanup")
+
+  /** Per-user status code string: letters in (ts, event_id) order. */
+  def statusCode(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("user_id") < 40)
+      .withColumn("letter", statusLetter(col("event_type")))
+    e.groupBy(col("user_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("letter")))),
+            x => x.getField("letter")),
+          "").as("code"),
+        count(lit(1)).as("n_steps"))
+      .orderBy("user_id")
+  }
+
+  val statusCodeSql: String =
+    """SELECT user_id,
+      |  string_agg(CASE WHEN event_type = 'purchase' THEN 'S'
+      |                  WHEN event_type = 'signup' THEN 'S'
+      |                  WHEN event_type = 'click' THEN 'P'
+      |                  WHEN event_type = 'error' THEN 'F'
+      |                  ELSE 'U' END, '' ORDER BY ts, event_id) AS code,
+      |  count(*) AS n_steps
+      |FROM events WHERE user_id < 40
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Per-step rollup across all submissions: how many reached each step,
+    * how many users, failure counts. */
+  def statusRollup(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("step", stepName(col("event_type")))
+      .groupBy(col("step"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(when(statusLetter(col("event_type")) === "F", 1L).otherwise(0L)).as("n_failures"))
+      .orderBy("step")
+  }
+
+  val statusRollupSql: String =
+    """SELECT CASE WHEN event_type = 'signup' THEN 'sub_start'
+      |            WHEN event_type = 'click' THEN 'data_download'
+      |            WHEN event_type = 'view' THEN 'extracting'
+      |            WHEN event_type = 'purchase' THEN 'ingest_search'
+      |            ELSE 'ingest_cleanup' END AS step,
+      |  count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_failures
+      |FROM events GROUP BY 1 ORDER BY step""".stripMargin
+
+  /** User-scoped submission listing (submissions.py lambda_handler):
+    * key filter on user, extra scan filters, formatted message column. */
+  def submissionsByUser(s: SparkSession, dir: String): DataFrame = {
+    val subs = VersionOps.submissions(s, dir)
+    ScanOps.scan(subs, filters = Seq(
+      ScanFilter("user_id", "==", 7L),
+      ScanFilter("sub_v", ">", 0)))
+      .select(
+        col("doc_id"), col("source_id"), col("user_id"),
+        concat(lit("Status of submission "), col("source_id"),
+          lit(" ("), col("source_name_raw"), lit(")")).as("status_message"))
+      .orderBy("doc_id")
+  }
+
+  val submissionsByUserSql: String = VersionOps.submissionsSql +
+    """SELECT doc_id, source_id, user_id,
+      |  'Status of submission ' || source_id || ' (' || source_name_raw || ')' AS status_message
+      |FROM submissions
+      |WHERE user_id = 7 AND sub_v > 0
+      |ORDER BY doc_id""".stripMargin
+
+  /** Org-rule OR-merge over a hierarchy: nation rules override/merge with
+    * parent region rules, curation flags OR together
+    * (source_id_manager.py:fetch_org_rules). Dims are broadcast — the
+    * "hierarchy walk" is two map-side joins. */
+  def orgRulesMerge(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir)
+      .withColumn("nation_curation", col("n_nationkey") % 2 === 0)
+    val r = Tables.region(s, dir)
+      .withColumn("region_curation", col("r_regionkey") % 3 === 0)
+    val c = Tables.customer(s, dir)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"), col("r_name"))
+      .agg(
+        max(col("nation_curation") || col("region_curation")).as("curation"),
+        count(lit(1)).as("n_customers"))
+      .orderBy("n_name")
+  }
+
+  val orgRulesMergeSql: String =
+    """SELECT n_name, r_name,
+      |  max(n_nationkey % 2 = 0 OR r_regionkey % 3 = 0) AS curation,
+      |  count(*) AS n_customers
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY n_name, r_name ORDER BY n_name""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_status_code"         -> (statusCode _),
+    "q_status_rollup"       -> (statusRollup _),
+    "q_submissions_by_user" -> (submissionsByUser _),
+    "q_org_rules_merge"     -> (orgRulesMerge _))
+
+  def oracles: Map[String, String] = Map(
+    "q_status_code"         -> statusCodeSql,
+    "q_status_rollup"       -> statusRollupSql,
+    "q_submissions_by_user" -> submissionsByUserSql,
+    "q_org_rules_merge"     -> orgRulesMergeSql)
+}

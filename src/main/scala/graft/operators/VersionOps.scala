@@ -1,0 +1,324 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Source-ID and versioning semantics.
+  *
+  * Reference: `aws/source_id_manager.py:44` (`split_source_id`) parses
+  * `{source_name}_v{search_version}.{submission_version}`;
+  * `aws/dynamo_manager.py:60` (`get_current_version`) picks the latest
+  * version per key with numeric-aware `major.minor` ordering;
+  * `aws/dynamo_manager.py:88` (`increment_record_version`) bumps the minor
+  * component; `aws/source_id_manager.py:229` resolves the next
+  * (search, sub) pair — sub resets to 1 when search bumps, increments
+  * otherwise.
+  *
+  * The reference walks DynamoDB rows in a Python loop per submission; here
+  * each is one declarative plan (regex projection, window argmax, grouped
+  * conditional agg) that distributes over any number of partitions.
+  *
+  * A deterministic "submissions" view is derived from `documents` so both
+  * Spark and the DuckDB oracle construct identical inputs.
+  */
+object VersionOps {
+
+  private val idRe = "_v([0-9]+)\\.([0-9]+)$"
+
+  /** Derived submissions: ~40 source_names, several (search, sub) versions
+    * each, every 11th row malformed (no version suffix). */
+  def submissions(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        concat(lit("ds"), (col("doc_id") % 40).cast("string")).as("source_name_raw"),
+        ((col("doc_id") % 3) + 1).cast("int").as("search_v"),
+        (col("doc_id") % 5).cast("int").as("sub_v"),
+        (col("doc_id") % 20).cast("long").as("user_id"))
+      .withColumn("source_id",
+        when(col("doc_id") % 11 === 0, col("source_name_raw"))
+          .otherwise(concat(col("source_name_raw"), lit("_v"),
+            col("search_v").cast("string"), lit("."), col("sub_v").cast("string"))))
+  }
+
+  /** Shared SQL prefix building the same view for DuckDB. */
+  val submissionsSql: String =
+    """WITH submissions AS (
+      |  SELECT doc_id,
+      |    'ds' || CAST(doc_id % 40 AS VARCHAR) AS source_name_raw,
+      |    CAST(doc_id % 3 + 1 AS INTEGER) AS search_v,
+      |    CAST(doc_id % 5 AS INTEGER) AS sub_v,
+      |    CAST(doc_id % 20 AS BIGINT) AS user_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN 'ds' || CAST(doc_id % 40 AS VARCHAR)
+      |         ELSE 'ds' || CAST(doc_id % 40 AS VARCHAR) || '_v' ||
+      |              CAST(doc_id % 3 + 1 AS VARCHAR) || '.' || CAST(doc_id % 5 AS VARCHAR)
+      |    END AS source_id
+      |  FROM documents)
+      |""".stripMargin
+
+  /** split_source_id as columns: works on any string column. */
+  def splitSourceIdCols(id: Column): Seq[Column] = {
+    val matched = id.rlike(idRe)
+    Seq(
+      matched.as("success"),
+      when(matched, regexp_replace(id, idRe, "")).otherwise(id).as("source_name"),
+      when(matched, regexp_extract(id, idRe, 1).cast("int")).otherwise(0).as("search_version"),
+      when(matched, regexp_extract(id, idRe, 2).cast("int")).otherwise(0).as("submission_version"))
+  }
+
+  // ---------------------------------------------------------- queries
+
+  def splitSourceId(s: SparkSession, dir: String): DataFrame =
+    submissions(s, dir)
+      .select(col("doc_id") +: col("source_id") +: splitSourceIdCols(col("source_id")): _*)
+      .orderBy("doc_id")
+
+  val splitSourceIdSql: String = submissionsSql +
+    """SELECT doc_id, source_id,
+      |  regexp_matches(source_id, '_v[0-9]+\.[0-9]+$') AS success,
+      |  CASE WHEN regexp_matches(source_id, '_v[0-9]+\.[0-9]+$')
+      |       THEN regexp_replace(source_id, '_v[0-9]+\.[0-9]+$', '')
+      |       ELSE source_id END AS source_name,
+      |  CASE WHEN regexp_matches(source_id, '_v[0-9]+\.[0-9]+$')
+      |       THEN CAST(regexp_extract(source_id, '_v([0-9]+)\.([0-9]+)$', 1) AS INTEGER)
+      |       ELSE 0 END AS search_version,
+      |  CASE WHEN regexp_matches(source_id, '_v[0-9]+\.[0-9]+$')
+      |       THEN CAST(regexp_extract(source_id, '_v([0-9]+)\.([0-9]+)$', 2) AS INTEGER)
+      |       ELSE 0 END AS submission_version
+      |FROM submissions ORDER BY doc_id""".stripMargin
+
+  /** get_current_version: numeric-aware latest (search, sub) per name.
+    * One shuffle on source_name; the window argmax replaces the
+    * reference's full key-scan + Python sort per lookup. */
+  def latestVersion(s: SparkSession, dir: String): DataFrame = {
+    val subs = submissions(s, dir).filter(col("doc_id") % 11 =!= 0)
+    val w = Window.partitionBy(col("source_name_raw"))
+      .orderBy(col("search_v").desc, col("sub_v").desc, col("doc_id").desc)
+    subs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("source_name_raw").as("source_name"), col("source_id"),
+        col("search_v").as("search_version"), col("sub_v").as("submission_version"))
+      .orderBy("source_name")
+  }
+
+  val latestVersionSql: String = submissionsSql +
+    """SELECT source_name_raw AS source_name, source_id,
+      |  search_v AS search_version, sub_v AS submission_version
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY source_name_raw
+      |    ORDER BY search_v DESC, sub_v DESC, doc_id DESC) AS rn
+      |  FROM submissions WHERE doc_id % 11 <> 0)
+      |WHERE rn = 1 ORDER BY source_name""".stripMargin
+
+  /** increment_record_version: "major.minor" -> "major.(minor+1)";
+    * missing current version -> "1.0". */
+  def incrementVersion(s: SparkSession, dir: String): DataFrame = {
+    val subs = submissions(s, dir)
+      .withColumn("record_version",
+        when(col("doc_id") % 13 === 0, lit(null: String))
+          .otherwise(concat(col("search_v").cast("string"), lit("."), col("sub_v").cast("string"))))
+    subs.select(
+      col("doc_id"), col("record_version"),
+      when(col("record_version").isNull, lit("1.0"))
+        .otherwise(concat(
+          split(col("record_version"), "\\.").getItem(0), lit("."),
+          (split(col("record_version"), "\\.").getItem(1).cast("int") + 1).cast("string")))
+        .as("next_version"))
+      .orderBy("doc_id")
+  }
+
+  val incrementVersionSql: String = submissionsSql +
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 13 = 0 THEN NULL
+      |       ELSE CAST(search_v AS VARCHAR) || '.' || CAST(sub_v AS VARCHAR) END AS record_version,
+      |  CASE WHEN doc_id % 13 = 0 THEN '1.0'
+      |       ELSE CAST(search_v AS VARCHAR) || '.' ||
+      |            CAST(sub_v + 1 AS VARCHAR) END AS next_version
+      |FROM submissions ORDER BY doc_id""".stripMargin
+
+  /** Next-version resolution (source_id_manager.py:229-271): find the most
+    * recent (search, sub) pair per source, then the next id under both
+    * rules — same search (sub increments) vs bumped search (sub resets). */
+  def versionResolution(s: SparkSession, dir: String): DataFrame = {
+    val subs = submissions(s, dir).filter(col("doc_id") % 11 =!= 0)
+      .withColumn("max_search",
+        max(col("search_v")).over(Window.partitionBy(col("source_name_raw"))))
+    subs.groupBy(col("source_name_raw").as("source_name"))
+      .agg(
+        max(col("search_v")).as("old_search_version"),
+        max(when(col("search_v") === col("max_search"), col("sub_v"))).as("old_sub_version"),
+        countDistinct(col("user_id")).as("n_users"))
+      .withColumn("next_same_search",
+        concat(col("source_name"), lit("_v"), col("old_search_version").cast("string"),
+          lit("."), (col("old_sub_version") + 1).cast("string")))
+      .withColumn("next_new_search",
+        concat(col("source_name"), lit("_v"), (col("old_search_version") + 1).cast("string"),
+          lit(".1")))
+      .orderBy("source_name")
+  }
+
+  val versionResolutionSql: String = submissionsSql +
+    """SELECT source_name_raw AS source_name,
+      |  max(search_v) AS old_search_version,
+      |  max(sub_v) FILTER (WHERE search_v = max_search) AS old_sub_version,
+      |  count(DISTINCT user_id) AS n_users,
+      |  source_name_raw || '_v' || CAST(max(search_v) AS VARCHAR) || '.' ||
+      |    CAST(max(sub_v) FILTER (WHERE search_v = max_search) + 1 AS VARCHAR) AS next_same_search,
+      |  source_name_raw || '_v' || CAST(max(search_v) + 1 AS VARCHAR) || '.1' AS next_new_search
+      |FROM (SELECT *, max(search_v) OVER (PARTITION BY source_name_raw) AS max_search
+      |      FROM submissions WHERE doc_id % 11 <> 0)
+      |GROUP BY source_name_raw ORDER BY source_name""".stripMargin
+
+  // ------------------------------------------- make_source_name
+
+  /** Stopwords from source_id_manager.py:14-36. */
+  val stopwords: Seq[String] = Seq(
+    "a", "an", "and", "as", "data", "dataset", "for", "from", "in", "of",
+    "or", "study", "test", "that", "the", "this", "to", "very", "with")
+
+  private def cleanToken(t: Column): Column = regexp_replace(t, "[^a-z0-9]", "")
+
+  /** Tokenize on whitespace/underscore, lowercase, strip non-alphanumerics,
+    * drop empties + stopwords — `make_source_id`'s clean step. */
+  def cleanTitleTokens(c: Column): Column =
+    filter(
+      transform(split(regexp_replace(lower(c), "_", " "), "\\s+"), cleanToken _),
+      t => t =!= lit("") && !t.isInCollection(stopwords))
+
+  /** Author tokens are cleaned but not stopword-filtered, then merged. */
+  def authorWord(c: Column): Column =
+    array_join(transform(split(regexp_replace(lower(c), "_", " "), "\\s+"), cleanToken _), "")
+
+  def makeSourceName(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("title", array_join(slice(split(col("text"), " "), 1, 6), " "))
+      .withColumn("author_word", authorWord(col("source")))
+      .withColumn("toks",
+        filter(cleanTitleTokens(col("title")), t => t =!= col("author_word")))
+      .withColumn("is_test", col("doc_id") % 10 === 0)
+    docs.select(
+      col("doc_id"), col("title"),
+      concat(
+        when(col("is_test"), lit("_test_")).otherwise(lit("")),
+        array_join(
+          filter(
+            array(
+              col("author_word"),
+              element_at(col("toks"), 1),
+              when(size(col("toks")) >= 2, element_at(col("toks"), 2)).otherwise(lit("")),
+              when(size(col("toks")) >= 3, element_at(col("toks"), -1)).otherwise(lit(""))),
+            t => t =!= lit("")),
+          "_")).as("source_name"))
+      .orderBy("doc_id")
+  }
+
+  val makeSourceNameSql: String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    array_to_string((string_split(text, ' '))[1:6], ' ') AS title
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, title,
+       |    array_to_string(list_transform(
+       |      string_split_regex(replace(lower(source), '_', ' '), '\\s+'),
+       |      x -> regexp_replace(x, '[^a-z0-9]', '', 'g')), '') AS author_word,
+       |    list_filter(list_transform(
+       |      string_split_regex(replace(lower(title), '_', ' '), '\\s+'),
+       |      x -> regexp_replace(x, '[^a-z0-9]', '', 'g')),
+       |      x -> x <> '' AND NOT list_contains($stopList, x)) AS toks0
+       |  FROM t),
+       |f AS (
+       |  SELECT doc_id, title, author_word,
+       |    list_filter(toks0, x -> x <> author_word) AS toks
+       |  FROM c)
+       |SELECT doc_id, title,
+       |  (CASE WHEN doc_id % 10 = 0 THEN '_test_' ELSE '' END) ||
+       |  array_to_string(list_filter([
+       |      author_word,
+       |      toks[1],
+       |      CASE WHEN len(toks) >= 2 THEN toks[2] ELSE '' END,
+       |      CASE WHEN len(toks) >= 3 THEN toks[len(toks)] ELSE '' END],
+       |    x -> x <> ''), '_') AS source_name
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------- normalize_globus_uri
+
+  private val gdriveEp = "gdrive-ep"
+  private val gdriveRoot = "/gdrive"
+
+  /** normalize_globus_uri (aws/utils.py:17): Globus web-app links become
+    * `globus://{ep}{path}`, gdrive scheme maps under the gdrive endpoint,
+    * anything else passes through. */
+  def normalizeUriCol(uri: Column): Column = {
+    val isGlobusLink = uri.rlike("^https://app\\.globus\\.org/(file-manager|transfer)") &&
+      uri.rlike("origin_id") && uri.rlike("origin_path")
+    val ep = regexp_extract(uri, "origin_id=([^&]*)", 1)
+    val path = regexp_extract(uri, "origin_path=([^&]*)", 1)
+    val isGdrive = uri.rlike("^(gdrive|google|googledrive)://")
+    val gpath = regexp_replace(uri, "^(gdrive|google|googledrive)://", "")
+    when(isGlobusLink, concat(lit("globus://"), ep, path))
+      .when(isGdrive, concat(lit(s"globus://$gdriveEp$gdriveRoot"),
+        when(gpath.startsWith("/"), gpath).otherwise(concat(lit("/"), gpath))))
+      .otherwise(uri)
+  }
+
+  def normalizeUri(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).withColumn("uri",
+      when(col("doc_id") % 3 === 0,
+        concat(lit("https://app.globus.org/file-manager?origin_id=ep-"),
+          col("doc_id").cast("string"), lit("&origin_path=/data/d"), col("doc_id").cast("string")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("gdrive:///shared/f"), col("doc_id").cast("string"), lit(".dat")))
+        .otherwise(concat(lit("https://example.org/files/"), col("doc_id").cast("string"))))
+    docs.select(col("doc_id"), col("uri"), normalizeUriCol(col("uri")).as("normalized"))
+      .orderBy("doc_id")
+  }
+
+  val normalizeUriSql: String =
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    CASE
+       |      WHEN doc_id % 3 = 0 THEN 'https://app.globus.org/file-manager?origin_id=ep-' ||
+       |        CAST(doc_id AS VARCHAR) || '&origin_path=/data/d' || CAST(doc_id AS VARCHAR)
+       |      WHEN doc_id % 3 = 1 THEN 'gdrive:///shared/f' || CAST(doc_id AS VARCHAR) || '.dat'
+       |      ELSE 'https://example.org/files/' || CAST(doc_id AS VARCHAR)
+       |    END AS uri
+       |  FROM documents)
+       |SELECT doc_id, uri,
+       |  CASE
+       |    WHEN regexp_matches(uri, '^https://app\\.globus\\.org/(file-manager|transfer)')
+       |         AND regexp_matches(uri, 'origin_id') AND regexp_matches(uri, 'origin_path')
+       |    THEN 'globus://' || regexp_extract(uri, 'origin_id=([^&]*)', 1) ||
+       |         regexp_extract(uri, 'origin_path=([^&]*)', 1)
+       |    WHEN regexp_matches(uri, '^(gdrive|google|googledrive)://')
+       |    THEN 'globus://$gdriveEp$gdriveRoot' ||
+       |         (CASE WHEN regexp_replace(uri, '^(gdrive|google|googledrive)://', '') LIKE '/%'
+       |               THEN regexp_replace(uri, '^(gdrive|google|googledrive)://', '')
+       |               ELSE '/' || regexp_replace(uri, '^(gdrive|google|googledrive)://', '') END)
+       |    ELSE uri
+       |  END AS normalized
+       |FROM u ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_source_id"    -> (splitSourceId _),
+    "q_latest_version"     -> (latestVersion _),
+    "q_increment_version"  -> (incrementVersion _),
+    "q_version_resolution" -> (versionResolution _),
+    "q_make_source_name"   -> (makeSourceName _),
+    "q_normalize_uri"      -> (normalizeUri _))
+
+  def oracles: Map[String, String] = Map(
+    "q_split_source_id"    -> splitSourceIdSql,
+    "q_latest_version"     -> latestVersionSql,
+    "q_increment_version"  -> incrementVersionSql,
+    "q_version_resolution" -> versionResolutionSql,
+    "q_make_source_name"   -> makeSourceNameSql,
+    "q_normalize_uri"      -> normalizeUriSql)
+}
