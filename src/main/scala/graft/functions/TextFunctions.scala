@@ -1,0 +1,163 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text analysis for a training-data pipeline: token statistics, quality
+  * scoring, marker-based language ID, and document fingerprints — the
+  * analytics analog of the reference's per-file metadata extraction
+  * (tests/test_extractors.py), expressed as codegen'd column chains over
+  * the `documents` corpus. No UDFs: every ratio is IEEE-deterministic so
+  * the DuckDB oracle matches bit-for-bit.
+  */
+object TextFunctions {
+
+  /** BPE-ish token pattern: letter runs, single digits, single symbols. */
+  val tokenPattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+
+  // ------------------------------------------------------ token counts
+  def tokenCount(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(tokenPattern), lit(0))).as("n_bpe_tokens"),
+        size(array_distinct(split(trim(col("text")), "\\s+"))).as("n_unique_words"))
+      .orderBy("doc_id")
+  }
+
+  val tokenCountSql: String =
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS INTEGER) AS n_chars_m,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '$tokenPattern')) AS INTEGER) AS n_bpe_tokens,
+       |  CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS INTEGER) AS n_unique_words
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ quality score
+  /** Deterministic quality heuristics: stopword ratio (fluency), unique
+    * ratio (repetitiveness), length saturation. Identical operand order on
+    * both engines → bit-equal doubles without rounding. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val words = split(trim(col("text")), "\\s+")
+    val nWords = size(words).cast("double")
+    val nStop = size(filter(words, w => w.isInCollection(qualityStopwords))).cast("double")
+    val nUniq = size(array_distinct(words)).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val stopRatio = nStop / nWords
+    val uniqRatio = nUniq / nWords
+    val lenScore = least(lit(1.0), nChars / lit(500.0))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        stopRatio.as("stop_ratio"),
+        uniqRatio.as("unique_ratio"),
+        lenScore.as("len_score"),
+        (stopRatio * lit(0.3) + uniqRatio * lit(0.4) + lenScore * lit(0.3)).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val qualityStopwords: Seq[String] =
+    Seq("a", "an", "the", "of", "to", "and", "in", "that", "this", "with")
+
+  val qualityScoreSql: String = {
+    val stopList = qualityStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      x -> list_contains($stopList, x))) AS DOUBLE) AS n_stop,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_words,
+       |    CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) AS n_uniq,
+       |    CAST(length(text) AS DOUBLE) AS n_chars
+       |  FROM documents)
+       |SELECT doc_id,
+       |  n_stop / n_words AS stop_ratio,
+       |  n_uniq / n_words AS unique_ratio,
+       |  least(1.0, n_chars / 500.0) AS len_score,
+       |  (n_stop / n_words) * 0.3 + (n_uniq / n_words) * 0.4 +
+       |    least(1.0, n_chars / 500.0) * 0.3 AS quality
+       |FROM w ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------ language ID
+  /** Marker-word profiles per language. The corpus is synthetic so the
+    * discriminative power is weak — the operator's contract is the scoring
+    * + argmax semantics, which the oracle reproduces exactly. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  private def markerCount(lang: String): Column =
+    langMarkers(lang).map(m => size(filter(split(trim(col("text")), "\\s+"), w => w === lit(m))))
+      .reduce(_ + _).cast("long")
+
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .withColumn("s_en", markerCount("en"))
+      .withColumn("s_es", markerCount("es"))
+      .withColumn("s_de", markerCount("de"))
+      .withColumn("s_fr", markerCount("fr"))
+      .withColumn("predicted",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr"))
+      .select("doc_id", "s_en", "s_es", "s_de", "s_fr", "predicted", "lang")
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String = {
+    def cnt(lang: String): String = langMarkers(lang)
+      .map(m => s"len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x = '$m'))")
+      .mkString("CAST(", " + ", " AS BIGINT)")
+    s"""WITH sc AS (
+       |  SELECT doc_id, lang,
+       |    ${cnt("en")} AS s_en, ${cnt("es")} AS s_es,
+       |    ${cnt("de")} AS s_de, ${cnt("fr")} AS s_fr
+       |  FROM documents)
+       |SELECT doc_id, s_en, s_es, s_de, s_fr,
+       |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |       WHEN s_de >= s_fr THEN 'de'
+       |       ELSE 'fr' END AS predicted,
+       |  lang
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------ fingerprint
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    RollingFingerprint.register(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("graft_fingerprint(text)").as("fp"),
+        expr("graft_fingerprint(lower(text))").as("fp_normalized"))
+      .orderBy("doc_id")
+  }
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split(lower(text), ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_normalized
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_count"   -> (tokenCount _),
+    "q_quality_score" -> (qualityScore _),
+    "q_lang_id"       -> (langId _),
+    "q_fingerprint"   -> (fingerprint _))
+
+  def oracles: Map[String, String] = Map(
+    "q_token_count"   -> tokenCountSql,
+    "q_quality_score" -> qualityScoreSql,
+    "q_lang_id"       -> langIdSql,
+    "q_fingerprint"   -> fingerprintSql)
+}

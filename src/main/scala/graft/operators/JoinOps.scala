@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Temporal join operators the built-in API lacks as single verbs,
+  * composed from shuffles Spark already does well.
+  *
+  * As-of join: the classic union trick — tag both sides, union, one
+  * repartition by key + ordered window, carry the last left-side row
+  * forward. ONE shuffle on the join key, no range cross-join, no
+  * broadcast requirement: at 100 TB this is the only shape that survives
+  * (a naive inequality join degenerates to nested-loop).
+  *
+  * Sessionization: gap detection via lag + running conditional sum —
+  * one shuffle on user, then a grouped agg on (user, session).
+  */
+object JoinOps {
+
+  /** For each purchase event: the most recent click of the same user at or
+    * before the purchase ts (ASOF semantics, left join). */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"), col("value"))
+
+    // side 0 = click sorts before side 1 = purchase on equal ts, so ts-ties
+    // match ASOF's `>=`. event_id breaks residual ties deterministically.
+    val tagged = clicks
+      .select(col("user_id"), col("ts"), lit(0).as("side"), col("click_id"),
+        lit(null).cast("long").as("purchase_id"), lit(null).cast("double").as("value"),
+        col("click_id").as("tie"))
+      .unionByName(purchases
+        .select(col("user_id"), col("ts"), lit(1).as("side"), lit(null).cast("long").as("click_id"),
+          col("purchase_id"), col("value"), col("purchase_id").as("tie")))
+
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("side").asc, col("tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    tagged
+      .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("last_click_ts",
+        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("purchase_id"), col("user_id"), col("ts"), col("value"),
+        col("last_click_id"), col("last_click_ts"))
+      .orderBy("purchase_id")
+  }
+
+  val asofJoinSql: String =
+    """SELECT p.purchase_id, p.user_id, p.ts, p.value,
+      |  c.click_id AS last_click_id, c.ts2 AS last_click_ts
+      |FROM (SELECT event_id AS purchase_id, user_id, ts, value
+      |      FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT event_id AS click_id, user_id AS user_id2, ts AS ts2
+      |                FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id2 AND p.ts >= c.ts2
+      |ORDER BY p.purchase_id""".stripMargin
+
+  /** Equi + range predicate join: lineitems shipped within 60 days of
+    * their order date, aggregated per order month. The equi key keeps it a
+    * hash join; the range predicate is a post-join filter, not a
+    * nested-loop. */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
+      .agg(count(lit(1)).as("n_lineitems"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"))
+      .orderBy("order_month")
+  }
+
+  val rangeJoinSql: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+      |  count(*) AS n_lineitems,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= o_orderdate
+      |  AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+      |GROUP BY 1 ORDER BY order_month""".stripMargin
+
+  /** Gap-based sessionization: a 30-minute silence starts a new session. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  val sessionizeSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM g)
+      |SELECT user_id, session_seq,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |FROM s GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join"  -> (asofJoin _),
+    "q_range_join" -> (rangeJoin _),
+    "q_sessionize" -> (sessionize _))
+
+  def oracles: Map[String, String] = Map(
+    "q_asof_join"  -> asofJoinSql,
+    "q_range_join" -> rangeJoinSql,
+    "q_sessionize" -> sessionizeSql)
+}
