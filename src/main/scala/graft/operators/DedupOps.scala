@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication for a training-data pipeline: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash, and embedding-cosine near-dup detection.
+  *
+  * Scale design: nothing here is O(n²) in shuffle volume.
+  *  - exact: hash groupBy on a normalized key (one shuffle).
+  *  - ngram-jaccard: inverted index on shingles — the join key is the
+  *    shingle, so only documents sharing a shingle ever meet; with a
+  *    similarity threshold this candidate set is exact, not approximate.
+  *  - minhash-LSH: fixed 32-minhash signature, 16 bands × 2 rows; the
+  *    shuffle key is (band, band-signature). Candidates are verified with
+  *    exact Jaccard before emission, so precision is 1.0 and only recall
+  *    is probabilistic.
+  *  - simhash: 64-bit signature; Hamming ≤ 3 pairs must agree on one of 4
+  *    16-bit bands (pigeonhole), so the join key is a short band value.
+  *  - embedding: brute-force variant for the oracle; the scale path is
+  *    AnnOps' IVF clustering.
+  */
+object DedupOps {
+
+  // ---------------------------------------------------------- shingles
+
+  /** doc_id + distinct word-3-gram shingle set (docs with ≥ 3 words). */
+  def shingles(s: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    Tables.documents(s, dir)
+      .withColumn("w", w)
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(0), size(col("w")) - 3),
+          i => concat_ws(" ",
+            element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2),
+            element_at(col("w"), i + 3)))).as("sh"))
+  }
+
+  /** Shared DuckDB view of the same shingle sets. */
+  val shinglesSql: String =
+    """WITH sh_t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(len(w) - 2),
+      |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 3)
+      |""".stripMargin
+
+  // ------------------------------------------------------ exact dedup
+
+  /** Exact dedup on a normalized key (first 10 words): canonical id = min
+    * doc_id per group. One hash shuffle on the 128-bit key. */
+  def exactDedup(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .withColumn("fp", md5(array_join(slice(split(col("text"), " "), 1, 10), " ")))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy("fp")
+  }
+
+  val exactDedupSql: String =
+    """SELECT md5(array_to_string((string_split(text, ' '))[1:10], ' ')) AS fp,
+      |  min(doc_id) AS canonical_doc_id,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
+
+  // ----------------------------------------------- n-gram Jaccard
+
+  val jaccardThreshold = 0.5
+
+  /** Near-dup pairs with word-3-gram Jaccard ≥ 0.5, via inverted index:
+    * explode shingles, self-join on the shingle, count common shingles per
+    * pair, compute exact Jaccard. The oracle brute-forces all pairs —
+    * results are identical because a pair with Jaccard ≥ t > 0 must share
+    * at least one shingle. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).withColumn("sh_size", size(col("sh"))).cache()
+    val inv = sh.select(col("doc_id"), col("sh_size"), explode(col("sh")).as("shingle"))
+    val a = inv.select(col("doc_id").as("doc_a"), col("sh_size").as("size_a"), col("shingle"))
+    val b = inv.select(col("doc_id").as("doc_b"), col("sh_size").as("size_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("size_a"), col("size_b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("size_a") + col("size_b") - col("common")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val ngramJaccardSql: String = shinglesSql +
+    s"""SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+       |  FROM sh_t a JOIN sh_t b ON a.doc_id < b.doc_id)
+       |WHERE jaccard >= $jaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ----------------------------------------------- MinHash + LSH
+
+  val minhashK = 32
+  val lshBands = 16
+  val lshRows = 2
+  private val mersenne = 2147483647L
+  /** Deterministic permutation parameters (public LCG constants). */
+  private val permA: IndexedSeq[Long] =
+    (0 until minhashK).map(i => ((1103515245L * (i + 1) + 12345L) % mersenne) | 1L)
+  private val permB: IndexedSeq[Long] =
+    (0 until minhashK).map(i => (7919L * (i + 37) + 104729L) % mersenne)
+
+  /** doc_id + 32-element minhash signature. */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val hashed = shingles(s, dir)
+      .withColumn("hx", transform(col("sh"), x => pmod(xxhash64(x), lit(mersenne))))
+    hashed.select(col("doc_id"), col("sh"),
+      array((0 until minhashK).map { i =>
+        array_min(transform(col("hx"), x => pmod(x * lit(permA(i)) + lit(permB(i)), lit(mersenne))))
+      }: _*).as("sig"))
+  }
+
+  /** LSH candidate pairs verified with exact Jaccard ≥ 0.5. Probabilistic
+    * recall (spec pins it against the exact operator), exact precision. */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(s, dir)
+      .withColumn("sh_size", size(col("sh")))
+      .cache()
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until lshBands).map { bi =>
+        xxhash64(concat_ws("_", slice(col("sig"), bi * lshRows + 1, lshRows).cast("array<string>")))
+      }: _*)).as(Seq("band_id", "band_key")))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("band_key"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band_id"), col("band_key"))
+    val cands = a.join(b, Seq("band_id", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val left = sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sh_size").as("size_a"))
+    val right = sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sh_size").as("size_b"))
+    cands.join(left, "doc_a").join(right, "doc_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("size_a") + col("size_b") - col("common")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ----------------------------------------------- SimHash
+
+  val simhashMaxHamming = 3
+
+  /** doc_id + 64-bit simhash over word hashes (per-occurrence bit votes). */
+  def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .withColumn("h", xxhash64(col("word")))
+    val voteCols = (0 until 64).map { i =>
+      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val votes = words.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    val simhash = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, expr(s"CAST(${1L << i} AS BIGINT)")).otherwise(lit(0L))
+    }.reduce(_ + _)
+    votes.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** Pairs with Hamming(simhash) ≤ 3 via 4×16-bit band join (pigeonhole:
+    * ≤ 3 differing bits leave at least one band identical). */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSignatures(s, dir).cache()
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map { j =>
+        expr(s"(simhash >> ${16 * j}) & 65535")
+      }: _*)).as(Seq("band_id", "band_val")))
+    val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
+      col("band_id"), col("band_val"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
+      col("band_id"), col("band_val"))
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sim_a ^ sim_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= simhashMaxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ----------------------------------------------- embedding cosine
+
+  val cosineThreshold = 0.4
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Embedding near-dup pairs: cosine ≥ 0.4. Norms are computed per row
+    * before the join; the pairing is a broadcast nested-loop at test scale
+    * and IVF-bucketed (AnnOps) at production scale. The cosine is a
+    * sequential left-fold in double on both engines → bit-equal. */
+  def embeddingDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= cosineThreshold)
+      .select("vec_a", "vec_b", "cosine")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val embeddingDedupSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+       |  FROM embeddings)
+       |SELECT vec_a, vec_b, cosine FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cosine
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       |WHERE cosine >= $cosineThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ----------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact"         -> (exactDedup _),
+    "q_dedup_ngram_jaccard" -> (ngramJaccard _),
+    "q_dedup_minhash_lsh"   -> (minhashLsh _),
+    "q_dedup_simhash"       -> (simhashPairs _),
+    "q_dedup_embedding"     -> (embeddingDedup _))
+
+  /** minhash/simhash are pinned by specs, not SQL (hash functions are
+    * engine-specific) — driver records rows-only checks for those. */
+  def oracles: Map[String, String] = Map(
+    "q_dedup_exact"         -> exactDedupSql,
+    "q_dedup_ngram_jaccard" -> ngramJaccardSql,
+    "q_dedup_embedding"     -> embeddingDedupSql)
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupOpsSpec extends SparkSpec {
+
+  test("minhash-LSH: precision 1.0 (verified pairs) and high recall vs exact jaccard") {
+    val exact = DedupOps.ngramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = DedupOps.minhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    // precision: every LSH pair is a true >=0.5 pair with the same jaccard
+    lsh.foreach { case (pair, j) =>
+      assert(exact.contains(pair), s"false positive $pair")
+      assert(exact(pair) == j)
+    }
+    // recall on strong pairs (jaccard >= 0.7): banding (16x2) catches these
+    val strong = exact.filter(_._2 >= 0.7).keySet
+    if (strong.nonEmpty) {
+      val caught = strong.count(lsh.contains)
+      assert(caught.toDouble / strong.size >= 0.9,
+        s"recall ${caught.toDouble / strong.size} on ${strong.size} strong pairs")
+    }
+  }
+
+  test("simhash: near-identical documents collide at low hamming") {
+    import spark.implicits._
+    // plant a near-dup corpus: doc + one-word-changed copy
+    val base = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").limit(5).collect()
+    // exact copies (hamming 0, must always match) and one-word-appended
+    // copies (usually ≤ 3 bit flips, majority must match)
+    val planted = base.flatMap { r =>
+      val id = r.getLong(0); val t = r.getString(1)
+      Seq((id, t), (id + 100000L, t), (id + 200000L, t + " appended"))
+    }
+    val df = planted.toSeq.toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("simhash").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = DedupOps.simhashPairs(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue()))
+    base.foreach { r =>
+      val id = r.getLong(0)
+      val exactCopy = pairs.find(p => p._1 == id && p._2 == id + 100000L)
+      assert(exactCopy.exists(_._3 == 0L), s"exact copy of doc $id should have hamming 0")
+    }
+    val nearFound = base.count { r =>
+      val id = r.getLong(0)
+      pairs.exists(p => p._1 == id && p._2 == id + 200000L)
+    }
+    assert(nearFound >= base.length / 2,
+      s"only $nearFound/${base.length} appended-word near-dups under hamming ${DedupOps.simhashMaxHamming}")
+  }
+
+  test("exact dedup finds planted exact copies") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "unrelated text here now")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("exact").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = DedupOps.exactDedup(spark, tmp).collect()
+    val dupGroup = out.find(_.getLong(2) == 2L)
+    assert(dupGroup.isDefined && dupGroup.get.getLong(1) == 1L)
+  }
+}
