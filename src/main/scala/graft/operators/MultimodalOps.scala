@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal column plumbing: media payloads as opaque binary columns
+  * with typed metadata, processed in batches.
+  *
+  * The reference extracts per-file features from opaque scientific files
+  * (tests/test_extractors.py: CIF/TDB/images → typed feature records).
+  * Here the same shape is Spark-native: a `binary` column + metadata
+  * struct; cheap byte-level features stay in codegen'd column expressions
+  * (q_binary_features), while "decode" — which in production calls an
+  * image/audio library over record batches — runs through a mapPartitions
+  * pipeline with explicit micro-batching (q_multimodal_batch). The decode
+  * itself is STUBBED deterministically (no media libs in this container);
+  * the schema, batching, and partition-preserving plumbing are real.
+  */
+object MultimodalOps {
+
+  final case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
+  final case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Int,
+      checksum: Long, width: Int, height: Int, n_frames: Int)
+
+  /** Derive a deterministic media corpus from documents: payload = utf-8
+    * bytes of the text, media type round-robins image/audio/video. */
+  def mediaCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("media_type"),
+      encode(col("text"), "utf-8").as("payload"))
+
+  // ----------------------------------------- codegen'd byte features
+
+  def binaryFeatures(s: SparkSession, dir: String): DataFrame =
+    mediaCorpus(s, dir).select(
+      col("doc_id"), col("media_type"),
+      octet_length(col("payload")).as("n_bytes"),
+      md5(col("payload")).as("content_md5"),
+      lower(hex(substring(col("payload"), 1, 8))).as("header_hex"))
+      .orderBy("doc_id")
+
+  val binaryFeaturesSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio'
+      |       ELSE 'video' END AS media_type,
+      |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      |  md5(text) AS content_md5,
+      |  lower(hex(encode(substring(text, 1, 8)))) AS header_hex
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------- batched decode pipeline
+
+  /** STUB decode: deterministic fake features standing in for an image/
+    * audio decoder. Real deployments swap this body for the library call;
+    * everything around it (batching, schema, distribution) is unchanged. */
+  def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+    batch.map { r =>
+      var ck = 0L
+      var i = 0
+      while (i < r.payload.length) { ck = (ck * 131 + (r.payload(i) & 0xff)) % 1000000007L; i += 1 }
+      val w = 16 + (ck % 64).toInt
+      MediaFeatures(r.doc_id, r.media_type, r.payload.length, ck,
+        width = w, height = 16 + ((ck / 64) % 64).toInt,
+        n_frames = if (r.media_type == "video") 1 + (ck % 30).toInt else 1)
+    }
+
+  val decodeBatchSize = 32
+
+  /** mapPartitions pipeline: drain each partition in fixed-size batches
+    * through the decoder — the shape a vectorized/FFI decode needs (one
+    * library call per batch, bounded memory, no per-row overhead). */
+  def multimodalBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = mediaCorpus(s, dir).as[MediaRecord]
+    ds.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap(b => decodeBatch(b.toSeq))
+    }.toDF().orderBy("doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_binary_features"  -> (binaryFeatures _),
+    "q_multimodal_batch" -> (multimodalBatch _))
+
+  /** The decode stub is JVM-side logic — rows-only check + spec. */
+  def oracles: Map[String, String] = Map(
+    "q_binary_features" -> binaryFeaturesSql)
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream.
+  *
+  * The reference's status pipeline is event-driven (submission steps
+  * arriving over time, aws/dynamo_manager.py STATUS_STEPS); its streaming
+  * analog is watermarked windowed aggregation plus stateful
+  * sessionization. Both operators take any streaming (or batch) DataFrame
+  * with the events schema — `readStream` source wiring is the caller's
+  * choice (kafka/files/memory). State is bounded: the watermark drops
+  * late data after 1 hour; session state times out 30 minutes after the
+  * last event, so a 1000-executor job holds only open sessions.
+  */
+object EventStream {
+
+  /** Watermarked tumbling-window counts per event type. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window").getField("start").as("bucket"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class Ev(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int, value: Double)
+  final case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Int, session_value: Double)
+
+  val gapMs: Long = 30L * 60 * 1000
+
+  /** Stateful gap sessionization: emits a session when a 30-minute
+    * silence closes it — either by a later event of the same user or by
+    * the event-time timeout once the watermark passes last+gap.
+    * flatMapGroupsWithState keeps exactly one open-session record per
+    * active user, so cluster state is bounded by concurrent users. */
+  def sessionize(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, evs, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.value))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var open = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.last <= gapMs =>
+                  open = Some(SessionState(s.start, t, s.n + 1, s.value + e.value))
+                case Some(s) =>
+                  closed += Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.value)
+                  open = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  open = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // close via timeout when the watermark passes the gap bound
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

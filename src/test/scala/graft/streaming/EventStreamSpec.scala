@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class EventStreamSpec extends SparkSpec {
+
+  test("streaming tumbling counts match the batch tumbling aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.Tables.events(spark, sfDir)
+      .select(col("ts"), col("event_type"), col("value"))
+    val rows = batch.as[(Timestamp, String, Double)].collect().toSeq
+
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    stream.addData(rows)
+    val out = EventStream.tumblingCounts(
+      stream.toDF().toDF("ts", "event_type", "value"))
+    val q = out.writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("tumbling")
+      .select("bucket", "event_type", "n", "sum_value").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val expected = batch
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected)
+  }
+
+  test("stateful sessionization splits on 30-minute gaps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000)
+    val evs = Seq(
+      EventStream.Ev(1L, 1, ts(0), 1.0),
+      EventStream.Ev(1L, 2, ts(10), 2.0),
+      EventStream.Ev(1L, 3, ts(60), 4.0), // 50-min gap → new session
+      EventStream.Ev(2L, 4, ts(5), 8.0))
+
+    val stream = MemoryStream[EventStream.Ev]
+    stream.addData(evs)
+    val q = EventStream.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // closed sessions emitted so far: user 1's first session (closed by the
+    // 50-min gap within the same batch); open sessions wait for timeout.
+    val got = spark.table("sessions")
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getDouble(4))).toSet
+    assert(got == Set((1L, 2, 3.0)))
+  }
+}
