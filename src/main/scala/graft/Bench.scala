@@ -10,10 +10,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    Tables.tune(spark)
+    // optional args: query names to run (default: all)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.contains).toMap
+    // Warm each query's codegen + JIT on the smallest sf first (same
+    // generated classes, negligible data) so the timed run measures the
+    // plan, not JVM compilation.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    val results = selected.map { case (name, fn) =>
+      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // queries may cache intermediates; drop them so later queries are
+      // measured cold rather than under accumulated memory pressure
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan audit: prints executed plans for the headline queries and greps
+  * them for the properties that matter at 100 TB — broadcast joins on
+  * dims, parquet filter/column pushdown, whole-stage codegen, and the
+  * absence of unintended cartesian products. Run:
+  *   sbt "runMain graft.Explain /root/testdata/sf0.01"
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.tune(spark)
+
+    val audit = Seq(
+      "q1_pricing_summary"   -> Seq("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      "q3_shipping_priority" -> Seq("BroadcastHashJoin", "PushedFilters"),
+      "q5_local_supplier"    -> Seq("BroadcastHashJoin"),
+      "q_topk_per_group"     -> Seq("BroadcastHashJoin"),
+      "q_scan_filter_project" -> Seq("PushedFilters"),
+      "q_asof_join"          -> Seq("Window"),
+      "q_dedup_ngram_jaccard" -> Seq("HashAggregate"),
+      "q_ann_topk"           -> Seq("BroadcastNestedLoopJoin"))
+
+    var bad = 0
+    audit.foreach { case (name, expects) =>
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+      val missing = expects.filterNot(plan.contains)
+      val cartesian = plan.contains("CartesianProduct")
+      if (missing.nonEmpty || cartesian) {
+        bad += 1
+        println(s"== $name: MISSING=${missing.mkString(",")} cartesian=$cartesian")
+        println(plan.linesIterator.take(40).mkString("\n"))
+      } else println(s"== $name: OK")
+    }
+    println(s"== audit ${if (bad == 0) "clean" else s"$bad problems"}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native dot product over two `array<double>` columns.
+  *
+  * The functions.aggregate/zip_with composition allocates an intermediate
+  * array per row pair; on an all-pairs similarity join that allocation is
+  * the dominant cost (24s → sub-second on the sf0.1 bench). This
+  * expression sums in index order — the same left-fold the higher-order
+  * version and the DuckDB oracle use — so results stay bit-identical
+  * while the loop runs allocation-free inside whole-stage codegen.
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_dot needs two array<double>, got ${l.catalogString}, ${r.catalogString}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_dot"
+}
+
+/** One-stop registration for graft's native SQL functions. */
+object GraftFunctions {
+  import org.apache.spark.sql.{Column, GraftBridge}
+
+  def register(spark: SparkSession): Unit = {
+    RollingFingerprint.register(spark)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+  }
+
+  /** Column-level handle, usable without session registration. */
+  def dot(a: Column, b: Column): Column =
+    GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+}

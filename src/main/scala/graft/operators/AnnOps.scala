@@ -22,11 +22,12 @@ object AnnOps {
   val nQueries = 10
   val nprobe = 3
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  private def dot(a: Column, b: Column): Column = graft.functions.GraftFunctions.dot(a, b)
 
   private def embeddingsWithNorm(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
+      // single-split test parquet: spread the per-pair similarity work
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
 

@@ -26,10 +26,15 @@ object DedupOps {
 
   // ---------------------------------------------------------- shingles
 
-  /** doc_id + distinct word-3-gram shingle set (docs with ≥ 3 words). */
+  /** doc_id + distinct word-3-gram shingle set (docs with ≥ 3 words).
+    * The corpus is repartitioned first: test parquet arrives as a single
+    * split and the shingling expressions are the heavy per-row work, so
+    * without this the whole parse runs on one core (at production scale
+    * the many input files provide the parallelism naturally). */
   def shingles(s: SparkSession, dir: String): DataFrame = {
     val w = split(col("text"), " ")
     Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("w", w)
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
@@ -73,20 +78,29 @@ object DedupOps {
 
   val jaccardThreshold = 0.5
 
-  /** Near-dup pairs with word-3-gram Jaccard ≥ 0.5, via inverted index:
-    * explode shingles, self-join on the shingle, count common shingles per
-    * pair, compute exact Jaccard. The oracle brute-forces all pairs —
-    * results are identical because a pair with Jaccard ≥ t > 0 must share
-    * at least one shingle. */
+  /** Near-dup pairs with word-3-gram Jaccard ≥ 0.5, via an inverted index
+    * over 64-bit shingle hashes: explode per-doc distinct shingle hashes,
+    * self-join on the hash (only docs sharing a shingle ever meet — exact
+    * for any threshold > 0), count common shingles per pair in one
+    * aggregation, look up set sizes through a broadcast join. All join
+    * keys and counters are longs, so the whole pipeline stays in codegen
+    * with no per-pair array materialization. The oracle brute-forces all
+    * string pairs — identical up to 64-bit hash collisions (~1e-9 at 1e5
+    * distinct shingles). */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).withColumn("sh_size", size(col("sh"))).cache()
-    val inv = sh.select(col("doc_id"), col("sh_size"), explode(col("sh")).as("shingle"))
-    val a = inv.select(col("doc_id").as("doc_a"), col("sh_size").as("size_a"), col("shingle"))
-    val b = inv.select(col("doc_id").as("doc_b"), col("sh_size").as("size_b"), col("shingle"))
-    a.join(b, Seq("shingle"))
+    val sh = shingles(s, dir)
+      .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
+      .withColumn("sh_size", size(col("hs")))
+      .cache()
+    val inv = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+    val sizes = sh.select(col("doc_id"), col("sh_size"))
+    inv.toDF("doc_a", "h")
+      .join(inv.toDF("doc_b", "h"), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("size_a"), col("size_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
+      .join(broadcast(sizes.toDF("doc_a", "size_a")), "doc_a")
+      .join(broadcast(sizes.toDF("doc_b", "size_b")), "doc_b")
       .withColumn("jaccard",
         col("common").cast("double") / (col("size_a") + col("size_b") - col("common")))
       .filter(col("jaccard") >= jaccardThreshold)
@@ -155,19 +169,29 @@ object DedupOps {
 
   val simhashMaxHamming = 3
 
-  /** doc_id + 64-bit simhash over word hashes (per-occurrence bit votes). */
+  /** doc_id + 64-bit simhash over word hashes (per-occurrence bit votes).
+    * Votes are weighted by per-doc word count first (a large row cut on
+    * Zipfian vocabularies), then the 64 bit positions are exploded into
+    * rows and folded back with two plain aggregations. A 64-wide
+    * sum-CASE aggregate compiles to a method past the JIT's huge-method
+    * limit and intermittently runs interpreted (3s vs 20s on the same
+    * data); the explode shape trades more rows for small, always-JITed
+    * generated code. */
   def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
     val words = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
       .withColumn("h", xxhash64(col("word")))
-    val voteCols = (0 until 64).map { i =>
-      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i")
-    }
-    val votes = words.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
-    val simhash = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, expr(s"CAST(${1L << i} AS BIGINT)")).otherwise(lit(0L))
-    }.reduce(_ + _)
-    votes.select(col("doc_id"), simhash.as("simhash"))
+    words
+      .select(col("doc_id"), col("cnt"), col("h"), explode(sequence(lit(0), lit(63))).as("bit"))
+      .withColumn("vote", when(expr("(h >> bit) & 1") === 1, col("cnt")).otherwise(-col("cnt")))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("vote")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(lit(0L)))
+        .as("simhash"))
   }
 
   /** Pairs with Hamming(simhash) ≤ 3 via 4×16-bit band join (pigeonhole:
@@ -195,8 +219,7 @@ object DedupOps {
 
   val cosineThreshold = 0.4
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  private def dot(a: Column, b: Column): Column = graft.functions.GraftFunctions.dot(a, b)
 
   /** Embedding near-dup pairs: cosine ≥ 0.4. Norms are computed per row
     * before the join; the pairing is a broadcast nested-loop at test scale
@@ -204,6 +227,7 @@ object DedupOps {
     * sequential left-fold in double on both engines → bit-equal. */
   def embeddingDedup(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))

@@ -77,7 +77,9 @@ object MultimodalOps {
     * library call per batch, bounded memory, no per-row overhead). */
   def multimodalBatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ds = mediaCorpus(s, dir).as[MediaRecord]
+    val ds = mediaCorpus(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[MediaRecord]
     ds.mapPartitions { it =>
       it.grouped(decodeBatchSize).flatMap(b => decodeBatch(b.toSeq))
     }.toDF().orderBy("doc_id")
