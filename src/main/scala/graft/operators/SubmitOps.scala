@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Submission intake semantics.
+  *
+  * Reference: `aws/submit.py:100-190` — parse the submission JSON, inject
+  * defaults (`dc.resourceType` = Dataset), move top-level `tags` into
+  * `dc.subjects`, reject NaN/Infinity, and pull configuration fields out
+  * of the metadata; `tests/test_validator.py` — validate required fields
+  * per record and report the reasons.
+  *
+  * The Spark side round-trips real JSON (`to_json`/`from_json` with an
+  * explicit schema) so the operator covers schema-on-read of nested
+  * submission documents, not just column math; the oracle reproduces the
+  * net semantics from the same base columns.
+  */
+object SubmitOps {
+
+  private val submissionSchema = StructType(Seq(
+    StructField("dc", StructType(Seq(
+      StructField("titles", ArrayType(StructType(Seq(StructField("title", StringType))))),
+      StructField("resourceType", StructType(Seq(
+        StructField("resourceTypeGeneral", StringType)))),
+      StructField("subjects", ArrayType(StructType(Seq(StructField("subject", StringType)))))))),
+    StructField("tags", ArrayType(StringType)),
+    StructField("test", BooleanType),
+    StructField("update", BooleanType),
+    StructField("value", DoubleType)))
+
+  /** Deterministic raw submission JSON per document: every 3rd has tags,
+    * every 4th pre-sets resourceType, every 5th is a test submission. */
+  def rawSubmissions(s: SparkSession, dir: String): DataFrame = {
+    val title = array_join(slice(split(col("text"), " "), 1, 4), " ")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      to_json(struct(
+        struct(
+          array(struct(title.as("title"))).as("titles"),
+          when(col("doc_id") % 4 === 0,
+            struct(lit("Software").as("resourceTypeGeneral"))).as("resourceType"),
+          when(col("doc_id") % 6 === 0,
+            array(struct(lit("materials").as("subject")))).as("subjects")).as("dc"),
+        when(col("doc_id") % 3 === 0, array(lit("oxide"), col("source"))).as("tags"),
+        (col("doc_id") % 5 === 0).as("test"),
+        lit(false).as("update"),
+        (col("doc_id") % 100).cast("double").as("value"))).as("raw_json"))
+  }
+
+  /** Normalization: defaults + tags→subjects move, flattened output. */
+  def submissionNormalize(s: SparkSession, dir: String): DataFrame = {
+    val parsed = rawSubmissions(s, dir)
+      .withColumn("sub", from_json(col("raw_json"), submissionSchema))
+    parsed.select(
+      col("doc_id"),
+      col("sub.dc.titles").getItem(0).getField("title").as("title"),
+      // resourceType defaults to Dataset when absent (submit.py:141-149)
+      coalesce(col("sub.dc.resourceType.resourceTypeGeneral"), lit("Dataset"))
+        .as("resource_type"),
+      // tags move into dc.subjects (submit.py:152-162)
+      (coalesce(size(col("sub.dc.subjects")), lit(0)) +
+        coalesce(size(col("sub.tags")), lit(0))).as("n_subjects"),
+      coalesce(col("sub.test"), lit(false)).as("is_test"),
+      col("sub.value").as("value"))
+      .orderBy("doc_id")
+  }
+
+  val submissionNormalizeSql: String =
+    """SELECT doc_id,
+      |  array_to_string((string_split(text, ' '))[1:4], ' ') AS title,
+      |  CASE WHEN doc_id % 4 = 0 THEN 'Software' ELSE 'Dataset' END AS resource_type,
+      |  CAST((CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END) +
+      |       (CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END) AS INTEGER) AS n_subjects,
+      |  doc_id % 5 = 0 AS is_test,
+      |  CAST(doc_id % 100 AS DOUBLE) AS value
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Per-record validation with error reasons (validator semantics):
+    * title must be non-empty, value within [0, 50), test submissions may
+    * not also be updates — invalid rows report every failed rule. */
+  def validateSubmission(s: SparkSession, dir: String): DataFrame = {
+    val base = submissionNormalize(s, dir)
+      .withColumn("title", when(col("doc_id") % 7 === 0, lit("")).otherwise(col("title")))
+    val errs = array(
+      when(length(col("title")) === 0, lit("title: empty")),
+      when(col("value") >= 50, lit("value: out of range")),
+      when(col("is_test") && col("resource_type") === "Software", lit("test: software not allowed")))
+    base.select(
+      col("doc_id"),
+      filter(errs, e => e.isNotNull).as("errs"))
+      .select(
+        col("doc_id"),
+        (size(col("errs")) === 0).as("is_valid"),
+        concat_ws("; ", col("errs")).as("errors"))
+      .orderBy("doc_id")
+  }
+
+  val validateSubmissionSql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN '' ELSE 'x' END AS title_probe,
+      |    CAST(doc_id % 100 AS DOUBLE) AS value,
+      |    doc_id % 5 = 0 AS is_test,
+      |    CASE WHEN doc_id % 4 = 0 THEN 'Software' ELSE 'Dataset' END AS resource_type
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, list_filter([
+      |    CASE WHEN title_probe = '' THEN 'title: empty' END,
+      |    CASE WHEN value >= 50 THEN 'value: out of range' END,
+      |    CASE WHEN is_test AND resource_type = 'Software' THEN 'test: software not allowed' END],
+      |    x -> x IS NOT NULL) AS errs
+      |  FROM b)
+      |SELECT doc_id, len(errs) = 0 AS is_valid,
+      |  coalesce(array_to_string(errs, '; '), '') AS errors
+      |FROM e ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_submission_normalize" -> (submissionNormalize _),
+    "q_validate_submission"  -> (validateSubmission _))
+
+  def oracles: Map[String, String] = Map(
+    "q_submission_normalize" -> submissionNormalizeSql,
+    "q_validate_submission"  -> validateSubmissionSql)
+}
