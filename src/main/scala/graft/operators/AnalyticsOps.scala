@@ -264,6 +264,36 @@ object AnalyticsOps {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
 
+  // ------------------------------------------------- semi/anti joins
+  /** Orders having at least one near-full-quantity lineitem (LEFT SEMI:
+    * the build side only answers membership, nothing is duplicated). */
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir).filter(col("l_quantity") >= 49)
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val semiJoinSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Customers that never ordered (LEFT ANTI). */
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
   // ------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary"  -> (q1PricingSummary _),
@@ -276,7 +306,9 @@ object AnalyticsOps {
     "q_percentiles"       -> (percentiles _),
     "q_distinct_users"    -> (distinctUsers _),
     "q_json_extract"      -> (jsonExtract _),
-    "q_tumbling_window"   -> (tumblingWindow _))
+    "q_tumbling_window"   -> (tumblingWindow _),
+    "q_semi_join"         -> (semiJoin _),
+    "q_anti_join"         -> (antiJoin _))
 
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary"  -> q1Sql,
@@ -289,5 +321,7 @@ object AnalyticsOps {
     "q_percentiles"       -> percentilesSql,
     "q_distinct_users"    -> distinctUsersSql,
     "q_json_extract"      -> jsonExtractSql,
-    "q_tumbling_window"   -> tumblingWindowSql)
+    "q_tumbling_window"   -> tumblingWindowSql,
+    "q_semi_join"         -> semiJoinSql,
+    "q_anti_join"         -> antiJoinSql)
 }
