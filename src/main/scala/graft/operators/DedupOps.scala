@@ -251,6 +251,52 @@ object DedupOps {
        |WHERE cosine >= $cosineThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ------------------------------------ embedding LSH (scale path)
+
+  val lshHyperplanes = 16
+  val lshSimBands = 4 // 4 bands × 4 bits
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed). */
+  private lazy val hyperplanes: IndexedSeq[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    IndexedSeq.fill(lshHyperplanes)(Array.fill(64)(rnd.nextGaussian()))
+  }
+
+  /** Random-hyperplane LSH near-dup pairs: 16 sign bits per vector,
+    * banded 4×4 — pairs agreeing on any band become candidates (an
+    * equi-join on the 4-bit band value), then exact cosine verifies.
+    * This is the 100 TB path for q_dedup_embedding: the all-pairs
+    * nested-loop becomes a join on short band keys. Precision is exact;
+    * recall is probabilistic (pinned in spec vs the brute-force pairs). */
+  def embeddingLsh(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{typedlit => tl}
+    val e = Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val bits = (0 until lshHyperplanes).map { j =>
+      when(dot(col("v"), tl(hyperplanes(j).toSeq)) > 0, lit(1)).otherwise(lit(0)).as(s"bit$j")
+    }
+    val bitsPerBand = lshHyperplanes / lshSimBands
+    val sig = e.select(col("vec_id") +: col("v") +: col("norm") +: bits: _*)
+    val bandCols = (0 until lshSimBands).map { b =>
+      (0 until bitsPerBand).map(k => col(s"bit${b * bitsPerBand + k}") * lit(1 << k)).reduce(_ + _)
+    }
+    val bands = sig.select(col("vec_id"), col("v"), col("norm"),
+      posexplode(array(bandCols: _*)).as(Seq("band_id", "band_val")))
+    val a = bands.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"),
+      col("band_id"), col("band_val"))
+    val b = bands.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"),
+      col("band_id"), col("band_val"))
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= cosineThreshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
   // ----------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -258,7 +304,8 @@ object DedupOps {
     "q_dedup_ngram_jaccard" -> (ngramJaccard _),
     "q_dedup_minhash_lsh"   -> (minhashLsh _),
     "q_dedup_simhash"       -> (simhashPairs _),
-    "q_dedup_embedding"     -> (embeddingDedup _))
+    "q_dedup_embedding"     -> (embeddingDedup _),
+    "q_dedup_embedding_lsh" -> (embeddingLsh _))
 
   /** minhash/simhash are pinned by specs, not SQL (hash functions are
     * engine-specific) — driver records rows-only checks for those. */
