@@ -149,13 +149,63 @@ object TextFunctions {
       |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_normalized
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ TF-IDF
+  /** Top-3 characteristic terms per source by TF-IDF. Two aggregations
+    * (term frequency per (source, word), document frequency per word) and
+    * a window rank — the canonical two-level shuffle shape; df comes back
+    * via a broadcast join because the vocabulary is tiny relative to the
+    * corpus. Output is (rank, word), not the score: ln() last-ulp
+    * differences between engines can't flip ranks that are tied-broken by
+    * word. */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+    val nDocs = docs.count()
+    val words = docs.select(col("source"), col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("word"))
+    val tf = words.groupBy(col("source"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = words.select(col("doc_id"), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("word").asc)
+    tf.join(broadcast(df), "word")
+      .withColumn("score", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("source", "rank", "word", "tf", "df")
+      .orderBy("source", "rank")
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH words AS (
+      |  SELECT source, doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+      |  FROM documents),
+      |tf AS (SELECT source, word, count(*) AS tf FROM words GROUP BY 1, 2),
+      |df AS (SELECT word, count(*) AS df
+      |       FROM (SELECT DISTINCT doc_id, word FROM words) GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT source, word, tf, df,
+      |    tf * ln(CAST(n_docs AS DOUBLE) / df) AS score
+      |  FROM tf JOIN df USING (word) CROSS JOIN n)
+      |SELECT source, rank, word, tf, df FROM (
+      |  SELECT source, word, tf, df,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY score DESC, word ASC) AS INTEGER) AS rank
+      |  FROM scored)
+      |WHERE rank <= 3
+      |ORDER BY source, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf_top_terms" -> (tfidfTopTerms _),
     "q_token_count"   -> (tokenCount _),
     "q_quality_score" -> (qualityScore _),
     "q_lang_id"       -> (langId _),
     "q_fingerprint"   -> (fingerprint _))
 
   def oracles: Map[String, String] = Map(
+    "q_tfidf_top_terms" -> tfidfTopTermsSql,
     "q_token_count"   -> tokenCountSql,
     "q_quality_score" -> qualityScoreSql,
     "q_lang_id"       -> langIdSql,
