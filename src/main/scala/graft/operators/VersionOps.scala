@@ -192,6 +192,33 @@ object VersionOps {
   def authorWord(c: Column): Column =
     array_join(transform(split(regexp_replace(lower(c), "_", " "), "\\s+"), cleanToken _), "")
 
+  /** Full make_source_id name pipeline (source_id_manager.py:135-210):
+    * strip any existing version suffix from the title, tokenize + clean,
+    * remove the author word, then either join all tokens (sanitize_only)
+    * or assemble author_word1_word2_lastword; prefix test submissions.
+    * Idempotent: feeding a produced source_id/source_name back in yields
+    * the same name (pinned against the reference's own test vectors in
+    * VersionOpsSpec). */
+  def makeSourceIdName(title: Column, author: Column, isTest: Column,
+      sanitizeOnly: Boolean = false): Column = {
+    val stripped = when(title.rlike(idRe), regexp_replace(title, idRe, "")).otherwise(title)
+    val aw = authorWord(author)
+    val toks0 = cleanTitleTokens(stripped)
+    val toks = if (sanitizeOnly) toks0 else filter(toks0, t => t =!= aw)
+    val name =
+      if (sanitizeOnly) array_join(toks, "_")
+      else array_join(
+        filter(
+          array(
+            aw,
+            element_at(toks, 1),
+            when(size(toks) >= 2, element_at(toks, 2)).otherwise(lit("")),
+            when(size(toks) >= 3, element_at(toks, -1)).otherwise(lit(""))),
+          t => t =!= lit("")),
+        "_")
+    concat(when(isTest, lit("_test_")).otherwise(lit("")), name)
+  }
+
   def makeSourceName(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .withColumn("title", array_join(slice(split(col("text"), " "), 1, 6), " "))

@@ -51,6 +51,45 @@ class VersionOpsSpec extends SparkSpec {
     assert(out(2) == "https://example.org/keep")
   }
 
+  test("makeSourceIdName matches the reference's own test vectors") {
+    import spark.implicits._
+    // vectors from /root/reference/tests/test_utils.py:test_make_source_id
+    val cases = Seq(
+      ("Foo and Bar:,; a V123 !@#$ Stuff with dataset", "Smith", false, "smith_foo_bar_stuff"),
+      ("foo_bar_v123_stuff", "Smith!", false, "smith_foo_bar_stuff"),
+      ("foo_bar_v123_stuff_v1.1", "  smith   ", false, "smith_foo_bar_stuff"),
+      ("Foo and V123:,; a Bar !@#$ Thing", "Fox-Hound", true, "_test_foxhound_foo_v123_thing"),
+      ("foo_v123_bar_thing", "Fox Hound", true, "_test_foxhound_foo_v123_thing"),
+      ("foo_v123_bar_thing_v1.1", "Fox-!-Hound", true, "_test_foxhound_foo_v123_thing"),
+      ("Small! A dataset data with THE data!!", "Very", false, "very_small"),
+      ("very_small_v1.1", "V Ery", false, "very_small"),
+      ("very_small", "$V $E RY", false, "very_small"),
+      // double usage must not mutate (idempotency)
+      ("smith_foo_bar_stuff_v1.1", "SMITH", false, "smith_foo_bar_stuff"),
+      ("smith_foo_bar_stuff", "  Smith", false, "smith_foo_bar_stuff"),
+      ("very_small_v1.1", "Very", false, "very_small"))
+    val got = cases.toDF("title", "author", "is_test", "expected")
+      .select(col("expected"),
+        VersionOps.makeSourceIdName(col("title"), col("author"), col("is_test")).as("got"))
+      .collect()
+    got.foreach(r => assert(r.getString(1) == r.getString(0),
+      s"expected ${r.getString(0)}, got ${r.getString(1)}"))
+
+    // sanitize_only vectors
+    val sanCases = Seq(
+      ("A Theory Of Everything", "Issac Erwin Einstein", "theory_everything"),
+      ("_Theory_Everything", "Issac Erwin Einstein", "theory_everything"),
+      ("theory_everything_v1.1", "Marie DeGrasse Nye", "theory_everything"),
+      ("theory_everything", "Kermit Witha Mustache", "theory_everything"))
+    val sanGot = sanCases.toDF("title", "author", "expected")
+      .select(col("expected"),
+        VersionOps.makeSourceIdName(col("title"), col("author"), lit(false),
+          sanitizeOnly = true).as("got"))
+      .collect()
+    sanGot.foreach(r => assert(r.getString(1) == r.getString(0),
+      s"sanitize: expected ${r.getString(0)}, got ${r.getString(1)}"))
+  }
+
   test("latest version picks numeric-aware max per source") {
     val latest = VersionOps.latestVersion(spark, sfDir)
     val row = latest.filter(col("source_name") === "ds1").collect()
