@@ -264,6 +264,22 @@ object AnalyticsOps {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
 
+  // ------------------------------------------------- sketch quantiles
+  /** Approximate percentiles (mergeable sketch — the scale path where the
+    * exact percentile's full sort per group is not affordable). Accuracy
+    * vs the exact operator is pinned in spec; the driver records a
+    * rows-only check since the sketch is engine-specific. */
+  def approxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("p50_approx"),
+        expr("approx_percentile(o_totalprice, 0.9, 10000)").as("p90_approx"),
+        expr("approx_percentile(o_totalprice, 0.99, 10000)").as("p99_approx"),
+        approx_count_distinct(col("o_custkey")).as("n_cust_approx"))
+      .orderBy("o_orderpriority")
+  }
+
   // ------------------------------------------------- semi/anti joins
   /** Orders having at least one near-full-quantity lineitem (LEFT SEMI:
     * the build side only answers membership, nothing is duplicated). */
@@ -308,7 +324,8 @@ object AnalyticsOps {
     "q_json_extract"      -> (jsonExtract _),
     "q_tumbling_window"   -> (tumblingWindow _),
     "q_semi_join"         -> (semiJoin _),
-    "q_anti_join"         -> (antiJoin _))
+    "q_anti_join"         -> (antiJoin _),
+    "q_approx_quantiles"  -> (approxQuantiles _))
 
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary"  -> q1Sql,

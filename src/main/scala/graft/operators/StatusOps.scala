@@ -138,13 +138,51 @@ object StatusOps {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY n_name, r_name ORDER BY n_name""".stripMargin
 
+  /** Arbitrary-depth org-parent closure (fetch_org_rules walks parent
+    * chains until exhausted). Synthetic hierarchy: node i's parent is
+    * i/2, root 0. Spark has no recursive CTE, so the closure is an
+    * iterative loop of self-joins, doubling path length each pass —
+    * O(log depth) shuffles, each bounded by the closure size; the oracle
+    * is DuckDB's WITH RECURSIVE. */
+  def orgClosure(s: SparkSession, dir: String): DataFrame = {
+    val nodes = graft.Tables.documents(s, dir)
+      .filter(col("doc_id") < 100 && col("doc_id") > 0)
+      .select(col("doc_id").as("node"))
+    val edges = nodes.select(col("node"), floor(col("node") / 2).cast("long").as("parent"))
+    // halving parent function + node < 100 bounds chains at ceil(log2 100)
+    // = 7 levels, so unroll into one declarative plan: each level extends
+    // paths by a broadcast join on the tiny edge table; chains ending at
+    // the root simply stop matching. (Unbounded-depth closures would loop
+    // with localCheckpoint per doubling instead.)
+    val maxDepth = 7
+    val step = broadcast(edges.select(col("node").as("ancestor"), col("parent").as("next_anc")))
+    val levels = Iterator.iterate(
+      edges.select(col("node"), col("parent").as("ancestor"), lit(1).as("depth"))) { level =>
+      level.join(step, "ancestor")
+        .select(col("node"), col("next_anc").as("ancestor"), (col("depth") + 1).as("depth"))
+    }.take(maxDepth).toSeq
+    levels.reduce(_ unionByName _).orderBy("node", "depth")
+  }
+
+  val orgClosureSql: String =
+    """WITH RECURSIVE anc AS (
+      |  SELECT doc_id AS node, CAST(floor(doc_id / 2) AS BIGINT) AS ancestor, 1 AS depth
+      |  FROM documents WHERE doc_id < 100 AND doc_id > 0
+      |  UNION ALL
+      |  SELECT a.node, CAST(floor(a.ancestor / 2) AS BIGINT) AS ancestor, a.depth + 1
+      |  FROM anc a WHERE a.ancestor > 0)
+      |SELECT node, ancestor, CAST(depth AS INTEGER) AS depth
+      |FROM anc ORDER BY node, depth""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_org_closure"         -> (orgClosure _),
     "q_status_code"         -> (statusCode _),
     "q_status_rollup"       -> (statusRollup _),
     "q_submissions_by_user" -> (submissionsByUser _),
     "q_org_rules_merge"     -> (orgRulesMerge _))
 
   def oracles: Map[String, String] = Map(
+    "q_org_closure"         -> orgClosureSql,
     "q_status_code"         -> statusCodeSql,
     "q_status_rollup"       -> statusRollupSql,
     "q_submissions_by_user" -> submissionsByUserSql,
