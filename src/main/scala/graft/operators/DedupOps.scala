@@ -31,18 +31,21 @@ object DedupOps {
     * split and the shingling expressions are the heavy per-row work, so
     * without this the whole parse runs on one core (at production scale
     * the many input files provide the parallelism naturally). */
-  def shingles(s: SparkSession, dir: String): DataFrame = {
-    val w = split(col("text"), " ")
-    Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+  def shingles(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+      "doc_id", "text", 3)
+
+  /** Generic API: distinct word-n-gram shingle sets over any corpus.
+    * Output columns are normalized to (doc_id, sh). */
+  def shinglesOf(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val w = split(col(textCol), " ")
+    docs
       .withColumn("w", w)
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"),
-        array_distinct(transform(sequence(lit(0), size(col("w")) - 3),
-          i => concat_ws(" ",
-            element_at(col("w"), i + 1),
-            element_at(col("w"), i + 2),
-            element_at(col("w"), i + 3)))).as("sh"))
+      .filter(size(col("w")) >= n)
+      .select(col(idCol).as("doc_id"),
+        array_distinct(transform(sequence(lit(0), size(col("w")) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(col("w"), i + k + 1)): _*)))
+          .as("sh"))
   }
 
   /** Shared DuckDB view of the same shingle sets. */
@@ -59,11 +62,19 @@ object DedupOps {
 
   /** Exact dedup on a normalized key (first 10 words): canonical id = min
     * doc_id per group. One hash shuffle on the 128-bit key. */
-  def exactDedup(s: SparkSession, dir: String): DataFrame = {
-    Tables.documents(s, dir)
-      .withColumn("fp", md5(array_join(slice(split(col("text"), " "), 1, 10), " ")))
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    exactDedupOf(Tables.documents(s, dir), "doc_id", "text", keyWords = 10)
+
+  /** Generic API: exact dedup of any corpus on the md5 of the first
+    * `keyWords` words (`keyWords` ≤ 0 keys on the whole text). */
+  def exactDedupOf(docs: DataFrame, idCol: String, textCol: String, keyWords: Int): DataFrame = {
+    val key =
+      if (keyWords > 0) array_join(slice(split(col(textCol), " "), 1, keyWords), " ")
+      else col(textCol)
+    docs
+      .withColumn("fp", md5(key))
       .groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("canonical_doc_id"),
+      .agg(min(col(idCol)).as("canonical_doc_id"),
         count(lit(1)).as("n_copies"))
       .orderBy("fp")
   }
@@ -87,8 +98,13 @@ object DedupOps {
     * with no per-pair array materialization. The oracle brute-forces all
     * string pairs — identical up to 64-bit hash collisions (~1e-9 at 1e5
     * distinct shingles). */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardOf(shingles(s, dir), jaccardThreshold)
+
+  /** Generic API: Jaccard near-dup pairs over any (doc_id, sh) shingle
+    * frame (e.g. from [[shinglesOf]]) at the given threshold. */
+  def ngramJaccardOf(shingleSets: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingleSets
       .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
       .withColumn("sh_size", size(col("hs")))
       .cache()
@@ -103,7 +119,7 @@ object DedupOps {
       .join(broadcast(sizes.toDF("doc_b", "size_b")), "doc_b")
       .withColumn("jaccard",
         col("common").cast("double") / (col("size_a") + col("size_b") - col("common")))
-      .filter(col("jaccard") >= jaccardThreshold)
+      .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
@@ -130,8 +146,12 @@ object DedupOps {
     (0 until minhashK).map(i => (7919L * (i + 37) + 104729L) % mersenne)
 
   /** doc_id + 32-element minhash signature. */
-  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val hashed = shingles(s, dir)
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    minhashSignaturesOf(shingles(s, dir))
+
+  /** Generic API: minhash signatures over any (doc_id, sh) shingle frame. */
+  def minhashSignaturesOf(shingleSets: DataFrame): DataFrame = {
+    val hashed = shingleSets
       .withColumn("hx", transform(col("sh"), x => pmod(xxhash64(x), lit(mersenne))))
     hashed.select(col("doc_id"), col("sh"),
       array((0 until minhashK).map { i =>
@@ -141,8 +161,13 @@ object DedupOps {
 
   /** LSH candidate pairs verified with exact Jaccard ≥ 0.5. Probabilistic
     * recall (spec pins it against the exact operator), exact precision. */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(s, dir)
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashLshOf(minhashSignatures(s, dir), jaccardThreshold)
+
+  /** Generic API: banded-LSH near-dup pairs over any (doc_id, sh, sig)
+    * signature frame (e.g. from [[minhashSignatures]]). */
+  def minhashLshOf(signatures: DataFrame, threshold: Double): DataFrame = {
+    val sig = signatures
       .withColumn("sh_size", size(col("sh")))
       .cache()
     val bands = sig.select(col("doc_id"),
@@ -160,7 +185,7 @@ object DedupOps {
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("common").cast("double") / (col("size_a") + col("size_b") - col("common")))
-      .filter(col("jaccard") >= jaccardThreshold)
+      .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
@@ -177,10 +202,15 @@ object DedupOps {
     * limit and intermittently runs interpreted (3s vs 20s on the same
     * data); the explode shape trades more rows for small, always-JITed
     * generated code. */
-  def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+  def simhashSignatures(s: SparkSession, dir: String): DataFrame =
+    simhashSignaturesOf(
+      Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+      "doc_id", "text")
+
+  /** Generic API: 64-bit simhash per document over any corpus. */
+  def simhashSignaturesOf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("h", xxhash64(col("word")))
@@ -196,8 +226,12 @@ object DedupOps {
 
   /** Pairs with Hamming(simhash) ≤ 3 via 4×16-bit band join (pigeonhole:
     * ≤ 3 differing bits leave at least one band identical). */
-  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = simhashSignatures(s, dir).cache()
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    simhashPairsOf(simhashSignatures(s, dir), simhashMaxHamming)
+
+  /** Generic API: Hamming-bounded pairs over any (doc_id, simhash) frame. */
+  def simhashPairsOf(signatures: DataFrame, maxHamming: Int): DataFrame = {
+    val sig = signatures.cache()
     val bands = sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map { j =>
         expr(s"(simhash >> ${16 * j}) & 65535")
@@ -211,7 +245,7 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(sim_a ^ sim_b)").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= simhashMaxHamming)
+      .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -225,16 +259,24 @@ object DedupOps {
     * before the join; the pairing is a broadcast nested-loop at test scale
     * and IVF-bucketed (AnnOps) at production scale. The cosine is a
     * sequential left-fold in double on both engines → bit-equal. */
-  def embeddingDedup(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  def embeddingDedup(s: SparkSession, dir: String): DataFrame =
+    embeddingPairsOf(
+      Tables.embeddings(s, dir).repartition(s.sparkContext.defaultParallelism),
+      "vec_id", "embedding", cosineThreshold)
+
+  /** Generic API: all pairs with cosine ≥ threshold over any embedding
+    * frame (brute force — use [[embeddingLsh]]'s banding or AnnOps' IVF
+    * at scale). */
+  def embeddingPairsOf(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val e = vecs
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cosine") >= cosineThreshold)
+      .filter(col("cosine") >= threshold)
       .select("vec_a", "vec_b", "cosine")
       .orderBy("vec_a", "vec_b")
   }

@@ -20,6 +20,36 @@ import graft.Tables
   */
 object JoinOps {
 
+  /** Generic ASOF LEFT join: for each left row, attach the latest right
+    * row of the same `key` with `right(tsCol) <= left(tsCol)`.
+    * Right payload columns come back prefixed `asof_` (null when no match).
+    * One shuffle on `key`; `tieCol` breaks equal-timestamp ties (right
+    * rows sort before left rows on equal ts, matching ASOF's `>=`). */
+  def asofJoinOf(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+      leftTie: String, rightTie: String): DataFrame = {
+    val payloadCols = right.columns.filter(c => c != key && c != tsCol && c != rightTie)
+    val rightTagged = right.select(
+      col(key), col(tsCol), lit(0).as("__side"), col(rightTie).cast("long").as("__tie"),
+      struct((tsCol +: rightTie +: payloadCols.toSeq).map(col): _*).as("__payload"))
+    val leftTagged = left.select(
+      col(key), col(tsCol), lit(1).as("__side"), col(leftTie).cast("long").as("__tie"),
+      lit(null).cast(rightTagged.schema("__payload").dataType).as("__payload"),
+      struct(left.columns.map(col): _*).as("__left"))
+    val unioned = rightTagged.withColumn("__left",
+        lit(null).cast(leftTagged.schema("__left").dataType))
+      .unionByName(leftTagged)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol).asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val leftOut = left.columns.map(c => col("__left").getField(c).as(c))
+    val rightOut = (tsCol +: rightTie +: payloadCols.toSeq)
+      .map(c => col("__match").getField(c).as(s"asof_$c"))
+    matched.select(leftOut ++ rightOut: _*)
+  }
+
   /** For each purchase event: the most recent click of the same user at or
     * before the purchase ts (ASOF semantics, left join). */
   def asofJoin(s: SparkSession, dir: String): DataFrame = {
