@@ -29,6 +29,14 @@ object EventStream {
       .select(col("window").getField("start").as("bucket"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: at-least-once sources redeliver, so the
+    * pipeline drops duplicate event ids; the watermark bounds the dedup
+    * state to one window of ids instead of all-time history. */
+  def dedupeEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Ev(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, value: Double)
   final case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,

@@ -35,6 +35,22 @@ class EventStreamSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("streaming dedup drops redelivered events within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000)
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    // event 1 delivered three times, event 2 twice, event 3 once
+    stream.addData(Seq((1L, ts(0), 1.0), (1L, ts(0), 1.0), (2L, ts(1), 2.0),
+      (1L, ts(2), 1.0), (2L, ts(1), 2.0), (3L, ts(3), 4.0)))
+    val q = EventStream.dedupeEvents(
+        stream.toDF().toDF("event_id", "ts", "value"))
+      .writeStream.format("memory").queryName("deduped").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.table("deduped").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
   test("stateful sessionization splits on 30-minute gaps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
