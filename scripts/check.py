@@ -42,9 +42,11 @@ def main(sf_dir, out_dir):
         try:
             spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             spark_cols = [d[0] for d in spark_rel.description]
+            spark_types = [str(d[1]) for d in spark_rel.description]
             spark_rows = spark_rel.fetchall()
             ora_rel = con.sql(sql)
             ora_cols = [d[0] for d in ora_rel.description]
+            ora_types = [str(d[1]) for d in ora_rel.description]
             ora_rows = ora_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: error {e}")
@@ -52,6 +54,15 @@ def main(sf_dir, out_dir):
             continue
         if sorted(spark_cols) != sorted(ora_cols):
             print(f"FAIL {name}: columns spark={sorted(spark_cols)} oracle={sorted(ora_cols)}")
+            n_fail += 1
+            continue
+        # dtype-aware: the driver hashes typed values, so a HUGEINT oracle
+        # vs BIGINT spark column fails there even when repr() matches here.
+        spark_tm = dict(zip(spark_cols, spark_types))
+        ora_tm = dict(zip(ora_cols, ora_types))
+        dt_bad = [(c, spark_tm[c], ora_tm[c]) for c in spark_cols if spark_tm[c] != ora_tm[c]]
+        if dt_bad:
+            print(f"FAIL {name}: dtype mismatch (col, spark, oracle): {dt_bad}")
             n_fail += 1
             continue
         if len(spark_rows) != len(ora_rows):

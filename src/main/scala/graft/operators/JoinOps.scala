@@ -148,8 +148,8 @@ object JoinOps {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
       |s AS (
       |  SELECT user_id, ts, value,
-      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       |  FROM g)
       |SELECT user_id, session_seq,
       |  min(ts) AS session_start, max(ts) AS session_end,

@@ -86,7 +86,7 @@ object StatusOps {
       |            ELSE 'ingest_cleanup' END AS step,
       |  count(*) AS n_events,
       |  count(DISTINCT user_id) AS n_users,
-      |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_failures
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_failures
       |FROM events GROUP BY 1 ORDER BY step""".stripMargin
 
   /** User-scoped submission listing (submissions.py lambda_handler):
@@ -140,28 +140,30 @@ object StatusOps {
 
   /** Arbitrary-depth org-parent closure (fetch_org_rules walks parent
     * chains until exhausted). Synthetic hierarchy: node i's parent is
-    * i/2, root 0. Spark has no recursive CTE, so the closure is an
-    * iterative loop of self-joins, doubling path length each pass —
-    * O(log depth) shuffles, each bounded by the closure size; the oracle
-    * is DuckDB's WITH RECURSIVE. */
+    * i/2, root 0 — the parent function is arithmetic, so every ancestor
+    * of `node` at depth d is simply `node >> d`. That makes the whole
+    * closure a single narrow projection: generate depths 1..7 per row
+    * with `transform(sequence(...))` and explode. Zero joins, zero extra
+    * scans, one pass over the input — this survives any scale the scan
+    * itself survives. (General, non-arithmetic hierarchies go through
+    * [[ClosureOps.ancestorClosure]]: true path-doubling, O(log depth)
+    * self-joins with a localCheckpoint per iteration.) */
   def orgClosure(s: SparkSession, dir: String): DataFrame = {
     val nodes = graft.Tables.documents(s, dir)
       .filter(col("doc_id") < 100 && col("doc_id") > 0)
       .select(col("doc_id").as("node"))
-    val edges = nodes.select(col("node"), floor(col("node") / 2).cast("long").as("parent"))
-    // halving parent function + node < 100 bounds chains at ceil(log2 100)
-    // = 7 levels, so unroll into one declarative plan: each level extends
-    // paths by a broadcast join on the tiny edge table; chains ending at
-    // the root simply stop matching. (Unbounded-depth closures would loop
-    // with localCheckpoint per doubling instead.)
-    val maxDepth = 7
-    val step = broadcast(edges.select(col("node").as("ancestor"), col("parent").as("next_anc")))
-    val levels = Iterator.iterate(
-      edges.select(col("node"), col("parent").as("ancestor"), lit(1).as("depth"))) { level =>
-      level.join(step, "ancestor")
-        .select(col("node"), col("next_anc").as("ancestor"), (col("depth") + 1).as("depth"))
-    }.take(maxDepth).toSeq
-    levels.reduce(_ unionByName _).orderBy("node", "depth")
+    // chain for node n has floor(log2 n)+1 levels; node < 100 bounds it
+    // at 7. Keep depth d iff the previous ancestor (node >> (d-1)) > 0,
+    // matching the recursive oracle's WHERE ancestor > 0 continuation.
+    def shr(v: Column, bits: Column): Column = call_function("shiftright", v, bits)
+    nodes
+      .select(col("node"), explode(
+        filter(
+          transform(sequence(lit(1), lit(7)),
+            d => struct(shr(col("node"), d).as("ancestor"), d.as("depth"))),
+          a => shr(col("node"), a.getField("depth") - 1) > 0)).as("anc"))
+      .select(col("node"), col("anc.ancestor").as("ancestor"), col("anc.depth").as("depth"))
+      .orderBy("node", "depth")
   }
 
   val orgClosureSql: String =

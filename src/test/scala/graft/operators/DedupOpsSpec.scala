@@ -25,6 +25,23 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("stop-shingle DF cap: capped pairs are a subset, recall stays high") {
+    val shingleSets = DedupOps.shingles(spark, sfDir)
+    val uncapped = DedupOps.ngramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // aggressive cap (DF > 20 dropped) — far tighter than production's
+    // stopShingleDfCap, to actually exercise the pruning on test data
+    val capped = DedupOps.ngramJaccardOf(shingleSets, DedupOps.jaccardThreshold, 20L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // capping only removes common-shingle evidence → jaccard is
+    // underestimated → capped pairs are a subset of the true pairs
+    assert(capped.subsetOf(uncapped), s"cap invented pairs: ${capped.diff(uncapped)}")
+    if (uncapped.nonEmpty) {
+      val recall = capped.size.toDouble / uncapped.size
+      assert(recall >= 0.8, s"recall $recall over ${uncapped.size} true pairs")
+    }
+  }
+
   test("simhash: near-identical documents collide at low hamming") {
     import spark.implicits._
     // plant a near-dup corpus: doc + one-word-changed copy

@@ -5,9 +5,12 @@ import graft.SparkSpec
 class EmbeddingLshSpec extends SparkSpec {
 
   test("hyperplane LSH: exact precision, honest recall vs brute force") {
-    val brute = DedupOps.embeddingDedup(spark, sfDir).collect()
+    // oracle twin: the brute-force all-pairs operator (spec-only path)
+    val brute = DedupOps.embeddingPairsOf(
+      graft.Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+      DedupOps.cosineThreshold).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val lsh = DedupOps.embeddingLsh(spark, sfDir).collect()
+    val lsh = DedupOps.embeddingDedup(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
 
     // precision 1.0: every LSH pair is a true pair with identical cosine
