@@ -22,6 +22,22 @@ import graft.Tables
   */
 object StatusOps {
 
+  /** The full 12-step submission pipeline catalog,
+    * dynamo_manager.py:30-43 (STATUS_STEPS). */
+  val statusSteps: Seq[(String, String)] = Seq(
+    "sub_start" -> "Submission initialization",
+    "old_cancel" -> "Cancellation of previous submissions",
+    "data_download" -> "Connect data download",
+    "data_transfer" -> "Data transfer to primary destination",
+    "extracting" -> "Metadata extraction",
+    "curation" -> "Dataset curation",
+    "ingest_search" -> "MDF Search ingestion",
+    "ingest_backup" -> "Data transfer to secondary destinations",
+    "ingest_publish" -> "MDF Publish publication",
+    "ingest_citrine" -> "Citrine upload",
+    "ingest_mrr" -> "Materials Resource Registration",
+    "ingest_cleanup" -> "Post-processing cleanup")
+
   /** Flow-state letters, submissions.py:10-15. */
   def statusLetter(eventType: Column): Column =
     when(eventType === "purchase", "S")
@@ -88,6 +104,128 @@ object StatusOps {
       |  count(DISTINCT user_id) AS n_users,
       |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_failures
       |FROM events GROUP BY 1 ORDER BY step""".stripMargin
+
+  /** Full-catalog step rollup: every one of the 12 STATUS_STEPS appears
+    * exactly once, with event counts from the (5-step) observed stream —
+    * unexercised steps report 0. The 12-row catalog is an in-plan literal
+    * relation broadcast against the aggregated stream, so the only
+    * shuffle is the aggregation itself. */
+  def statusSteps12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val catalog = statusSteps.zipWithIndex
+      .map { case ((step, desc), i) => (i + 1, step, desc) }
+      .toDF("step_index", "step", "description")
+    val observed = Tables.events(s, dir)
+      .withColumn("step", stepName(col("event_type")))
+      .groupBy(col("step"))
+      .agg(count(lit(1)).as("n_events"))
+    catalog.join(observed, Seq("step"), "left")
+      .select(col("step_index"), col("step"), col("description"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("step_index")
+  }
+
+  val statusSteps12Sql: String = {
+    val values = statusSteps.zipWithIndex
+      .map { case ((step, desc), i) => s"(${i + 1}, '$step', '$desc')" }
+      .mkString(",\n      |    ")
+    s"""WITH catalog(step_index, step, description) AS (VALUES
+      |    $values),
+      |observed AS (
+      |  SELECT CASE WHEN event_type = 'signup' THEN 'sub_start'
+      |              WHEN event_type = 'click' THEN 'data_download'
+      |              WHEN event_type = 'view' THEN 'extracting'
+      |              WHEN event_type = 'purchase' THEN 'ingest_search'
+      |              ELSE 'ingest_cleanup' END AS step,
+      |    count(*) AS n_events
+      |  FROM events GROUP BY 1)
+      |SELECT CAST(step_index AS INTEGER) AS step_index, step, description,
+      |  coalesce(n_events, 0) AS n_events
+      |FROM catalog LEFT JOIN observed USING (step)
+      |ORDER BY step_index""".stripMargin
+  }
+
+  /** create_status defaults (dynamo_manager.py:339-352): every new status
+    * record starts with code = 'z' × 12, twelve "No message available"
+    * messages, active, not cancelled, not hibernating — then must pass
+    * new-status validation. One narrow projection over the submissions
+    * view. */
+  def statusInit(s: SparkSession, dir: String): DataFrame = {
+    val n = statusSteps.length
+    VersionOps.submissions(s, dir)
+      .select(
+        col("doc_id"), col("source_id"),
+        lit("z" * n).as("code"),
+        array_repeat(lit("No message available"), n).as("messages"),
+        lit(true).as("active"),
+        lit(false).as("cancelled"),
+        lit(false).as("hibernating"))
+      .withColumn("n_messages", size(col("messages")))
+      .withColumn("is_valid_new",
+        length(col("code")) === n && col("code") === lit("z" * n))
+      .select("doc_id", "source_id", "code", "n_messages",
+        "active", "cancelled", "hibernating", "is_valid_new")
+      .orderBy("doc_id")
+  }
+
+  val statusInitSql: String = VersionOps.submissionsSql +
+    s"""SELECT doc_id, source_id,
+      |  repeat('z', ${statusSteps.length}) AS code,
+      |  CAST(${statusSteps.length} AS INTEGER) AS n_messages,
+      |  true AS active, false AS cancelled, false AS hibernating,
+      |  true AS is_valid_new
+      |FROM submissions ORDER BY doc_id""".stripMargin
+
+  /** validate_status (dynamo_manager.py:288-326): a status code must be
+    * exactly one letter per STATUS_STEPS entry (length 12), and a *new*
+    * status must be all-'z' (nothing started). The synthetic mix covers
+    * progressed codes (k steps succeeded), truncated codes, and new/old
+    * flags; failures carry the reference's error string. */
+  def validateStatus(s: SparkSession, dir: String): DataFrame = {
+    val n = statusSteps.length
+    val k = col("doc_id") % (n + 1)
+    def rep(ch: String, cnt: Column): Column =
+      call_function("repeat", lit(ch), cnt.cast("int"))
+    val codes = VersionOps.submissions(s, dir)
+      .withColumn("code",
+        // every 10th record is truncated (one step short) — invalid length
+        when(col("doc_id") % 10 === 0,
+          concat(rep("S", least(k, lit(n - 1))),
+            rep("z", lit(n - 1) - least(k, lit(n - 1)))))
+          .otherwise(concat(rep("S", k), rep("z", lit(n) - k))))
+      .withColumn("is_new", col("doc_id") % 4 === 0)
+    codes
+      .withColumn("success",
+        length(col("code")) === n && (!col("is_new") || col("code") === lit("z" * n)))
+      .withColumn("error",
+        when(!col("success"),
+          concat(lit("Invalid status code '"), col("code"), lit("' for "),
+            when(col("is_new"), lit("new")).otherwise(lit("old")), lit(" status"))))
+      .select("doc_id", "code", "is_new", "success", "error")
+      .orderBy("doc_id")
+  }
+
+  val validateStatusSql: String = {
+    val n = statusSteps.length
+    VersionOps.submissionsSql +
+      s""", codes AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 0
+      |         THEN repeat('S', CAST(least(doc_id % ${n + 1}, ${n - 1}) AS INTEGER)) ||
+      |              repeat('z', CAST(${n - 1} - least(doc_id % ${n + 1}, ${n - 1}) AS INTEGER))
+      |         ELSE repeat('S', CAST(doc_id % ${n + 1} AS INTEGER)) ||
+      |              repeat('z', CAST($n - doc_id % ${n + 1} AS INTEGER))
+      |    END AS code,
+      |    doc_id % 4 = 0 AS is_new
+      |  FROM submissions)
+      |SELECT doc_id, code, is_new,
+      |  len(code) = $n AND (NOT is_new OR code = repeat('z', $n)) AS success,
+      |  CASE WHEN NOT (len(code) = $n AND (NOT is_new OR code = repeat('z', $n)))
+      |       THEN 'Invalid status code ''' || code || ''' for ' ||
+      |            (CASE WHEN is_new THEN 'new' ELSE 'old' END) || ' status'
+      |  END AS error
+      |FROM codes ORDER BY doc_id""".stripMargin
+  }
 
   /** User-scoped submission listing (submissions.py lambda_handler):
     * key filter on user, extra scan filters, formatted message column. */
@@ -180,6 +318,9 @@ object StatusOps {
     "q_org_closure"         -> (orgClosure _),
     "q_status_code"         -> (statusCode _),
     "q_status_rollup"       -> (statusRollup _),
+    "q_status_steps"        -> (statusSteps12 _),
+    "q_status_init"         -> (statusInit _),
+    "q_validate_status"     -> (validateStatus _),
     "q_submissions_by_user" -> (submissionsByUser _),
     "q_org_rules_merge"     -> (orgRulesMerge _))
 
@@ -187,6 +328,9 @@ object StatusOps {
     "q_org_closure"         -> orgClosureSql,
     "q_status_code"         -> statusCodeSql,
     "q_status_rollup"       -> statusRollupSql,
+    "q_status_steps"        -> statusSteps12Sql,
+    "q_status_init"         -> statusInitSql,
+    "q_validate_status"     -> validateStatusSql,
     "q_submissions_by_user" -> submissionsByUserSql,
     "q_org_rules_merge"     -> orgRulesMergeSql)
 }

@@ -81,14 +81,24 @@ object SubmitOps {
 
   /** Per-record validation with error reasons (validator semantics):
     * title must be non-empty, value within [0, 50), test submissions may
-    * not also be updates — invalid rows report every failed rule. */
+    * not also be updates, and numeric fields may not be NaN/±Infinity
+    * (submit.py:102-111 — `json.dumps(..., allow_nan=False)` rejects the
+    * whole submission; both engines order NaN above all doubles, so the
+    * range rule stays consistent too) — invalid rows report every failed
+    * rule. */
   def validateSubmission(s: SparkSession, dir: String): DataFrame = {
     val base = submissionNormalize(s, dir)
       .withColumn("title", when(col("doc_id") % 7 === 0, lit("")).otherwise(col("title")))
+      .withColumn("value",
+        when(col("doc_id") % 23 === 0, lit(Double.NaN))
+          .when(col("doc_id") % 29 === 0, lit(Double.PositiveInfinity))
+          .otherwise(col("value")))
     val errs = array(
       when(length(col("title")) === 0, lit("title: empty")),
       when(col("value") >= 50, lit("value: out of range")),
-      when(col("is_test") && col("resource_type") === "Software", lit("test: software not allowed")))
+      when(col("is_test") && col("resource_type") === "Software", lit("test: software not allowed")),
+      when(isnan(col("value")) || abs(col("value")) === lit(Double.PositiveInfinity),
+        lit("value: NaN or Infinity not allowed")))
     base.select(
       col("doc_id"),
       filter(errs, e => e.isNotNull).as("errs"))
@@ -103,7 +113,9 @@ object SubmitOps {
     """WITH b AS (
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 7 = 0 THEN '' ELSE 'x' END AS title_probe,
-      |    CAST(doc_id % 100 AS DOUBLE) AS value,
+      |    CASE WHEN doc_id % 23 = 0 THEN 'NaN'::DOUBLE
+      |         WHEN doc_id % 29 = 0 THEN 'Infinity'::DOUBLE
+      |         ELSE CAST(doc_id % 100 AS DOUBLE) END AS value,
       |    doc_id % 5 = 0 AS is_test,
       |    CASE WHEN doc_id % 4 = 0 THEN 'Software' ELSE 'Dataset' END AS resource_type
       |  FROM documents),
@@ -111,7 +123,8 @@ object SubmitOps {
       |  SELECT doc_id, list_filter([
       |    CASE WHEN title_probe = '' THEN 'title: empty' END,
       |    CASE WHEN value >= 50 THEN 'value: out of range' END,
-      |    CASE WHEN is_test AND resource_type = 'Software' THEN 'test: software not allowed' END],
+      |    CASE WHEN is_test AND resource_type = 'Software' THEN 'test: software not allowed' END,
+      |    CASE WHEN isnan(value) OR isinf(value) THEN 'value: NaN or Infinity not allowed' END],
       |    x -> x IS NOT NULL) AS errs
       |  FROM b)
       |SELECT doc_id, len(errs) = 0 AS is_valid,

@@ -278,58 +278,144 @@ object VersionOps {
   private val gdriveEp = "gdrive-ep"
   private val gdriveRoot = "/gdrive"
 
-  /** normalize_globus_uri (aws/utils.py:17): Globus web-app links become
-    * `globus://{ep}{path}`, gdrive scheme maps under the gdrive endpoint,
-    * anything else passes through. */
-  def normalizeUriCol(uri: Column): Column = {
-    val isGlobusLink = uri.rlike("^https://app\\.globus\\.org/(file-manager|transfer)") &&
-      uri.rlike("origin_id") && uri.rlike("origin_path")
-    val ep = regexp_extract(uri, "origin_id=([^&]*)", 1)
-    val path = regexp_extract(uri, "origin_path=([^&]*)", 1)
+  /** The five Globus web-app link forms of utils.py:7-14, verbatim
+    * (Java regex supports the same lookaheads; rlike = re.search). */
+  private val globusLinkForms = Seq(
+    "^https://www\\.globus\\.org/app/transfer",
+    "^https://app\\.globus\\.org/file-manager",
+    "^https://app\\.globus\\.org/transfer",
+    "^https://.*globus.*(?=.*origin_id)(?=.*origin_path)",
+    "^https://.*globus.*(?=.*destination_id)(?=.*destination_path)")
+
+  /** Python `urllib.parse.unquote`: %XX decoded, literal `+` preserved —
+    * url_decode is form decoding (`+` → space), so escape `+` first. */
+  private def unquote(c: Column): Column = url_decode(regexp_replace(c, "\\+", "%2B"))
+
+  /** Python `urllib.parse.quote` (safe='/'): space → %20 (not `+`),
+    * slashes kept. url_encode gives form encoding; undo the two deltas. */
+  private def quotePath(c: Column): Column =
+    regexp_replace(regexp_replace(url_encode(c), "\\+", "%20"), "%2F", "/")
+
+  /** normalize_globus_uri (aws/utils.py:17-87) as two columns
+    * (normalized, norm_error): Globus web-app links — any of the five
+    * public link forms — have their query string percent-decoded, the
+    * endpoint taken from `origin_id=` falling back to `destination_id=`,
+    * the path from `origin_path=` falling back to `destination_path=`,
+    * and become `globus://{ep}{path}`; a link-form URL missing either
+    * part is invalid (the reference raises ValueError — here the row
+    * carries the error and a NULL result). gdrive/google/googledrive
+    * schemes map under the gdrive endpoint root; anything else passes
+    * through. Pure codegen'd string expressions — no UDF, no shuffle. */
+  def normalizeUriCols(uri: Column): Seq[Column] = {
+    val isLinkForm = globusLinkForms.map(uri.rlike).reduce(_ || _)
+    // urlparse().query = after the first '?' (fragment-free synthetic data)
+    val q = unquote(regexp_extract(uri, "\\?(.*)$", 1))
+    val ep = when(instr(q, "origin_id=") > 0, regexp_extract(q, "origin_id=([^&]*)", 1))
+      .when(instr(q, "destination_id=") > 0, regexp_extract(q, "destination_id=([^&]*)", 1))
+    val path = when(instr(q, "origin_path=") > 0, regexp_extract(q, "origin_path=([^&]*)", 1))
+      .when(instr(q, "destination_path=") > 0, regexp_extract(q, "destination_path=([^&]*)", 1))
     val isGdrive = uri.rlike("^(gdrive|google|googledrive)://")
     val gpath = regexp_replace(uri, "^(gdrive|google|googledrive)://", "")
-    when(isGlobusLink, concat(lit("globus://"), ep, path))
-      .when(isGdrive, concat(lit(s"globus://$gdriveEp$gdriveRoot"),
-        when(gpath.startsWith("/"), gpath).otherwise(concat(lit("/"), gpath))))
-      .otherwise(uri)
+    val normalized =
+      when(isLinkForm && ep.isNotNull && path.isNotNull, concat(lit("globus://"), ep, path))
+        .when(isLinkForm, lit(null: String))
+        .when(isGdrive, concat(lit(s"globus://$gdriveEp$gdriveRoot"),
+          when(gpath.startsWith("/"), gpath).otherwise(concat(lit("/"), gpath))))
+        .otherwise(uri)
+    val err = when(isLinkForm && (ep.isNull || path.isNull),
+      lit("Invalid Globus Transfer UI link"))
+    Seq(normalized.as("normalized"), err.as("norm_error"))
   }
 
+  /** make_globus_app_link (aws/utils.py:89-95): normalize, then format
+    * netloc + quoted path back into a file-manager web-app link. */
+  def appLinkCol(normalized: Column): Column = {
+    val netloc = regexp_extract(normalized, "^[a-z]+://([^/?#]*)", 1)
+    val path = regexp_extract(normalized, "^[a-z]+://[^/?#]*([^?#]*)", 1)
+    when(normalized.isNotNull,
+      concat(lit("https://app.globus.org/file-manager?origin_id="), netloc,
+        lit("&origin_path="), quotePath(path)))
+  }
+
+  /** Back-compat single-column form (valid links only). */
+  def normalizeUriCol(uri: Column): Column = normalizeUriCols(uri).head
+
   def normalizeUri(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
     val docs = Tables.documents(s, dir).withColumn("uri",
-      when(col("doc_id") % 3 === 0,
-        concat(lit("https://app.globus.org/file-manager?origin_id=ep-"),
-          col("doc_id").cast("string"), lit("&origin_path=/data/d"), col("doc_id").cast("string")))
-        .when(col("doc_id") % 3 === 1,
-          concat(lit("gdrive:///shared/f"), col("doc_id").cast("string"), lit(".dat")))
-        .otherwise(concat(lit("https://example.org/files/"), col("doc_id").cast("string"))))
-    docs.select(col("doc_id"), col("uri"), normalizeUriCol(col("uri")).as("normalized"))
+      when(col("doc_id") % 6 === 0,
+        concat(lit("https://app.globus.org/file-manager?origin_id=ep-"), id,
+          lit("&origin_path=%2Fdata%2Fd"), id))
+        .when(col("doc_id") % 6 === 1, concat(lit("gdrive:///shared/f"), id, lit(".dat")))
+        .when(col("doc_id") % 6 === 2, concat(lit("https://example.org/files/"), id))
+        .when(col("doc_id") % 6 === 3,
+          concat(lit("https://app.globus.org/transfer?destination_id=dep-"), id,
+            lit("&destination_path=/dest/d"), id))
+        .when(col("doc_id") % 6 === 4,
+          concat(lit("https://www.globus.org/app/transfer?origin_id=wep-"), id,
+            lit("&origin_path=%2Fw%20dir%2Ff"), id))
+        .otherwise(lit("https://app.globus.org/file-manager?foo=bar")))
+    docs.select(col("doc_id") +: col("uri") +: normalizeUriCols(col("uri")): _*)
+      .withColumn("app_link", appLinkCol(col("normalized")))
       .orderBy("doc_id")
   }
 
-  val normalizeUriSql: String =
+  /** The oracle decodes only the escapes the synthetic corpus contains
+    * (%2F, %20) — DuckDB 1.0 has no general url_decode. */
+  val normalizeUriSql: String = {
+    val linkForm = ("regexp_matches(uri, '^https://www\\.globus\\.org/app/transfer')" +
+      " OR regexp_matches(uri, '^https://app\\.globus\\.org/file-manager')" +
+      " OR regexp_matches(uri, '^https://app\\.globus\\.org/transfer')")
     s"""WITH u AS (
        |  SELECT doc_id,
        |    CASE
-       |      WHEN doc_id % 3 = 0 THEN 'https://app.globus.org/file-manager?origin_id=ep-' ||
-       |        CAST(doc_id AS VARCHAR) || '&origin_path=/data/d' || CAST(doc_id AS VARCHAR)
-       |      WHEN doc_id % 3 = 1 THEN 'gdrive:///shared/f' || CAST(doc_id AS VARCHAR) || '.dat'
-       |      ELSE 'https://example.org/files/' || CAST(doc_id AS VARCHAR)
+       |      WHEN doc_id % 6 = 0 THEN 'https://app.globus.org/file-manager?origin_id=ep-' ||
+       |        CAST(doc_id AS VARCHAR) || '&origin_path=%2Fdata%2Fd' || CAST(doc_id AS VARCHAR)
+       |      WHEN doc_id % 6 = 1 THEN 'gdrive:///shared/f' || CAST(doc_id AS VARCHAR) || '.dat'
+       |      WHEN doc_id % 6 = 2 THEN 'https://example.org/files/' || CAST(doc_id AS VARCHAR)
+       |      WHEN doc_id % 6 = 3 THEN 'https://app.globus.org/transfer?destination_id=dep-' ||
+       |        CAST(doc_id AS VARCHAR) || '&destination_path=/dest/d' || CAST(doc_id AS VARCHAR)
+       |      WHEN doc_id % 6 = 4 THEN 'https://www.globus.org/app/transfer?origin_id=wep-' ||
+       |        CAST(doc_id AS VARCHAR) || '&origin_path=%2Fw%20dir%2Ff' || CAST(doc_id AS VARCHAR)
+       |      ELSE 'https://app.globus.org/file-manager?foo=bar'
        |    END AS uri
-       |  FROM documents)
-       |SELECT doc_id, uri,
-       |  CASE
-       |    WHEN regexp_matches(uri, '^https://app\\.globus\\.org/(file-manager|transfer)')
-       |         AND regexp_matches(uri, 'origin_id') AND regexp_matches(uri, 'origin_path')
-       |    THEN 'globus://' || regexp_extract(uri, 'origin_id=([^&]*)', 1) ||
-       |         regexp_extract(uri, 'origin_path=([^&]*)', 1)
-       |    WHEN regexp_matches(uri, '^(gdrive|google|googledrive)://')
-       |    THEN 'globus://$gdriveEp$gdriveRoot' ||
-       |         (CASE WHEN regexp_replace(uri, '^(gdrive|google|googledrive)://', '') LIKE '/%'
-       |               THEN regexp_replace(uri, '^(gdrive|google|googledrive)://', '')
-       |               ELSE '/' || regexp_replace(uri, '^(gdrive|google|googledrive)://', '') END)
-       |    ELSE uri
-       |  END AS normalized
-       |FROM u ORDER BY doc_id""".stripMargin
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, uri,
+       |    replace(replace(regexp_extract(uri, '\\?(.*)$$', 1), '%2F', '/'), '%20', ' ') AS q
+       |  FROM u),
+       |n AS (
+       |  SELECT doc_id, uri,
+       |    CASE WHEN position('origin_id=' IN q) > 0 THEN regexp_extract(q, 'origin_id=([^&]*)', 1)
+       |         WHEN position('destination_id=' IN q) > 0 THEN regexp_extract(q, 'destination_id=([^&]*)', 1)
+       |    END AS ep,
+       |    CASE WHEN position('origin_path=' IN q) > 0 THEN regexp_extract(q, 'origin_path=([^&]*)', 1)
+       |         WHEN position('destination_path=' IN q) > 0 THEN regexp_extract(q, 'destination_path=([^&]*)', 1)
+       |    END AS pth,
+       |    ($linkForm) AS is_link,
+       |    regexp_matches(uri, '^(gdrive|google|googledrive)://') AS is_gdrive
+       |  FROM d),
+       |r AS (
+       |  SELECT doc_id, uri,
+       |    CASE WHEN is_link AND ep IS NOT NULL AND pth IS NOT NULL THEN 'globus://' || ep || pth
+       |         WHEN is_link THEN NULL
+       |         WHEN is_gdrive THEN 'globus://$gdriveEp$gdriveRoot' ||
+       |           (CASE WHEN regexp_replace(uri, '^(gdrive|google|googledrive)://', '') LIKE '/%'
+       |                 THEN regexp_replace(uri, '^(gdrive|google|googledrive)://', '')
+       |                 ELSE '/' || regexp_replace(uri, '^(gdrive|google|googledrive)://', '') END)
+       |         ELSE uri END AS normalized,
+       |    CASE WHEN is_link AND (ep IS NULL OR pth IS NULL)
+       |         THEN 'Invalid Globus Transfer UI link' END AS norm_error
+       |  FROM n)
+       |SELECT doc_id, uri, normalized, norm_error,
+       |  CASE WHEN normalized IS NOT NULL THEN
+       |    'https://app.globus.org/file-manager?origin_id=' ||
+       |    regexp_extract(normalized, '^[a-z]+://([^/?#]*)', 1) ||
+       |    '&origin_path=' ||
+       |    replace(regexp_extract(normalized, '^[a-z]+://[^/?#]*([^?#]*)', 1), ' ', '%20')
+       |  END AS app_link
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
 
   // ---------------------------------------------------- registry
 
