@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     AnalyticsOps.queries ++ ScanOps.queries ++ VersionOps.queries ++ StatusOps.queries ++
       JoinOps.queries ++ graft.functions.TextFunctions.queries ++
-      DedupOps.queries ++ AnnOps.queries ++ MultimodalOps.queries ++ SubmitOps.queries
+      DedupOps.queries ++ AnnOps.queries ++ MultimodalOps.queries ++ SubmitOps.queries ++
+      OrgOps.queries
 
   /** DuckDB-equivalent SQL for each hash-checked query (column names must
     * match the Spark output exactly; see SURVEY.md §6 for FP discipline). */
   def oracleSql: Map[String, String] =
     AnalyticsOps.oracles ++ ScanOps.oracles ++ VersionOps.oracles ++ StatusOps.oracles ++
       JoinOps.oracles ++ graft.functions.TextFunctions.oracles ++
-      DedupOps.oracles ++ AnnOps.oracles ++ MultimodalOps.oracles ++ SubmitOps.oracles
+      DedupOps.oracles ++ AnnOps.oracles ++ MultimodalOps.oracles ++ SubmitOps.oracles ++
+      OrgOps.oracles
 }

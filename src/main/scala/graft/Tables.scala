@@ -43,6 +43,9 @@ object Tables {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // SimHashAgg buffers are 512 B; keep ObjectHashAggregate in hash mode
+    // well past the conservative 128-key default before sort fallback.
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
     spark
   }
 }

@@ -69,4 +69,10 @@ object GraftFunctions {
   /** Column-level handle, usable without session registration. */
   def dot(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** SimHash aggregate over (word-hash, weight) rows — see [[SimHashAgg]]. */
+  def simhash(hash: Column, weight: Column): Column =
+    GraftBridge.column(
+      SimHashAgg(GraftBridge.expression(hash), GraftBridge.expression(weight))
+        .toAggregateExpression())
 }

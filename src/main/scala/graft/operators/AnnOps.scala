@@ -68,48 +68,88 @@ object AnnOps {
 
   // ------------------------------------------------ IVF
 
-  /** Trained centroids: the per-label mean vector (labels carry the
-    * cluster structure of the synthetic embeddings; in production this is
-    * one k-means iteration, which is the same groupBy-mean shape). */
+  val kClusters = 10
+  val lloydIterations = 3
+
+  /** Centroids as one collected array row, for riding broadcast into a
+    * plan: scoring against k centroids becomes per-row array math —
+    * map-side only, no join, no shuffle. */
+  private def centArr(cents: DataFrame): DataFrame =
+    cents.agg(collect_list(struct(col("centroid_id"), col("cv"), col("cn"))).as("cents"))
+
+  /** Per-row scores against every centroid: array of (csim, nid) structs,
+    * nid = negated id so lexicographic max tie-breaks to the smallest id. */
+  private def centScores(v: Column, norm: Column): Column =
+    transform(col("cents"), c => struct(
+      (dot(v, c.getField("cv")) / (norm * c.getField("cn"))).as("csim"),
+      (-c.getField("centroid_id")).as("nid")))
+
+  /** k-means-trained centroids: deterministic pseudo-random seeds (top-k
+    * by id hash — random init without a driver-side RNG), then
+    * `lloydIterations` Lloyd rounds of map-side nearest-centroid
+    * assignment + per-dimension mean. Each round's k×dim centroid frame
+    * is localCheckpoint'ed (k rows — trivial) so round i+1 and both
+    * consumers in [[annIvf]] read materialized rows instead of replaying
+    * the whole training lineage — the classic iterative-Spark fix. At
+    * 100 TB, train on a sample; the plan shape is identical. */
   def centroids(s: SparkSession, dir: String): DataFrame = {
-    val dims = Tables.embeddings(s, dir)
-      .select(col("label"), posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos"))
-      .agg(avg(col("x")).as("m"))
-    dims.groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        e => e.getField("m")).as("cv"))
-      .select(col("label").cast("long").as("centroid_id"), col("cv"))
-      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    val e = embeddingsWithNorm(s, dir)
+    var cents = e
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      .limit(kClusters)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"),
+        col("norm").as("cn"))
+      .localCheckpoint()
+    for (_ <- 1 to lloydIterations) {
+      val assigned = e.crossJoin(broadcast(centArr(cents)))
+        .select(col("v"),
+          (-array_max(centScores(col("v"), col("norm"))).getField("nid")).as("cluster_id"))
+      cents = assigned
+        .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster_id"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cluster_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("cv"))
+        .select(col("cluster_id").as("centroid_id"), col("cv"))
+        .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+        .localCheckpoint()
+    }
+    cents
   }
 
-  /** Cluster assignment: nearest centroid by cosine (broadcast, map-side). */
-  def assignments(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddingsWithNorm(s, dir)
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("centroid_id").asc)
-    e.join(broadcast(centroids(s, dir)))
-      .withColumn("csim", dot(col("v"), col("cv")) / (col("norm") * col("cn")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("norm"), col("centroid_id").as("cluster_id"))
-  }
+  /** Cluster assignment: nearest trained centroid by cosine. Pure
+    * map-side — the k centroids ride the plan as a broadcast scalar and
+    * the argmax is per-row array math, so assignment adds zero shuffles
+    * at any scale. */
+  def assignments(s: SparkSession, dir: String): DataFrame =
+    assignmentsOf(embeddingsWithNorm(s, dir), centroids(s, dir))
+
+  /** Generic API: assign any (vec_id, v, norm) frame to the given
+    * centroid frame. */
+  def assignmentsOf(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centArr(cents)))
+      .select(col("vec_id"), col("v"), col("norm"),
+        (-array_max(centScores(col("v"), col("norm"))).getField("nid")).as("cluster_id"))
 
   /** IVF search: probe the `nprobe` closest clusters per query, exact
-    * re-rank within candidates. Recall vs brute force is pinned in spec. */
+    * re-rank within candidates. Probe selection is the same map-side
+    * centroid-score array (sorted, sliced, exploded — no window); the one
+    * scaled shuffle left is the equi-join on cluster_id. Recall vs brute
+    * force is pinned in spec. */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
-    val assigned = assignments(s, dir).cache()
-    val q = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val cents = centroids(s, dir)
+    val assigned = assignmentsOf(embeddingsWithNorm(s, dir), cents)
 
-    // nprobe closest centroids per query
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("csim").desc, col("centroid_id").asc)
-    val probes = q.join(broadcast(centroids(s, dir)))
-      .withColumn("csim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id").as("cluster_id"))
+    // nprobe closest centroids per query: sort scores desc, slice, explode
+    val probes = embeddingsWithNorm(s, dir)
+      .filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(centArr(cents)))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"),
+        explode(slice(reverse(array_sort(centScores(col("v"), col("norm")))),
+          1, nprobe)).as("probe"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        (-col("probe.nid")).as("cluster_id"))
 
     // candidates = vectors in probed clusters (equi-join on cluster_id)
     val w = Window.partitionBy(col("query_id"))

@@ -214,12 +214,13 @@ object DedupOps {
 
   /** doc_id + 64-bit simhash over word hashes (per-occurrence bit votes).
     * Votes are weighted by per-doc word count first (a large row cut on
-    * Zipfian vocabularies), then the 64 bit positions are exploded into
-    * rows and folded back with two plain aggregations. A 64-wide
-    * sum-CASE aggregate compiles to a method past the JIT's huge-method
-    * limit and intermittently runs interpreted (3s vs 20s on the same
-    * data); the explode shape trades more rows for small, always-JITed
-    * generated code. */
+    * Zipfian vocabularies), then folded into the signature by the native
+    * [[graft.functions.SimHashAgg]] — one ObjectHashAggregate whose
+    * per-group state is a 64-long vote vector. The two declarative
+    * alternatives both break at scale: a 64-wide sum-CASE blows the JIT
+    * huge-method limit (intermittently runs interpreted, 3s → 20s), and
+    * exploding bit positions into rows (the previous shape) amplifies
+    * the shuffled token stream 64×. */
   def simhashSignatures(s: SparkSession, dir: String): DataFrame =
     simhashSignaturesOf(
       Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
@@ -233,13 +234,8 @@ object DedupOps {
       .agg(count(lit(1)).as("cnt"))
       .withColumn("h", xxhash64(col("word")))
     words
-      .select(col("doc_id"), col("cnt"), col("h"), explode(sequence(lit(0), lit(63))).as("bit"))
-      .withColumn("vote", when(expr("(h >> bit) & 1") === 1, col("cnt")).otherwise(-col("cnt")))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(col("vote")).as("v"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(lit(0L)))
-        .as("simhash"))
+      .agg(graft.functions.GraftFunctions.simhash(col("h"), col("cnt")).as("simhash"))
   }
 
   /** Pairs with Hamming(simhash) ≤ 3 via 4×16-bit band join (pigeonhole:

@@ -12,8 +12,9 @@ class AnnOpsSpec extends SparkSpec {
     assert(brute.nonEmpty && ivf.nonEmpty)
     val recall = (brute intersect ivf).size.toDouble / brute.size
     // synthetic embeddings have weak cluster structure; the contract is
-    // recall well above the scan fraction (nprobe/K = 3/10)
-    assert(recall >= 0.35, s"IVF recall $recall")
+    // recall well above the scan fraction (nprobe/K = 3/10). Lloyd-trained
+    // centroids measure 0.62 here; 0.5 leaves headroom for seed placement.
+    assert(recall >= 0.5, s"IVF recall $recall")
   }
 
   test("brute-force ranks are dense 1..k per query") {
