@@ -28,7 +28,10 @@ object Tables {
     * microseconds — the same truncation DuckDB applies when it loads the
     * column into its micro-resolution TIMESTAMP, so oracles line up. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // one-time session setup (the conf is session-wide, not a per-read
+    // datasource option); skip the mutation once it's in place
+    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     table(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -227,6 +227,35 @@ object StatusOps {
       |FROM codes ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-key status lookup (dynamo_manager.py:328-337 read_status_record
+    * / 379-386): a (source_id, version) key must resolve to exactly one
+    * record — the lookup surfaces the record when unique and flags
+    * duplicate-key corruption otherwise. One aggregation on the key. */
+  def statusLookup(s: SparkSession, dir: String): DataFrame = {
+    VersionOps.submissions(s, dir)
+      .groupBy(col("source_id"), col("search_v"), col("sub_v"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        min(col("doc_id")).as("doc_id"),
+        min(col("user_id")).as("user_id"))
+      .select(
+        col("source_id"), col("search_v"), col("sub_v"), col("n_records"),
+        (col("n_records") === 1).as("unique"),
+        when(col("n_records") === 1, col("doc_id")).as("doc_id"),
+        when(col("n_records") === 1, col("user_id")).as("user_id"))
+      .orderBy("source_id", "search_v", "sub_v")
+  }
+
+  val statusLookupSql: String = VersionOps.submissionsSql +
+    """SELECT source_id, search_v, sub_v,
+      |  count(*) AS n_records,
+      |  count(*) = 1 AS unique,
+      |  CASE WHEN count(*) = 1 THEN min(doc_id) END AS doc_id,
+      |  CASE WHEN count(*) = 1 THEN min(user_id) END AS user_id
+      |FROM submissions
+      |GROUP BY source_id, search_v, sub_v
+      |ORDER BY source_id, search_v, sub_v""".stripMargin
+
   /** User-scoped submission listing (submissions.py lambda_handler):
     * key filter on user, extra scan filters, formatted message column. */
   def submissionsByUser(s: SparkSession, dir: String): DataFrame = {
@@ -321,6 +350,7 @@ object StatusOps {
     "q_status_steps"        -> (statusSteps12 _),
     "q_status_init"         -> (statusInit _),
     "q_validate_status"     -> (validateStatus _),
+    "q_status_lookup"       -> (statusLookup _),
     "q_submissions_by_user" -> (submissionsByUser _),
     "q_org_rules_merge"     -> (orgRulesMerge _))
 
@@ -331,6 +361,7 @@ object StatusOps {
     "q_status_steps"        -> statusSteps12Sql,
     "q_status_init"         -> statusInitSql,
     "q_validate_status"     -> validateStatusSql,
+    "q_status_lookup"       -> statusLookupSql,
     "q_submissions_by_user" -> submissionsByUserSql,
     "q_org_rules_merge"     -> orgRulesMergeSql)
 }
