@@ -118,22 +118,24 @@ object DedupOps {
     * cap before pairing (stop-shingle filtering; `Long.MaxValue` = exact). */
   def ngramJaccardOf(shingleSets: DataFrame, threshold: Double,
       maxShingleDf: Long = Long.MaxValue): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val inv = shingleSets
       .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
       .select(col("doc_id"), size(col("hs")).as("sh_size"), explode(col("hs")).as("h"))
-    // DF guard rides the same hash partitioning the self-join needs, so
-    // the window adds no extra shuffle — just a per-key count.
-    val pruned =
-      if (maxShingleDf == Long.MaxValue) inv
-      else inv
-        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
-        .filter(col("df") <= maxShingleDf)
-        .drop("df")
-    pruned.select(col("doc_id").as("doc_a"), col("sh_size").as("size_a"), col("h"))
-      .join(pruned.select(col("doc_id").as("doc_b"), col("sh_size").as("size_b"), col("h")), Seq("h"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("size_a"), col("size_b"))
+    // One shuffle on the shingle hash builds posting lists; candidate
+    // pairs are emitted from each list with a two-level explode. The
+    // heavy shingling expressions run exactly once (a self-join shape
+    // would re-evaluate the subplan per side), the df guard is a free
+    // filter on the list length, and df = 1 shingles — the vast
+    // majority on natural text — never leave the aggregation.
+    val postings = inv.groupBy(col("h"))
+      .agg(collect_list(struct(col("doc_id"), col("sh_size"))).as("ds"))
+      .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxShingleDf)
+    postings
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh_size").as("size_a"), col("b.sh_size").as("size_b"))
       .agg(count(lit(1)).as("common"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("size_a") + col("size_b") - col("common")))
