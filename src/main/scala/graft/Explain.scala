@@ -27,7 +27,9 @@ object Explain {
       "q_topk_per_group"     -> Seq("BroadcastHashJoin"),
       "q_scan_filter_project" -> Seq("PushedFilters"),
       "q_asof_join"          -> Seq("Window"),
-      "q_dedup_ngram_jaccard" -> Seq("HashAggregate", "Window"),
+      // posting-list shape: DF-count prefilter (HashAggregate + LeftSemi),
+      // collect_list postings (ObjectHashAggregate), pair explode (Generate)
+      "q_dedup_ngram_jaccard" -> Seq("HashAggregate", "LeftSemi", "ObjectHashAggregate", "Generate"),
       "q_ann_topk"           -> Seq("BroadcastNestedLoopJoin"),
       "q_tfidf_top_terms"    -> Seq("Window"),
       "q_semi_join"          -> Seq("LeftSemi"),

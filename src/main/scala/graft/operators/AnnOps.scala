@@ -104,14 +104,25 @@ object AnnOps {
       val assigned = e.crossJoin(broadcast(centArr(cents)))
         .select(col("v"),
           (-array_max(centScores(col("v"), col("norm"))).getField("nid")).as("cluster_id"))
-      cents = assigned
+      // Per-dimension means, quantized to float precision: avg() over
+      // doubles varies in the last ulps with partition/accumulation
+      // order, and float rounding absorbs exactly that — trained
+      // centroids (and hence IVF output rows) are identical run to run.
+      val means = assigned
         .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cluster_id"), col("pos"))
-        .agg(avg(col("x")).as("m"))
+        .agg(avg(col("x")).cast("float").cast("double").as("m"))
         .groupBy(col("cluster_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          e => e.getField("m")).as("cv"))
-        .select(col("cluster_id").as("centroid_id"), col("cv"))
+          e => e.getField("m")).as("new_cv"))
+        .select(col("cluster_id").as("centroid_id"), col("new_cv"))
+      // A cluster that captured no vectors this round keeps its previous
+      // centroid instead of silently shrinking k.
+      cents = cents
+        .select(col("centroid_id"), col("cv").as("prev_cv"))
+        .join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("new_cv"), col("prev_cv")).as("cv"))
         .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
         .localCheckpoint()
     }

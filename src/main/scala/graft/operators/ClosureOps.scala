@@ -20,19 +20,24 @@ import org.apache.spark.sql.functions._
   */
 object ClosureOps {
 
-  /** All (node, ancestor, depth) pairs reachable by following `parentCol`
-    * edges. `edges` must have one row per child→parent link; cycles are
-    * tolerated (a cycle's paths stop growing once every pair is seen,
-    * because `maxDepth` bounds path length).
+  /** All distinct (node, ancestor) pairs reachable by following
+    * `parentCol` edges, with the shortest path length as `depth`. The
+    * state per iteration is the pair set itself — min(depth) per pair,
+    * never raw path rows — so on a cyclic edge set the frame is bounded
+    * by |reachable pairs| and the fixpoint converges (a cycle stops
+    * contributing once every pair on it is known; with path rows the
+    * same pairs would reappear at depth 2^k forever).
     *
-    * @param maxDepth  safety bound on path length (default 2^20); the loop
-    *                  exits as soon as an iteration adds no new paths.
+    * @param maxDepth  safety bound on iteration count via reachable path
+    *                  length (default 2^20); the loop exits as soon as an
+    *                  iteration discovers no new pair.
     */
   def ancestorClosure(edges: DataFrame, nodeCol: String = "node",
       parentCol: String = "parent", maxDepth: Long = 1L << 20): DataFrame = {
     var paths = edges
       .select(col(nodeCol).as("node"), col(parentCol).as("ancestor"),
         lit(1).as("depth"))
+      .groupBy(col("node"), col("ancestor")).agg(min(col("depth")).as("depth"))
       .localCheckpoint()
     var reach = 1L
     var prevCount = -1L
@@ -42,8 +47,9 @@ object ClosureOps {
         .join(paths.as("b"), col("a.ancestor") === col("b.node"))
         .select(col("a.node").as("node"), col("b.ancestor").as("ancestor"),
           (col("a.depth") + col("b.depth")).as("depth"))
-        .filter(col("depth") <= maxDepth)
-      paths = paths.unionByName(doubled).distinct().localCheckpoint()
+      paths = paths.unionByName(doubled)
+        .groupBy(col("node"), col("ancestor")).agg(min(col("depth")).as("depth"))
+        .localCheckpoint()
       prevCount = count
       count = paths.count()
       reach *= 2

@@ -121,15 +121,21 @@ object DedupOps {
     val inv = shingleSets
       .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
       .select(col("doc_id"), size(col("hs")).as("sh_size"), explode(col("hs")).as("h"))
-    // One shuffle on the shingle hash builds posting lists; candidate
-    // pairs are emitted from each list with a two-level explode. The
-    // heavy shingling expressions run exactly once (a self-join shape
-    // would re-evaluate the subplan per side), the df guard is a free
-    // filter on the list length, and df = 1 shingles — the vast
-    // majority on natural text — never leave the aggregation.
-    val postings = inv.groupBy(col("h"))
+    // Per-shingle document frequency first — a map-side-combined count,
+    // never a list — so both df = 1 shingles (the vast majority on
+    // natural text) and viral stop-shingles are dropped BEFORE any
+    // posting list is materialized: a shingle shared by 100M documents
+    // must not become a 100M-struct aggregation buffer on one executor.
+    val keepable = inv.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxShingleDf)
+      .select(col("h"))
+    // One shuffle on the surviving shingle hashes builds posting lists
+    // (bounded by the df cap); candidate pairs are emitted from each
+    // list with a two-level explode.
+    val postings = inv.join(keepable, Seq("h"), "left_semi")
+      .groupBy(col("h"))
       .agg(collect_list(struct(col("doc_id"), col("sh_size"))).as("ds"))
-      .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxShingleDf)
     postings
       .select(explode(col("ds")).as("a"), col("ds"))
       .select(col("a"), explode(col("ds")).as("b"))

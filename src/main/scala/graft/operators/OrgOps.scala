@@ -87,6 +87,8 @@ object OrgOps {
         when(ck % 7 === 0, concat(lit("No Such Org "), (ck % 5).cast("string")))
           .when(ck % 7 === 1, lit("ambig!"))
           .when(ck % 7 === 2, lower(col("n_name")))
+          .when(ck % 7 === 3, concat(lit("Region "), (ck % 5).cast("string")))
+          .when(ck % 7 === 4, lit("Global!"))
           .otherwise(concat(lit("Nation-"), col("c_nationkey").cast("string"), lit("!")))
           .as("raw_name"),
         (ck % 2 === 0).as("user_curation"),
@@ -108,17 +110,17 @@ object OrgOps {
     val matches = aliasMap.groupBy(col("norm"))
       .agg(count(lit(1)).as("n_matches"), min(col("canonical_name")).as("canonical_name"))
 
-    val n = catalog.filter(col("level") === 1)
-      .select(col("canonical_name").as("n_canonical"), col("parent").as("n_parent"),
-        col("curation").as("n_curation"), col("dests").as("n_dests"),
-        col("base_acl").as("n_acl"))
-    val r = catalog.filter(col("level") === 2)
-      .select(col("canonical_name").as("r_canonical"), col("parent").as("r_parent"),
-        col("curation").as("r_curation"), col("dests").as("r_dests"),
-        col("base_acl").as("r_acl"))
-    val g = catalog.filter(col("level") === 3)
-      .select(col("canonical_name").as("g_canonical"), col("curation").as("g_curation"),
-        col("dests").as("g_dests"), col("base_acl").as("g_acl"))
+    // The chain walk starts from the matched org at ANY catalog level —
+    // a request for a region or for the root resolves just like a
+    // nation-level one, with a correspondingly shorter chain (the walk
+    // ends when `parent` finds no row).
+    def hop(p: String) = catalog
+      .select(col("canonical_name").as(s"${p}_canonical"), col("parent").as(s"${p}_parent"),
+        col("curation").as(s"${p}_curation"), col("dests").as(s"${p}_dests"),
+        col("base_acl").as(s"${p}_acl"))
+    val n = hop("n")
+    val r = hop("r")
+    val g = hop("g").drop("g_parent")
 
     orgRequests(s, dir)
       .withColumn("norm", normalizeName(col("raw_name")))
@@ -139,13 +141,17 @@ object OrgOps {
         when(col("n_canonical").isNotNull,
           concat_ws(">", col("n_canonical"), col("r_canonical"), col("g_canonical")))
           .as("all_names"),
-        // curation: OR up the chain, then user-set curation sticks
+        // curation: OR up the chain (absent hops contribute false), then
+        // user-set curation sticks
         when(col("n_canonical").isNotNull,
-          col("n_curation") || col("r_curation") || col("g_curation") || col("user_curation"))
+          col("n_curation") || coalesce(col("r_curation"), lit(false)) ||
+            coalesce(col("g_curation"), lit(false)) || col("user_curation"))
           .as("curation"),
         // list rules append in BFS order; the user's list loses to org lists
         when(col("n_canonical").isNotNull,
-          concat_ws(",", concat(col("n_dests"), col("r_dests"), col("g_dests"))))
+          concat_ws(",", concat(col("n_dests"),
+            coalesce(col("r_dests"), array().cast("array<string>")),
+            coalesce(col("g_dests"), array().cast("array<string>")))))
           .as("dests"),
         // scalar rules: first org in the walk wins
         when(col("n_canonical").isNotNull,
@@ -192,6 +198,8 @@ object OrgOps {
       |    CASE WHEN c_custkey % 7 = 0 THEN 'No Such Org ' || CAST(c_custkey % 5 AS VARCHAR)
       |         WHEN c_custkey % 7 = 1 THEN 'ambig!'
       |         WHEN c_custkey % 7 = 2 THEN lower(n_name)
+      |         WHEN c_custkey % 7 = 3 THEN 'Region ' || CAST(c_custkey % 5 AS VARCHAR)
+      |         WHEN c_custkey % 7 = 4 THEN 'Global!'
       |         ELSE 'Nation-' || CAST(c_nationkey AS VARCHAR) || '!' END AS raw_name,
       |    c_custkey % 2 = 0 AS user_curation,
       |    'tag-' || CAST(c_custkey % 10 AS VARCHAR) AS user_tag
@@ -210,9 +218,9 @@ object OrgOps {
       |    g.canonical_name AS g_canonical, g.curation AS g_curation,
       |    g.dests AS g_dests, g.base_acl AS g_acl
       |  FROM resolved v
-      |  LEFT JOIN catalog n ON v.canonical_name = n.canonical_name AND v.n_matches = 1 AND n.level = 1
-      |  LEFT JOIN catalog r ON n.parent = r.canonical_name AND r.level = 2
-      |  LEFT JOIN catalog g ON r.parent = g.canonical_name AND g.level = 3)
+      |  LEFT JOIN catalog n ON v.canonical_name = n.canonical_name AND v.n_matches = 1
+      |  LEFT JOIN catalog r ON n.parent = r.canonical_name
+      |  LEFT JOIN catalog g ON r.parent = g.canonical_name)
       |SELECT request_id, raw_name,
       |  CASE WHEN n_matches IS NULL
       |       THEN 'Organization ''' || raw_name || ''' not registered in MDF Connect (from ''' || raw_name || ''')'
@@ -220,11 +228,13 @@ object OrgOps {
       |       THEN 'Multiple organizations found with name ''' || raw_name || ''' (from ''' || raw_name || ''')'
       |  END AS error,
       |  CASE WHEN n_canonical IS NOT NULL
-      |       THEN n_canonical || '>' || r_canonical || '>' || g_canonical END AS all_names,
+      |       THEN concat_ws('>', n_canonical, r_canonical, g_canonical) END AS all_names,
       |  CASE WHEN n_canonical IS NOT NULL
-      |       THEN n_curation OR r_curation OR g_curation OR user_curation END AS curation,
+      |       THEN n_curation OR coalesce(r_curation, false)
+      |         OR coalesce(g_curation, false) OR user_curation END AS curation,
       |  CASE WHEN n_canonical IS NOT NULL
-      |       THEN array_to_string(n_dests || r_dests || g_dests, ',') END AS dests,
+      |       THEN array_to_string(n_dests || coalesce(r_dests, [])
+      |         || coalesce(g_dests, []), ',') END AS dests,
       |  CASE WHEN n_canonical IS NOT NULL
       |       THEN coalesce(n_acl, r_acl, g_acl) END AS base_acl,
       |  CASE WHEN n_canonical IS NOT NULL THEN user_tag END AS user_tag

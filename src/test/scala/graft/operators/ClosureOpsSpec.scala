@@ -37,4 +37,21 @@ class ClosureOpsSpec extends SparkSpec {
     // node i has i ancestors (i-1 .. 0) => sum 1..64
     assert(rows === (1 to 64).sum.toLong)
   }
+
+  test("cyclic edges converge to the bounded pair set with shortest depths") {
+    // 3-cycle 1 -> 2 -> 3 -> 1: every node reaches every node (incl.
+    // itself); state must stay bounded at the 9 pairs, not grow with 2^k
+    // path lengths
+    val edges = {
+      import spark.implicits._
+      Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("node", "parent")
+    }
+    val closure = ClosureOps.ancestorClosure(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = Set(
+      (1L, 2L, 1), (1L, 3L, 2), (1L, 1L, 3),
+      (2L, 3L, 1), (2L, 1L, 2), (2L, 2L, 3),
+      (3L, 1L, 1), (3L, 2L, 2), (3L, 3L, 3))
+    assert(closure === expected)
+  }
 }

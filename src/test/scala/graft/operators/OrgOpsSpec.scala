@@ -29,25 +29,42 @@ class OrgOpsSpec extends SparkSpec {
     }
   }
 
-  test("resolution walks the full parent chain and appends list rules in BFS order") {
+  test("resolution walks the parent chain from any level, list rules append in BFS order") {
     val ok = rows.filter(_.isNullAt(2))
     assert(ok.nonEmpty)
+    assert(ok.exists(_.getLong(0) % 7 == 3), "region-level requests resolve")
+    assert(ok.exists(_.getLong(0) % 7 == 4), "root-level requests resolve")
     ok.foreach { r =>
-      assert(r.getString(3).split(">").length === 3, "nation>region>GLOBAL chain")
+      val hops = r.getString(3).split(">")
       val dests = r.getString(5).split(",")
-      assert(dests.length === 3)
-      assert(dests(0).startsWith("dest-n") && dests(1).startsWith("dest-r") &&
-        dests(2) === "dest-global", s"BFS append order: ${dests.mkString(",")}")
+      r.getLong(0) % 7 match {
+        case 3 => // region request: region>GLOBAL
+          assert(hops.length === 2 && hops(1) === "GLOBAL", s"chain: ${r.getString(3)}")
+          assert(dests.length === 2 && dests(0).startsWith("dest-r") &&
+            dests(1) === "dest-global", s"BFS append order: ${dests.mkString(",")}")
+        case 4 => // root request: single-hop chain
+          assert(hops.toSeq === Seq("GLOBAL"))
+          assert(dests.toSeq === Seq("dest-global"))
+        case _ => // nation request: nation>region>GLOBAL
+          assert(hops.length === 3, "nation>region>GLOBAL chain")
+          assert(dests.length === 3)
+          assert(dests(0).startsWith("dest-n") && dests(1).startsWith("dest-r") &&
+            dests(2) === "dest-global", s"BFS append order: ${dests.mkString(",")}")
+      }
     }
   }
 
   test("scalar rules are first-org-wins; user rules only fill missing keys") {
     val ok = rows.filter(_.isNullAt(2))
+    val nationLevel = ok.filter(r => Set(2L, 5L, 6L)(r.getLong(0) % 7))
     // nation-level acl exists only for nationkey % 3 == 0; otherwise the
     // region's (closer parent) must win over the root's
-    assert(ok.exists(_.getString(6).startsWith("acl-n")))
-    assert(ok.exists(_.getString(6).startsWith("acl-r")))
-    assert(!ok.exists(_.getString(6) == "acl-global"))
+    assert(nationLevel.exists(_.getString(6).startsWith("acl-n")))
+    assert(nationLevel.exists(_.getString(6).startsWith("acl-r")))
+    assert(!nationLevel.exists(_.getString(6) == "acl-global"))
+    // region requests take their own acl; the root request takes the root's
+    assert(ok.filter(_.getLong(0) % 7 == 3).forall(_.getString(6).startsWith("acl-r")))
+    assert(ok.filter(_.getLong(0) % 7 == 4).forall(_.getString(6) === "acl-global"))
     // user_tag has no org-side key, so the user's value survives
     ok.foreach(r => assert(r.getString(7).startsWith("tag-")))
   }
