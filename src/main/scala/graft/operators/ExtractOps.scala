@@ -170,9 +170,150 @@ object ExtractOps {
       |  formula IS NOT NULL AS success
       |FROM t ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ TDB
+
+  private val tdbEls = Seq("PB", "TE", "NA", "SE", "S", "AU", "SI", "CU")
+  private val tdbPhases = Seq("FCC_A1", "BCC_A2", "HCP_A3", "HALITE", "PBTE", "NA2TE")
+
+  /** Deterministic CALPHAD TDB-ish payload per document: a VA vacancy +
+    * three ELEMENT declarations, a LIQUID + two PHASE declarations.
+    * Every 17th file carries no data. */
+  def tdbFiles(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    def el(off: Int) = element_at(typedLit(tdbEls), ((id + off) % 8 + 1).cast("int"))
+    def ph(off: Int) = element_at(typedLit(tdbPhases), ((id + off) % 6 + 1).cast("int"))
+    val payload = concat(
+      lit("$ thermodynamic database d"), id.cast("string"), lit("\n"),
+      lit("ELEMENT VA VACUUM 0.0 0.0 0.0 !\n"),
+      lit("ELEMENT "), el(0), lit(" FCC_A1 100.0 0.0 0.0 !\n"),
+      lit("ELEMENT "), el(3), lit(" FCC_A1 100.0 0.0 0.0 !\n"),
+      lit("ELEMENT "), el(5), lit(" FCC_A1 100.0 0.0 0.0 !\n"),
+      lit("FUNCTION GHSER 298.15 +1.0; 6000 N !\n"),
+      lit("PHASE LIQUID % 1 1.0 !\n"),
+      lit("PHASE "), ph(0), lit(" % 2 1 1 !\n"),
+      lit("PHASE "), ph(4), lit(" % 1 3.0 !\n"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      when(id % 17 === 0, lit("not a database\n")).otherwise(payload).as("payload"))
+  }
+
+  /** CALPHAD TDB extraction (tests/test_extractors.py:test_tdb): the
+    * `calphad.phases` list is the PHASE declarations in file order and
+    * `material.composition` concatenates the title-cased ELEMENT symbols
+    * in declaration order ('SeVaTeNaSPb'-style). Pure regex/array
+    * expressions over the payload column — no UDF, no shuffle. */
+  def tdbExtract(s: SparkSession, dir: String): DataFrame = {
+    val p = col("payload")
+    val els = regexp_extract_all(p, lit("(?m)^ELEMENT (\\w+)"), lit(1))
+    val phases = regexp_extract_all(p, lit("(?m)^PHASE (\\w+)"), lit(1))
+    tdbFiles(s, dir)
+      .withColumn("els", when(size(els) > 0, els))
+      .select(
+        col("doc_id"),
+        when(col("els").isNotNull, concat_ws(",", phases)).as("phases"),
+        when(col("els").isNotNull,
+          concat_ws("", transform(col("els"), e =>
+            concat(upper(substring(e, 1, 1)), lower(substring(e, 2, 16))))))
+          .as("composition"),
+        col("els").isNotNull.as("success"))
+      .orderBy("doc_id")
+  }
+
+  val tdbExtractSql: String = {
+    def el(off: Int) =
+      s"['PB','TE','NA','SE','S','AU','SI','CU'][CAST((doc_id + $off) % 8 + 1 AS INTEGER)]"
+    def ph(off: Int) =
+      s"['FCC_A1','BCC_A2','HCP_A3','HALITE','PBTE','NA2TE'][CAST((doc_id + $off) % 6 + 1 AS INTEGER)]"
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 17 = 0 THEN 'not a database' || chr(10)
+       |         ELSE '$$ thermodynamic database d' || CAST(doc_id AS VARCHAR) || chr(10) ||
+       |    'ELEMENT VA VACUUM 0.0 0.0 0.0 !' || chr(10) ||
+       |    'ELEMENT ' || ${el(0)} || ' FCC_A1 100.0 0.0 0.0 !' || chr(10) ||
+       |    'ELEMENT ' || ${el(3)} || ' FCC_A1 100.0 0.0 0.0 !' || chr(10) ||
+       |    'ELEMENT ' || ${el(5)} || ' FCC_A1 100.0 0.0 0.0 !' || chr(10) ||
+       |    'FUNCTION GHSER 298.15 +1.0; 6000 N !' || chr(10) ||
+       |    'PHASE LIQUID % 1 1.0 !' || chr(10) ||
+       |    'PHASE ' || ${ph(0)} || ' % 2 1 1 !' || chr(10) ||
+       |    'PHASE ' || ${ph(4)} || ' % 1 3.0 !' || chr(10)
+       |    END AS payload
+       |  FROM documents),
+       |x AS (
+       |  SELECT doc_id,
+       |    regexp_extract_all(payload, 'ELEMENT (\\w+)', 1) AS els,
+       |    regexp_extract_all(payload, 'PHASE (\\w+)', 1) AS phases
+       |  FROM f)
+       |SELECT doc_id,
+       |  CASE WHEN len(els) > 0 THEN array_to_string(phases, ',') END AS phases,
+       |  CASE WHEN len(els) > 0 THEN array_to_string(list_transform(els,
+       |    e -> upper(substr(e, 1, 1)) || lower(substr(e, 2))), '') END AS composition,
+       |  len(els) > 0 AS success
+       |FROM x ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------ filename rules
+
+  /** The reference's filename-mapping extractor test vectors
+    * (tests/test_extractors.py:test_filename): output field → regex,
+    * fields with no match omitted (null here). */
+  val filenameMapping: Seq[(String, String)] = Seq(
+    "composition" -> "^.{2}",
+    "foo" -> "foo:.{3}",
+    "ext" -> "\\..{3,4}$")
+
+  /** Generic API: apply a field→regex mapping to a filename column —
+    * `extract_filename` re-expressed as one narrow projection. */
+  def filenameExtractOf(files: DataFrame, idCol: String, nameCol: String,
+      mapping: Seq[(String, String)]): DataFrame =
+    mapping.foldLeft(files.select(col(idCol), col(nameCol))) { case (df, (field, rx)) =>
+      df.withColumn(field, nullif(regexp_extract(col(nameCol), s"($rx)", 1), lit("")))
+    }
+
+  /** Synthetic filenames exercising every branch of the test mapping:
+    * composition prefix always present, `foo:` tag and extension each
+    * present on a subset. */
+  def filenameFiles(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val el = element_at(typedLit(el1s), (id % 8 + 1).cast("int"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      concat(
+        el, (id % 4).cast("string"),
+        when(id % 3 === 0, concat(lit("foo:"), substring(md5(id.cast("string")), 1, 3)))
+          .otherwise(lit("_sample")),
+        when(id % 5 === 0, lit(".data"))
+          .when(id % 5 === 1, lit(".txt"))
+          .otherwise(lit(""))).as("filename"))
+  }
+
+  def filenameExtract(s: SparkSession, dir: String): DataFrame =
+    filenameExtractOf(filenameFiles(s, dir), "doc_id", "filename", filenameMapping)
+      .orderBy("doc_id")
+
+  val filenameExtractSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    ['Al','Si','Fe','Cu','Na','Ca','Mg','Ti'][CAST(doc_id % 8 + 1 AS INTEGER)] ||
+      |    CAST(doc_id % 4 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 3 = 0 THEN 'foo:' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)
+      |         ELSE '_sample' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN '.data'
+      |         WHEN doc_id % 5 = 1 THEN '.txt'
+      |         ELSE '' END AS filename
+      |  FROM documents)
+      |SELECT doc_id, filename,
+      |  nullif(regexp_extract(filename, '(^.{2})', 1), '') AS composition,
+      |  nullif(regexp_extract(filename, '(foo:.{3})', 1), '') AS foo,
+      |  nullif(regexp_extract(filename, '(\..{3,4}$)', 1), '') AS ext
+      |FROM f ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_cif_extract" -> (cifExtract _))
+    "q_cif_extract" -> (cifExtract _),
+    "q_tdb_extract" -> (tdbExtract _),
+    "q_filename_extract" -> (filenameExtract _))
 
   def oracles: Map[String, String] = Map(
-    "q_cif_extract" -> cifExtractSql)
+    "q_cif_extract" -> cifExtractSql,
+    "q_tdb_extract" -> tdbExtractSql,
+    "q_filename_extract" -> filenameExtractSql)
 }

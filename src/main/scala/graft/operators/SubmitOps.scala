@@ -131,11 +131,98 @@ object SubmitOps {
       |  coalesce(array_to_string(errs, '; '), '') AS errors
       |FROM e ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ dataset entries
+
+  private val datasetSchema = StructType(Seq(
+    StructField("dc", StructType(Seq(
+      StructField("creators", ArrayType(StructType(Seq(
+        StructField("creatorName", StringType),
+        StructField("familyName", StringType),
+        StructField("givenName", StringType))))),
+      StructField("publicationYear", StringType),
+      StructField("publisher", StringType),
+      StructField("resourceType", StructType(Seq(
+        StructField("resourceType", StringType),
+        StructField("resourceTypeGeneral", StringType)))),
+      StructField("titles", ArrayType(StructType(Seq(StructField("title", StringType)))))))),
+    StructField("mdf", StructType(Seq(
+      StructField("source_name", StringType),
+      StructField("source_id", StringType),
+      StructField("acl", ArrayType(StringType)))))))
+
+  /** Deterministic full dataset-entry JSON per document, with planted
+    * schema defects: missing titles (every 7th), empty creators (11th),
+    * missing publicationYear (13th), empty acl (19th), a source_id that
+    * does not extend source_name (23rd). */
+  def rawDatasets(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val sourceName = concat(lit("ds_"), col("source"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      to_json(struct(
+        struct(
+          when(id % 11 =!= 0, array(struct(
+            lit("Footon, Bartholomew").as("creatorName"),
+            lit("Footon").as("familyName"),
+            lit("Bartholomew").as("givenName")))).as("creators"),
+          when(id % 13 =!= 0, lit("2018")).as("publicationYear"),
+          lit("Materials Data Facility").as("publisher"),
+          struct(lit("Dataset").as("resourceType"),
+            lit("Dataset").as("resourceTypeGeneral")).as("resourceType"),
+          when(id % 7 =!= 0,
+            array(struct(array_join(slice(split(col("text"), " "), 1, 3), " ").as("title"))))
+            .as("titles")).as("dc"),
+        struct(
+          sourceName.as("source_name"),
+          when(id % 23 === 0, lit("other_v1"))
+            .otherwise(concat(sourceName, lit("_v"), (id % 3 + 1).cast("string")))
+            .as("source_id"),
+          when(id % 19 =!= 0, array(lit("public"))).as("acl")).as("mdf"))).as("raw_json"))
+  }
+
+  /** Dataset-entry schema validation (tests/test_validator.py): required
+    * dc/mdf blocks checked after a real JSON round-trip, every violated
+    * requirement reported — the reference's jsonschema error surface as
+    * a per-record column. */
+  def validateDataset(s: SparkSession, dir: String): DataFrame = {
+    val d = rawDatasets(s, dir)
+      .withColumn("e", from_json(col("raw_json"), datasetSchema))
+    val errs = array(
+      when(coalesce(size(col("e.dc.titles")), lit(0)) === 0, lit("dc.titles: required")),
+      when(coalesce(size(col("e.dc.creators")), lit(0)) === 0, lit("dc.creators: required")),
+      when(col("e.dc.publicationYear").isNull, lit("dc.publicationYear: required")),
+      when(coalesce(size(col("e.mdf.acl")), lit(0)) === 0, lit("mdf.acl: required")),
+      when(!col("e.mdf.source_id").startsWith(concat(col("e.mdf.source_name"), lit("_v"))),
+        lit("mdf.source_id: must extend source_name")))
+    d.select(col("doc_id"), filter(errs, e => e.isNotNull).as("errs"))
+      .select(
+        col("doc_id"),
+        (size(col("errs")) === 0).as("is_valid"),
+        concat_ws("; ", col("errs")).as("errors"))
+      .orderBy("doc_id")
+  }
+
+  val validateDatasetSql: String =
+    """WITH e AS (
+      |  SELECT doc_id, list_filter([
+      |    CASE WHEN doc_id % 7 = 0 THEN 'dc.titles: required' END,
+      |    CASE WHEN doc_id % 11 = 0 THEN 'dc.creators: required' END,
+      |    CASE WHEN doc_id % 13 = 0 THEN 'dc.publicationYear: required' END,
+      |    CASE WHEN doc_id % 19 = 0 THEN 'mdf.acl: required' END,
+      |    CASE WHEN doc_id % 23 = 0 THEN 'mdf.source_id: must extend source_name' END],
+      |    x -> x IS NOT NULL) AS errs
+      |  FROM documents)
+      |SELECT doc_id, len(errs) = 0 AS is_valid,
+      |  coalesce(array_to_string(errs, '; '), '') AS errors
+      |FROM e ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_submission_normalize" -> (submissionNormalize _),
-    "q_validate_submission"  -> (validateSubmission _))
+    "q_validate_submission"  -> (validateSubmission _),
+    "q_validate_dataset"     -> (validateDataset _))
 
   def oracles: Map[String, String] = Map(
     "q_submission_normalize" -> submissionNormalizeSql,
-    "q_validate_submission"  -> validateSubmissionSql)
+    "q_validate_submission"  -> validateSubmissionSql,
+    "q_validate_dataset"     -> validateDatasetSql)
 }
