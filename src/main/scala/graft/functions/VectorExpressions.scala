@@ -75,4 +75,9 @@ object GraftFunctions {
     GraftBridge.column(
       SimHashAgg(GraftBridge.expression(hash), GraftBridge.expression(weight))
         .toAggregateExpression())
+
+  /** Element-wise vector sum aggregate over an `array<double>` column
+    * (uniform dimensionality) — see [[VectorSumAgg]]. */
+  def vecsum(vec: Column): Column =
+    GraftBridge.column(VectorSumAgg(GraftBridge.expression(vec)).toAggregateExpression())
 }

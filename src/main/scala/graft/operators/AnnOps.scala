@@ -104,18 +104,19 @@ object AnnOps {
       val assigned = e.crossJoin(broadcast(centArr(cents)))
         .select(col("v"),
           (-array_max(centScores(col("v"), col("norm"))).getField("nid")).as("cluster_id"))
-      // Per-dimension means, quantized to float precision: avg() over
-      // doubles varies in the last ulps with partition/accumulation
-      // order, and float rounding absorbs exactly that — trained
-      // centroids (and hence IVF output rows) are identical run to run.
+      // Per-dimension means via the native vector-sum aggregate (one
+      // shuffle, no 64x posexplode amplification), quantized to float
+      // precision: double accumulation varies in the last ulps with
+      // partition order, and float rounding absorbs exactly that —
+      // trained centroids (and hence IVF output rows) are identical run
+      // to run.
       val means = assigned
-        .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cluster_id"), col("pos"))
-        .agg(avg(col("x")).cast("float").cast("double").as("m"))
         .groupBy(col("cluster_id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          e => e.getField("m")).as("new_cv"))
-        .select(col("cluster_id").as("centroid_id"), col("new_cv"))
+        .agg(graft.functions.GraftFunctions.vecsum(col("v")).as("sv"),
+          count(lit(1)).as("cnt"))
+        .select(col("cluster_id").as("centroid_id"),
+          transform(col("sv"), x => (x / col("cnt")).cast("float").cast("double"))
+            .as("new_cv"))
       // A cluster that captured no vectors this round keeps its previous
       // centroid instead of silently shrinking k.
       cents = cents
