@@ -27,9 +27,13 @@ object Explain {
       "q_topk_per_group"     -> Seq("BroadcastHashJoin"),
       "q_scan_filter_project" -> Seq("PushedFilters"),
       "q_asof_join"          -> Seq("Window"),
-      // posting-list shape: DF-count prefilter (HashAggregate + LeftSemi),
-      // collect_list postings (ObjectHashAggregate), pair explode (Generate)
-      "q_dedup_ngram_jaccard" -> Seq("HashAggregate", "LeftSemi", "ObjectHashAggregate", "Generate"),
+      // banded interval join: bucket explode (Generate) + equi join, no nested loop
+      "q_interval_join"      -> Seq("Generate", "HashAggregate"),
+      "q_org_rules_full"     -> Seq("BroadcastHashJoin"),
+      // posting-list shape: windowed DF prefilter on the one exchange
+      // (Window), collect_list postings (ObjectHashAggregate), pair
+      // explode (Generate)
+      "q_dedup_ngram_jaccard" -> Seq("Window", "ObjectHashAggregate", "Generate"),
       "q_ann_topk"           -> Seq("BroadcastNestedLoopJoin"),
       "q_tfidf_top_terms"    -> Seq("Window"),
       "q_semi_join"          -> Seq("LeftSemi"),

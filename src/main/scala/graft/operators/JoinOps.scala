@@ -118,6 +118,64 @@ object JoinOps {
       |  AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
       |GROUP BY 1 ORDER BY order_month""".stripMargin
 
+  /** Generic API: join points to intervals with NO equi key — the case
+    * Spark plans as a nested-loop (O(n·m) compares) — via time-bucket
+    * banding: every interval explodes into the fixed-width buckets it
+    * covers, every point keys into its one bucket, and the join becomes
+    * an equi-join on the bucket id followed by the exact containment
+    * filter. Each (point, interval) pair meets exactly once (a point
+    * lives in exactly one bucket), so no dedup pass is needed. Shuffle
+    * volume is O(points + intervals · widths/bucketWidth) — pick
+    * `bucketWidthUs` near the typical interval width so the explode
+    * factor stays small. The same banding serves any ordered domain
+    * (genomic ranges, numeric bands), not just time.
+    *
+    * @param points     frame with `ptsCol` (timestamp)
+    * @param intervals  frame with `startCol`/`endCol` (timestamps,
+    *                   inclusive bounds)
+    */
+  def bandedIntervalJoinOf(points: DataFrame, intervals: DataFrame,
+      ptsCol: String, startCol: String, endCol: String,
+      bucketWidthUs: Long): DataFrame = {
+    val b = lit(bucketWidthUs)
+    val iv = intervals.withColumn("bucket",
+      explode(sequence(floor(unix_micros(col(startCol)) / b).cast("long"),
+        floor(unix_micros(col(endCol)) / b).cast("long"))))
+    val pt = points.withColumn("bucket",
+      floor(unix_micros(col(ptsCol)) / b).cast("long"))
+    pt.join(iv, Seq("bucket"))
+      .filter(col(ptsCol) >= col(startCol) && col(ptsCol) <= col(endCol))
+      .drop("bucket")
+  }
+
+  /** Interval join on the event stream: each purchase opens a 1-hour
+    * attribution window; count the clicks that land inside it. No equi
+    * key relates clicks to purchases, so without banding this is a
+    * nested loop over every (click, purchase) pair. */
+  def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+    bandedIntervalJoinOf(clicks, purchases, "click_ts", "w_start", "w_end",
+        bucketWidthUs = 3600L * 1000000)
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_clicks"),
+        min(col("click_ts")).as("first_click"))
+      .orderBy("purchase_id")
+  }
+
+  val intervalJoinSql: String =
+    """SELECT p.event_id AS purchase_id,
+      |  count(*) AS n_clicks,
+      |  min(c.ts) AS first_click
+      |FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT event_id, ts FROM events WHERE event_type = 'click') c
+      |  ON c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+      |GROUP BY 1 ORDER BY purchase_id""".stripMargin
+
   /** Gap-based sessionization: a 30-minute silence starts a new session. */
   def sessionize(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
@@ -159,12 +217,14 @@ object JoinOps {
       |ORDER BY user_id, session_seq""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_asof_join"  -> (asofJoin _),
-    "q_range_join" -> (rangeJoin _),
-    "q_sessionize" -> (sessionize _))
+    "q_asof_join"     -> (asofJoin _),
+    "q_range_join"    -> (rangeJoin _),
+    "q_interval_join" -> (intervalJoin _),
+    "q_sessionize"    -> (sessionize _))
 
   def oracles: Map[String, String] = Map(
-    "q_asof_join"  -> asofJoinSql,
-    "q_range_join" -> rangeJoinSql,
-    "q_sessionize" -> sessionizeSql)
+    "q_asof_join"     -> asofJoinSql,
+    "q_range_join"    -> rangeJoinSql,
+    "q_interval_join" -> intervalJoinSql,
+    "q_sessionize"    -> sessionizeSql)
 }
