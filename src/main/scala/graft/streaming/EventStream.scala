@@ -37,6 +37,34 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: clicks attributed to the purchase
+    * whose 1-hour window they land in — the streaming twin of
+    * [[graft.operators.JoinOps.intervalJoin]], and the same time-bucket
+    * banding makes it legal here at all: Spark refuses stream-stream
+    * joins without an equality predicate, so each purchase explodes into
+    * the (two) hour buckets its window covers and each click keys into
+    * its one bucket. Both sides are watermarked and the join predicate
+    * carries the event-time bound, so the state store expires buffered
+    * rows once the watermark passes a purchase's window end. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val bucketUs = 3600L * 1000000
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+      .withColumn("bucket", floor(unix_micros(col("click_ts")) / bucketUs))
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+      .withColumn("bucket",
+        explode(sequence(floor(unix_micros(col("purchase_ts")) / bucketUs),
+          floor((unix_micros(col("purchase_ts")) + bucketUs) / bucketUs))))
+    c.join(p,
+      c("bucket") === p("bucket") &&
+        col("click_ts") >= col("purchase_ts") &&
+        col("click_ts") <= col("purchase_ts") + expr("INTERVAL 1 HOUR"))
+      .drop("bucket")
+  }
+
   final case class Ev(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, value: Double)
   final case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,

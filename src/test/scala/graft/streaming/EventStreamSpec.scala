@@ -73,4 +73,25 @@ class EventStreamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(3), r.getDouble(4))).toSet
     assert(got == Set((1L, 2, 3.0)))
   }
+
+  test("stream-stream attribution join matches clicks into purchase windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000)
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp)]
+    // purchase 100 at t=10 → window [10, 70]; purchase 200 at t=120
+    purchases.addData(Seq((100L, ts(10)), (200L, ts(120))))
+    // clicks: t=5 (before any window), t=30 (in 100's), t=125 (in 200's),
+    // t=130 (in 200's)
+    clicks.addData(Seq((1L, ts(5)), (2L, ts(30)), (3L, ts(125)), (4L, ts(130))))
+    val q = EventStream.attributionJoin(
+        clicks.toDF().toDF("event_id", "ts"),
+        purchases.toDF().toDF("event_id", "ts"))
+      .writeStream.format("memory").queryName("attributed").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("attributed")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got == Set((2L, 100L), (3L, 200L), (4L, 200L)))
+  }
 }
