@@ -27,6 +27,8 @@ object Explain {
       "q_topk_per_group"     -> Seq("BroadcastHashJoin"),
       "q_scan_filter_project" -> Seq("PushedFilters"),
       "q_asof_join"          -> Seq("Window"),
+      // custom operator tier: the planner strategy must pick AsOfJoinExec
+      "q_asof_native"        -> Seq("AsOfJoin"),
       // banded interval join: bucket explode (Generate) + equi join, no nested loop
       "q_interval_join"      -> Seq("Generate", "HashAggregate"),
       "q_org_rules_full"     -> Seq("BroadcastHashJoin"),

@@ -83,6 +83,24 @@ object JoinOps {
       .orderBy("purchase_id")
   }
 
+  /** The same ASOF query through the native custom operator
+    * ([[graft.plans.AsOfJoinNative]]: LogicalPlan + Strategy +
+    * merge-join SparkPlan) — hash-checked against the identical DuckDB
+    * ASOF oracle as the window encoding, so the custom physical operator
+    * is driver-verified, not just spec-verified. */
+  def asofJoinNative(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"), col("value"))
+    graft.plans.AsOfJoinNative.asofJoin(purchases, clicks, "user_id", "ts", "click_id")
+      .toDF("user_id", "ts", "purchase_id", "value", "u2", "last_click_ts", "last_click_id")
+      .select(col("purchase_id"), col("user_id"), col("ts"), col("value"),
+        col("last_click_id"), col("last_click_ts"))
+      .orderBy("purchase_id")
+  }
+
   val asofJoinSql: String =
     """SELECT p.purchase_id, p.user_id, p.ts, p.value,
       |  c.click_id AS last_click_id, c.ts2 AS last_click_ts
@@ -218,12 +236,14 @@ object JoinOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join"     -> (asofJoin _),
+    "q_asof_native"   -> (asofJoinNative _),
     "q_range_join"    -> (rangeJoin _),
     "q_interval_join" -> (intervalJoin _),
     "q_sessionize"    -> (sessionize _))
 
   def oracles: Map[String, String] = Map(
     "q_asof_join"     -> asofJoinSql,
+    "q_asof_native"   -> asofJoinSql,
     "q_range_join"    -> rangeJoinSql,
     "q_interval_join" -> intervalJoinSql,
     "q_sessionize"    -> sessionizeSql)

@@ -51,5 +51,6 @@ object DotProductRewrite extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
