@@ -24,7 +24,9 @@ object Explain {
       "q1_pricing_summary"   -> Seq("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
       "q3_shipping_priority" -> Seq("BroadcastHashJoin", "PushedFilters"),
       "q5_local_supplier"    -> Seq("BroadcastHashJoin"),
-      "q_topk_per_group"     -> Seq("BroadcastHashJoin"),
+      // WindowGroupLimit = Spark 4's rank-filter pushdown: per-partition
+      // top-k before the window sort, essential for top-k over a fact table
+      "q_topk_per_group"     -> Seq("BroadcastHashJoin", "WindowGroupLimit"),
       "q_scan_filter_project" -> Seq("PushedFilters"),
       "q_asof_join"          -> Seq("Window"),
       // custom operator tier: the planner strategy must pick AsOfJoinExec
