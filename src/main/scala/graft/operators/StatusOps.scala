@@ -277,6 +277,70 @@ object StatusOps {
       |WHERE user_id = 7 AND sub_v > 0
       |ORDER BY doc_id""".stripMargin
 
+  /** format_status_record (submissions.py:17-52): the user-facing record
+    * per submission — the TEST-prefixed multi-line status message, the
+    * flow-state letter (status_codes, submissions.py:10-15), the active
+    * flag, and the "Submission prior to GlobusAutomate" description
+    * fallback for records with no action id (the reference's per-flow
+    * description comes from the Automate API; a state-derived stand-in
+    * keeps the formatting deterministic here). Pure projection — scales
+    * as a map-side pass over the status table. */
+  def statusFormat(s: SparkSession, dir: String): DataFrame = {
+    val subs = VersionOps.submissions(s, dir)
+      .withColumn("test", col("doc_id") % 5 === 0)
+      .withColumn("submitter", concat(lit("user_"), col("user_id").cast("string")))
+      .withColumn("submission_time",
+        concat(lit("2023-01-"), lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0")))
+      .withColumn("flow_state",
+        when(col("doc_id") % 6 === 0, lit(null: String)) // pre-Automate record
+          .when(col("doc_id") % 3 === 0, lit("ACTIVE"))
+          .when(col("doc_id") % 3 === 1, lit("SUCCEEDED"))
+          .otherwise(lit("FAILED")))
+    subs.select(
+      col("doc_id"), col("source_id"),
+      concat(
+        lit("Status of "), when(col("test"), lit("TEST ")).otherwise(lit("")),
+        lit("submission "), col("source_id"), lit(" ("), col("source_name_raw"), lit(")\n"),
+        lit("Submitted by "), col("submitter"), lit(" at "), col("submission_time"),
+        lit("\n\n")).as("status_message"),
+      // status_codes map; absent flows stay UNKNOWN
+      when(col("flow_state") === "SUCCEEDED", "S")
+        .when(col("flow_state") === "ACTIVE", "P")
+        .when(col("flow_state") === "FAILED", "F")
+        .otherwise("U").as("status_code"),
+      coalesce(col("flow_state") === "ACTIVE", lit(false)).as("active"),
+      coalesce(concat(lit("Flow state: "), col("flow_state")),
+        lit("Submission prior to GlobusAutomate")).as("description"),
+      col("test"))
+      .orderBy("doc_id")
+  }
+
+  val statusFormatSql: String = VersionOps.submissionsSql.stripSuffix("\n") +
+    """,
+      |f AS (
+      |  SELECT *, doc_id % 5 = 0 AS test,
+      |    'user_' || CAST(user_id AS VARCHAR) AS submitter,
+      |    '2023-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS submission_time,
+      |    CASE WHEN doc_id % 6 = 0 THEN NULL
+      |         WHEN doc_id % 3 = 0 THEN 'ACTIVE'
+      |         WHEN doc_id % 3 = 1 THEN 'SUCCEEDED'
+      |         ELSE 'FAILED' END AS flow_state
+      |  FROM submissions)
+      |SELECT doc_id, source_id,
+      |  'Status of ' || CASE WHEN test THEN 'TEST ' ELSE '' END ||
+      |    'submission ' || source_id || ' (' || source_name_raw || ')' || chr(10) ||
+      |    'Submitted by ' || submitter || ' at ' || submission_time ||
+      |    chr(10) || chr(10) AS status_message,
+      |  CASE WHEN flow_state = 'SUCCEEDED' THEN 'S'
+      |       WHEN flow_state = 'ACTIVE' THEN 'P'
+      |       WHEN flow_state = 'FAILED' THEN 'F'
+      |       ELSE 'U' END AS status_code,
+      |  coalesce(flow_state = 'ACTIVE', false) AS active,
+      |  coalesce('Flow state: ' || flow_state,
+      |    'Submission prior to GlobusAutomate') AS description,
+      |  test
+      |FROM f ORDER BY doc_id""".stripMargin
+
   /** Org-rule OR-merge over a hierarchy: nation rules override/merge with
     * parent region rules, curation flags OR together
     * (source_id_manager.py:fetch_org_rules). Dims are broadcast — the
@@ -351,6 +415,7 @@ object StatusOps {
     "q_status_init"         -> (statusInit _),
     "q_validate_status"     -> (validateStatus _),
     "q_status_lookup"       -> (statusLookup _),
+    "q_status_format"       -> (statusFormat _),
     "q_submissions_by_user" -> (submissionsByUser _),
     "q_org_rules_merge"     -> (orgRulesMerge _))
 
@@ -362,6 +427,7 @@ object StatusOps {
     "q_status_init"         -> statusInitSql,
     "q_validate_status"     -> validateStatusSql,
     "q_status_lookup"       -> statusLookupSql,
+    "q_status_format"       -> statusFormatSql,
     "q_submissions_by_user" -> submissionsByUserSql,
     "q_org_rules_merge"     -> orgRulesMergeSql)
 }
