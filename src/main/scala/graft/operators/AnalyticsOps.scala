@@ -234,6 +234,38 @@ object AnalyticsOps {
     """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------- HLL sketch union
+  /** Mergeable distinct-count sketches — the incremental-pipeline shape:
+    * one HLL sketch per (event_type, day) partition, unioned per type,
+    * never re-scanning history. At 100 TB the daily sketches are the
+    * only state a rolling distinct-users job keeps (KBs per partition vs
+    * a shuffle of every user id). The estimate itself is
+    * engine-specific, so the hash-checked output is the exact count plus
+    * the sketch-vs-exact relative-error bound (HLL lgK=12 ≈ 1.6%
+    * standard error; 5% here is conservative at these cardinalities) —
+    * the driver verifies the sketch pipeline really tracks the truth. */
+  def hllUnion(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val daily = e
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    merged.join(exact, "event_type")
+      .select(col("event_type"), col("n_users"),
+        (abs(col("approx_users") - col("n_users")).cast("double") /
+          col("n_users") < 0.05).as("sketch_within_5pct"))
+      .orderBy("event_type")
+  }
+
+  val hllUnionSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users,
+      |  true AS sketch_within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------- json extract
   def jsonExtract(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir)
@@ -321,6 +353,7 @@ object AnalyticsOps {
     "q_running_window"    -> (runningWindow _),
     "q_percentiles"       -> (percentiles _),
     "q_distinct_users"    -> (distinctUsers _),
+    "q_hll_union"         -> (hllUnion _),
     "q_json_extract"      -> (jsonExtract _),
     "q_tumbling_window"   -> (tumblingWindow _),
     "q_semi_join"         -> (semiJoin _),
@@ -337,6 +370,7 @@ object AnalyticsOps {
     "q_running_window"    -> runningWindowSql,
     "q_percentiles"       -> percentilesSql,
     "q_distinct_users"    -> distinctUsersSql,
+    "q_hll_union"         -> hllUnionSql,
     "q_json_extract"      -> jsonExtractSql,
     "q_tumbling_window"   -> tumblingWindowSql,
     "q_semi_join"         -> semiJoinSql,
