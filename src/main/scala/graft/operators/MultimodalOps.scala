@@ -85,6 +85,52 @@ object MultimodalOps {
     }.toDF().orderBy("doc_id")
   }
 
+  // ----------------------------------------- resize / frame-sample
+
+  final case class ResizedMedia(doc_id: Long, media_type: String,
+      width: Int, height: Int, payload: Array[Byte])
+
+  /** STUB resize: byte-stride downsample standing in for a real image
+    * scaler — output payload shrinks to ~(w*h)/(W*H) of the input, so
+    * memory behaves like the real op. Batched exactly like
+    * [[multimodalBatch]]; swap the body for the library call. */
+  def resizeStub(batch: Seq[MediaRecord], w: Int, h: Int): Seq[ResizedMedia] =
+    batch.map { r =>
+      val stride = math.max(1, r.payload.length / math.max(1, w * h / 64))
+      val out = r.payload.indices.by(stride).map(r.payload).toArray
+      ResizedMedia(r.doc_id, r.media_type, w, h, out)
+    }
+
+  /** Resize pipeline over any (doc_id, media_type, payload) frame. */
+  def resizeOf(media: DataFrame, w: Int, h: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap(b => resizeStub(b.toSeq, w, h))
+    }.toDF()
+  }
+
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** STUB frame sampling: every `stride`-th frame of each video becomes
+    * its own row (frame bytes = a deterministic slice stand-in). The
+    * row-exploding shape is the real contract — downstream per-frame
+    * feature extraction distributes over frames, not videos, so one
+    * 10-hour video cannot skew a partition. */
+  def frameSampleOf(media: DataFrame, stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.as[MediaRecord].filter((r: MediaRecord) => r.media_type == "video")
+      .mapPartitions { it =>
+        it.grouped(decodeBatchSize).flatMap { batch =>
+          decodeBatch(batch.toSeq).zip(batch).flatMap { case (f, r) =>
+            (0 until f.n_frames by stride).map { i =>
+              val from = math.min(i * 16, math.max(0, r.payload.length - 1))
+              Frame(r.doc_id, i, r.payload.slice(from, math.min(from + 16, r.payload.length)))
+            }
+          }
+        }
+      }.toDF()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_binary_features"  -> (binaryFeatures _),
     "q_multimodal_batch" -> (multimodalBatch _))
