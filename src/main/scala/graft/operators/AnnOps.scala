@@ -176,11 +176,45 @@ object AnnOps {
       .orderBy("query_id", "rank")
   }
 
+  // ------------------------------------------------ int8 quantization
+
+  /** Symmetric int8 quantization of the embedding column — the standard
+    * 4x storage/bandwidth cut for a vector corpus (q = floor(x·127/scale
+    * + 0.5), scale = max|x| per vector; dequantize = q·scale/127 with
+    * bounded error scale/254). floor(+0.5) instead of round() keeps the
+    * arithmetic pure IEEE and engine-identical, so the full quantized
+    * arrays hash-match the oracle. `scale` is both an output column and
+    * the lambda input, which keeps it materialized per row (a
+    * single-use alias would be inlined into the lambda and re-computed
+    * per element — the HOF pitfall documented at
+    * [[DedupOps.shinglesOf]]). All-zero vectors quantize to null. */
+  def quantizeEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(s, dir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("scale", nullif(array_max(transform(col("v"), x => abs(x))), lit(0.0)))
+      .select(
+        col("vec_id"), col("scale"),
+        transform(col("v"),
+          x => floor(x * lit(127.0) / col("scale") + lit(0.5)).cast("int")).as("q"))
+      .orderBy("vec_id")
+  }
+
+  val quantizeEmbeddingsSql: String =
+    """WITH s AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    nullif(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 0.0) AS scale
+      |  FROM embeddings)
+      |SELECT vec_id, scale,
+      |  list_transform(v, x -> CAST(floor(x * 127.0 / scale + 0.5) AS INTEGER)) AS q
+      |FROM s ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_ann_topk" -> (annTopk _),
-    "q_ann_ivf"  -> (annIvf _))
+    "q_ann_topk"       -> (annTopk _),
+    "q_ann_ivf"        -> (annIvf _),
+    "q_embed_quantize" -> (quantizeEmbeddings _))
 
   /** IVF is approximate by construction — spec-pinned, rows-only check. */
   def oracles: Map[String, String] = Map(
-    "q_ann_topk" -> annTopkSql)
+    "q_ann_topk"       -> annTopkSql,
+    "q_embed_quantize" -> quantizeEmbeddingsSql)
 }

@@ -172,6 +172,73 @@ object DedupOps {
        |WHERE jaccard >= $jaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ----------------------------------------------- dup clusters
+
+  /** Generic API: connected components over an undirected near-dup pair
+    * set — the step that turns pair detection into deduplication. Every
+    * node's label converges to the minimum doc_id reachable through dup
+    * edges (min-label propagation; rounds ≈ cluster diameter, which for
+    * near-dup cliques is 1-2). Each round is one join + one min-agg with
+    * a `localCheckpoint` to cut iterative lineage; the fixpoint test is
+    * the monotone label sum, so no extra join against the previous
+    * round. Nodes with no dup edge keep themselves as cluster id.
+    */
+  def dupClustersOf(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    // materialize the edge set once — every propagation round joins it,
+    // and an unmaterialized lineage would re-run the whole pair
+    // detection per round
+    val und = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
+      .unionByName(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
+      .localCheckpoint()
+    var lbl = nodes.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
+    var prevSum = java.math.BigDecimal.valueOf(-1)
+    var sum = lbl.agg(org.apache.spark.sql.functions.sum(col("cluster_id")).cast("decimal(38,0)"))
+      .collect()(0).getDecimal(0)
+    while (sum.compareTo(prevSum) != 0) {
+      val neighbor = und.join(lbl, und("s") === lbl("doc_id"))
+        .select(col("d").as("doc_id"), col("cluster_id"))
+      lbl = lbl.unionByName(neighbor)
+        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+      prevSum = sum
+      sum = lbl.agg(org.apache.spark.sql.functions.sum(col("cluster_id")).cast("decimal(38,0)"))
+        .collect()(0).getDecimal(0)
+    }
+    lbl.withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
+
+  /** Dup clusters over the n-gram Jaccard pairs: every document labeled
+    * with its cluster's minimum doc_id; keeping `is_canonical` rows IS
+    * the deduplicated corpus. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    dupClustersOf(
+      Tables.documents(s, dir).select(col("doc_id")),
+      ngramJaccard(s, dir).select("doc_a", "doc_b"))
+      .orderBy("doc_id")
+
+  /** WITH RECURSIVE reachability oracle: cluster = min reachable id.
+    * (RECURSIVE must annotate the whole CTE chain, so the shared shingle
+    * prefix is spliced in after the keyword.) */
+  val dedupClustersSql: String =
+    shinglesSql.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+    s""", pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+       |    FROM sh_t a JOIN sh_t b ON a.doc_id < b.doc_id)
+       |  WHERE jaccard >= $jaccardThreshold),
+       |und AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT reach.id, und.d FROM reach JOIN und ON reach.r = und.s)
+       |SELECT id AS doc_id, min(r) AS cluster_id,
+       |  min(r) = id AS is_canonical
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------- MinHash + LSH
 
   val minhashK = 32
@@ -376,6 +443,7 @@ object DedupOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"         -> (exactDedup _),
     "q_dedup_ngram_jaccard" -> (ngramJaccard _),
+    "q_dedup_clusters"      -> (dedupClusters _),
     "q_dedup_minhash_lsh"   -> (minhashLsh _),
     "q_dedup_simhash"       -> (simhashPairs _),
     "q_dedup_embedding"     -> (embeddingDedup _),
@@ -386,5 +454,6 @@ object DedupOps {
     * checks for those. */
   def oracles: Map[String, String] = Map(
     "q_dedup_exact"         -> exactDedupSql,
-    "q_dedup_ngram_jaccard" -> ngramJaccardSql)
+    "q_dedup_ngram_jaccard" -> ngramJaccardSql,
+    "q_dedup_clusters"      -> dedupClustersSql)
 }
