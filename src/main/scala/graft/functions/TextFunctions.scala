@@ -216,8 +216,118 @@ object TextFunctions {
       |WHERE rank <= 3
       |ORDER BY source, rank""".stripMargin
 
+  // ------------------------------------------------------ PII scrub
+  /** Conservative regex dialect shared by Java and RE2 so Spark and the
+    * oracle scrub identically. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val phoneRe = "\\+[0-9][0-9 -]{7,}[0-9]"
+
+  /** PII redaction — the pre-training scrub pass: emails, IPv4s, and
+    * international-format phone numbers replaced with typed tokens,
+    * counts kept for auditing. The corpus plants deterministic PII on a
+    * document subset so the redaction paths are actually exercised; the
+    * scrubbed text is verified by hash. Pure regexp_replace chain —
+    * codegen'd, map-side only. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val planted = concat(col("text"),
+      when(id % 4 === 0, concat(lit(" contact user"), id.cast("string"),
+        lit("@example.com or admin@sub.example.org"))).otherwise(lit("")),
+      when(id % 6 === 0, concat(lit(" from host 192.168."),
+        (id % 256).cast("string"), lit("."), (id % 100).cast("string"))).otherwise(lit("")),
+      when(id % 9 === 0, lit(" call +1 555 867-5309")).otherwise(lit("")))
+    Tables.documents(s, dir)
+      .withColumn("raw", planted)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("raw"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(ipRe), lit(0))).as("n_ips"),
+        size(regexp_extract_all(col("raw"), lit(phoneRe), lit(0))).as("n_phones"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("raw"),
+          emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
+  val piiScrubSql: String = {
+    val (e, i, p) = (emailRe, ipRe, phoneRe)
+    s"""WITH raw AS (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 4 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |      '@example.com or admin@sub.example.org' ELSE '' END ||
+       |    CASE WHEN doc_id % 6 = 0 THEN ' from host 192.168.' ||
+       |      CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+       |    CASE WHEN doc_id % 9 = 0 THEN ' call +1 555 867-5309' ELSE '' END AS raw
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(raw, '$e')) AS INTEGER) AS n_emails,
+       |  CAST(len(regexp_extract_all(raw, '$i')) AS INTEGER) AS n_ips,
+       |  CAST(len(regexp_extract_all(raw, '$p')) AS INTEGER) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(raw,
+       |    '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'), '$p', '<PHONE>', 'g')) AS scrubbed_md5
+       |FROM raw ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------ repetition
+  /** Gopher-style repetition signals: duplicate-word fraction and the
+    * share of the document's bigrams taken by its single most repeated
+    * bigram. The bigram mode is an explode + two-level aggregation —
+    * shuffles keyed on (doc, bigram) then doc, the shape that holds at
+    * corpus scale — and the final flag mirrors the reference-style
+    * quality gate (drop if either signal crosses its threshold). */
+  def repetitionScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+    val stats = docs.select(
+      col("doc_id"),
+      element_at(transform(array(split(trim(col("text")), "\\s+")), ws =>
+        struct(size(ws).as("n_words"),
+          size(array_distinct(ws)).as("n_uniq"))), 1).as("st"))
+    val bigrams = docs.select(col("doc_id"),
+        explode(element_at(transform(array(split(trim(col("text")), "\\s+")), ws =>
+          transform(sequence(lit(0), size(ws) - 2),
+            i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2)))), 1))
+          .as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
+    stats.join(bigrams, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        (lit(1.0) - col("st.n_uniq").cast("double") / col("st.n_words"))
+          .as("dup_word_frac"),
+        (col("top_bigram_n").cast("double") / col("n_bigrams")).as("top_bigram_frac"),
+        ((lit(1.0) - col("st.n_uniq").cast("double") / col("st.n_words")) > 0.6 ||
+          (col("top_bigram_n").cast("double") / col("n_bigrams")) > 0.18)
+          .as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionScoreSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+      |st AS (
+      |  SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_uniq FROM w),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(len(ws) - 1),
+      |    i -> ws[i+1] || ' ' || ws[i+2])) AS bg
+      |  FROM w),
+      |bgc AS (
+      |  SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS n_bigrams FROM (
+      |    SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2)
+      |  GROUP BY doc_id)
+      |SELECT st.doc_id,
+      |  1.0 - CAST(n_uniq AS DOUBLE) / n_words AS dup_word_frac,
+      |  CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_bigram_frac,
+      |  (1.0 - CAST(n_uniq AS DOUBLE) / n_words) > 0.6 OR
+      |    (CAST(top_bigram_n AS DOUBLE) / n_bigrams) > 0.18 AS flagged
+      |FROM st LEFT JOIN bgc ON st.doc_id = bgc.doc_id
+      |ORDER BY st.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf_top_terms" -> (tfidfTopTerms _),
+    "q_pii_scrub"     -> (piiScrub _),
+    "q_repetition"    -> (repetitionScore _),
     "q_token_count"   -> (tokenCount _),
     "q_quality_score" -> (qualityScore _),
     "q_lang_id"       -> (langId _),
@@ -225,6 +335,8 @@ object TextFunctions {
 
   def oracles: Map[String, String] = Map(
     "q_tfidf_top_terms" -> tfidfTopTermsSql,
+    "q_pii_scrub"     -> piiScrubSql,
+    "q_repetition"    -> repetitionScoreSql,
     "q_token_count"   -> tokenCountSql,
     "q_quality_score" -> qualityScoreSql,
     "q_lang_id"       -> langIdSql,
