@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PipelineOpsSpec extends SparkSpec {
+
+  test("hash split is total, deterministic, and roughly 12/2/2") {
+    val split = PipelineOps.hashSplit(spark, sfDir).cache()
+    val total = split.count()
+    assert(total == 500) // every document gets exactly one split
+    val bySplit = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // binomial bounds wide enough to never flake at n=500
+    assert(bySplit("train") > 300 && bySplit("train") < 430)
+    assert(bySplit("val") > 25 && bySplit("test") > 25)
+    // determinism: same corpus, same assignment
+    val again = PipelineOps.hashSplit(spark, sfDir)
+    assert(split.except(again).isEmpty && again.except(split).isEmpty)
+    split.unpersist()
+  }
+
+  test("corpus mix keeps all of tier 0 and downsamples tier 3 hardest") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .withColumn("tier", substring(col("source"), 4, 10).cast("int") % 4)
+      .groupBy("tier").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val kept = PipelineOps.corpusMix(spark, sfDir)
+      .groupBy("tier").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(kept(0) == docs(0)) // rate 1.0: everything survives
+    assert(kept(3) < kept(1))  // rate 0.1 keeps fewer than rate 0.5
+    // weighted count is an unbiased estimate of the full corpus size
+    val est = PipelineOps.corpusMix(spark, sfDir)
+      .agg(sum("weight")).collect()(0).getDouble(0)
+    assert(est > 250 && est < 750, s"weighted estimate $est far from 500")
+  }
+
+  test("domain cap bounds every source at the cap") {
+    val capped = PipelineOps.domainCapped(spark, sfDir)
+    val perSource = capped.groupBy("source").count().collect()
+    assert(perSource.forall(_.getLong(1) <= PipelineOps.domainCap))
+    assert(capped.agg(max("rk")).collect()(0).getInt(0) <= PipelineOps.domainCap)
+  }
+
+  test("packing is gapless per source and offsets stay under budget") {
+    val packed = PipelineOps.packSequences(spark, sfDir).cache()
+    assert(packed.filter(col("pack_offset") >= PipelineOps.packBudget).isEmpty)
+    assert(packed.filter(col("pack_offset") < 0).isEmpty)
+    // the token stream is contiguous: doc k's pack/offset equal the
+    // running token total of docs before it (within its source)
+    val recomputed = packed
+      .withColumn("cum", coalesce(sum("n_tokens").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy("doc_id").rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .filter(floor(col("cum") / PipelineOps.packBudget) =!= col("pack_id") ||
+        (col("cum") % PipelineOps.packBudget) =!= col("pack_offset"))
+    assert(recomputed.isEmpty)
+    packed.unpersist()
+  }
+
+  test("contamination flags the docs sharing shingles with the eval set") {
+    val c = PipelineOps.contamination(spark, sfDir).cache()
+    // eval docs themselves are excluded from the scored set
+    assert(c.filter(col("doc_id") % 97 === 0).isEmpty)
+    // fractions are well-formed
+    assert(c.filter(col("overlap_frac") < 0 || col("overlap_frac") > 1).isEmpty)
+    // flag agrees with the threshold everywhere
+    assert(c.filter(col("contaminated") =!=
+      (col("overlap_frac") > PipelineOps.contaminationFrac)).isEmpty)
+    c.unpersist()
+  }
+}
