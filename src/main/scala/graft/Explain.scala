@@ -44,7 +44,16 @@ object Explain {
       "q_anti_join"          -> Seq("LeftAnti"),
       "q_dedup_embedding"    -> Seq("HashAggregate"),
       "q_latest_version"     -> Seq("Window"),
-      "q_submission_normalize" -> Seq("ReadSchema"))
+      "q_submission_normalize" -> Seq("ReadSchema"),
+      // corpus curation: the split must prune to its two columns (the
+      // text never leaves the scan), the cap must use the rank
+      // pushdown, and the contamination probe must broadcast the
+      // benchmark set
+      "q_hash_split"         -> Seq("ReadSchema: struct<doc_id:bigint,source:string>"),
+      "q_domain_cap"         -> Seq("WindowGroupLimit"),
+      "q_contamination"      -> Seq("BroadcastHashJoin"),
+      "q_pack_sequences"     -> Seq("Window"),
+      "q_transfer_items"     -> Seq("Window", "Generate"))
 
     var bad = 0
     audit.foreach { case (name, expects) =>

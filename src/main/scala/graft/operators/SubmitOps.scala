@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -216,13 +217,123 @@ object SubmitOps {
       |  coalesce(array_to_string(errs, '; '), '') AS errors
       |FROM e ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ update gate
+
+  private val ownerErr = "Only the submitting user is allowed to update this record"
+  private val alreadyErr =
+    "This dataset has already been submitted, but this submission is not marked as an update."
+  private val notYetErr =
+    "This dataset has not already been submitted, but this submission is marked as an update."
+
+  /** Update-intake gate (aws/submit.py:196-266): each incoming submission
+    * is matched against the current version record of its source name —
+    * test submissions look up `{name}-test` (submit.py:201-204), brand-new
+    * submissions get a generated name (uuid4 in the reference; a
+    * content-hash stand-in here so both engines agree) — then the three
+    * rejection rules apply in reference order: a non-owner may not update
+    * (submit.py:226-235), an existing dataset requires `update=True`
+    * (submit.py:239-249), and `update=True` requires an existing dataset
+    * (submit.py:250-266). Accepted rows carry the bumped version, the
+    * `{source_id}-{version}` versioned id (submit.py:271-275), and the
+    * previous-versions entry the reference appends (submit.py:213-215).
+    *
+    * One left equi-join of the submission stream against the (much
+    * smaller) current-version view — both sides shuffle on source name
+    * once; no window over the full stream, no driver lookups. */
+  def updateGate(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val incoming = Tables.documents(s, dir).select(
+      id.as("doc_id"),
+      (id % 20).as("submitter_user"),
+      (id % 5 === 0).as("is_test"),
+      (id % 2 === 0).as("update_flag"),
+      when(id % 17 =!= 0,
+        concat(lit("ds"), (id % 40).cast("string"),
+          when(id % 5 === 0, "-test").otherwise(""))).as("lookup_name"))
+    // current-version view with its owner: the same argmax as
+    // get_current_version, keeping the winning row's user_id
+    val w = Window.partitionBy(col("source_name_raw"))
+      .orderBy(col("search_v").desc, col("sub_v").desc, col("doc_id").desc)
+    val existing = VersionOps.submissions(s, dir).filter(col("doc_id") % 11 =!= 0)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("source_name_raw").as("lookup_name"),
+        concat(col("search_v").cast("string"), lit("."), col("sub_v").cast("string"))
+          .as("cur_version"),
+        col("user_id").as("owner_user"))
+    val j = incoming.join(existing, Seq("lookup_name"), "left")
+    val matched = col("cur_version").isNotNull
+    val err =
+      when(matched && col("submitter_user") =!= col("owner_user"), lit(ownerErr))
+        .when(matched && !col("update_flag"), lit(alreadyErr))
+        .when(!matched && col("update_flag"), lit(notYetErr))
+    val sourceName = coalesce(col("lookup_name"),
+      concat(lit("new-"), substring(md5(concat(lit("new#"), id.cast("string"))), 1, 8)))
+    val nextVersion = when(matched,
+      concat(split(col("cur_version"), "\\.").getItem(0), lit("."),
+        (split(col("cur_version"), "\\.").getItem(1).cast("int") + 1).cast("string")))
+      .otherwise(lit("1.0"))
+    j.select(
+      col("doc_id"), col("lookup_name"), matched.as("matched"), err.as("update_error"),
+      when(err.isNull, sourceName).as("source_name"),
+      when(err.isNull, nextVersion).as("version"),
+      when(err.isNull, concat(sourceName, lit("-"), nextVersion)).as("versioned_source_id"),
+      when(err.isNull && matched, concat(col("lookup_name"), lit("-"), col("cur_version")))
+        .as("prev_version_added"))
+      .orderBy("doc_id")
+  }
+
+  val updateGateSql: String = VersionOps.submissionsSql.stripSuffix("\n") +
+    s""",
+       |cur AS (
+       |  SELECT source_name_raw AS lookup_name,
+       |    CAST(search_v AS VARCHAR) || '.' || CAST(sub_v AS VARCHAR) AS cur_version,
+       |    search_v, sub_v, user_id AS owner_user
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY source_name_raw
+       |      ORDER BY search_v DESC, sub_v DESC, doc_id DESC) AS rn
+       |    FROM submissions WHERE doc_id % 11 <> 0)
+       |  WHERE rn = 1),
+       |inc AS (
+       |  SELECT doc_id, doc_id % 20 AS submitter_user,
+       |    doc_id % 5 = 0 AS is_test, doc_id % 2 = 0 AS update_flag,
+       |    CASE WHEN doc_id % 17 <> 0 THEN 'ds' || CAST(doc_id % 40 AS VARCHAR) ||
+       |      (CASE WHEN doc_id % 5 = 0 THEN '-test' ELSE '' END) END AS lookup_name
+       |  FROM documents),
+       |j AS (
+       |  SELECT inc.*, cur.cur_version, cur.search_v, cur.sub_v, cur.owner_user,
+       |    cur.cur_version IS NOT NULL AS matched,
+       |    CASE
+       |      WHEN cur.cur_version IS NOT NULL AND inc.submitter_user <> cur.owner_user
+       |        THEN '$ownerErr'
+       |      WHEN cur.cur_version IS NOT NULL AND NOT inc.update_flag
+       |        THEN '$alreadyErr'
+       |      WHEN cur.cur_version IS NULL AND inc.update_flag
+       |        THEN '$notYetErr'
+       |    END AS update_error,
+       |    coalesce(inc.lookup_name,
+       |      'new-' || substring(md5('new#' || CAST(inc.doc_id AS VARCHAR)), 1, 8)) AS sn,
+       |    CASE WHEN cur.cur_version IS NOT NULL
+       |         THEN CAST(cur.search_v AS VARCHAR) || '.' || CAST(cur.sub_v + 1 AS VARCHAR)
+       |         ELSE '1.0' END AS nv
+       |  FROM inc LEFT JOIN cur USING (lookup_name))
+       |SELECT doc_id, lookup_name, matched, update_error,
+       |  CASE WHEN update_error IS NULL THEN sn END AS source_name,
+       |  CASE WHEN update_error IS NULL THEN nv END AS version,
+       |  CASE WHEN update_error IS NULL THEN sn || '-' || nv END AS versioned_source_id,
+       |  CASE WHEN update_error IS NULL AND matched THEN lookup_name || '-' || cur_version END
+       |    AS prev_version_added
+       |FROM j ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_submission_normalize" -> (submissionNormalize _),
     "q_validate_submission"  -> (validateSubmission _),
-    "q_validate_dataset"     -> (validateDataset _))
+    "q_validate_dataset"     -> (validateDataset _),
+    "q_update_gate"          -> (updateGate _))
 
   def oracles: Map[String, String] = Map(
     "q_submission_normalize" -> submissionNormalizeSql,
     "q_validate_submission"  -> validateSubmissionSql,
-    "q_validate_dataset"     -> validateDatasetSql)
+    "q_validate_dataset"     -> validateDatasetSql,
+    "q_update_gate"          -> updateGateSql)
 }
