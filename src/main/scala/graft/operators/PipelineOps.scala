@@ -217,6 +217,184 @@ object PipelineOps {
        |WHERE doc_id % 97 <> 0
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ URL canonical
+
+  /** URL canonicalization for crawl dedup: lowercase the host, strip a
+    * `www.` prefix and default ports, drop tracking parameters
+    * (`utm_*`, `fbclid`) while preserving the rest in order, drop the
+    * fragment, and strip the trailing slash of non-root paths. Documents
+    * sharing a canonical URL form one group; the smallest doc_id is the
+    * canonical fetch. Pure string-expression chain + one groupBy-window
+    * on the canonical key — the standard first pass over a 100 TB crawl.
+    */
+  def urlCanonical(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val ids = id.cast("string")
+    val k = (id % 50).cast("string")
+    val p = (id % 20).cast("string")
+    val url = when(id % 6 === 0,
+      concat(lit("https://www.EXAMPLE"), k, lit(".com/path/"), p, lit("/")))
+      .when(id % 6 === 1, concat(lit("https://example"), k, lit(".com:443/path/"), p))
+      .when(id % 6 === 2,
+        concat(lit("https://example"), k, lit(".com/path/"), p, lit("?utm_source=feed&ref=a")))
+      .when(id % 6 === 3, concat(lit("http://example"), k, lit(".com/path/"), p, lit("#frag")))
+      .when(id % 6 === 4,
+        concat(lit("https://example"), k, lit(".com/path/"), p, lit("?ref=a&utm_campaign=x")))
+      .otherwise(concat(lit("https://www.example"), k, lit(".com/path/"), p))
+
+    val noFrag = regexp_replace(col("url"), "#.*$", "")
+    val scheme = regexp_extract(noFrag, "^([a-z]+)://", 1)
+    val host = regexp_replace(
+      regexp_replace(lower(regexp_extract(noFrag, "^[a-z]+://([^/?#]*)", 1)), "^www\\.", ""),
+      ":(80|443)$", "")
+    val path = regexp_replace(
+      regexp_extract(noFrag, "^[a-z]+://[^/?#]*([^?#]*)", 1), "(.)/$", "$1")
+    val query = array_join(
+      filter(split(regexp_extract(noFrag, "\\?([^#]*)", 1), "&"),
+        kv => !kv.rlike("^(utm_[^=]*|fbclid)=") && kv =!= ""), "&")
+    val canon = concat(scheme, lit("://"), host, path,
+      when(query =!= "", concat(lit("?"), query)).otherwise(lit("")))
+
+    val byCanon = Window.partitionBy(col("canonical_url"))
+    Tables.documents(s, dir)
+      .withColumn("url", url)
+      .withColumn("canonical_url", canon)
+      .withColumn("is_canonical", col("doc_id") === min(col("doc_id")).over(byCanon))
+      .withColumn("n_copies", count(lit(1)).over(byCanon))
+      .select("doc_id", "url", "canonical_url", "is_canonical", "n_copies")
+      .orderBy("doc_id")
+  }
+
+  val urlCanonicalSql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    CASE
+      |      WHEN doc_id % 6 = 0 THEN 'https://www.EXAMPLE' || CAST(doc_id % 50 AS VARCHAR) ||
+      |        '.com/path/' || CAST(doc_id % 20 AS VARCHAR) || '/'
+      |      WHEN doc_id % 6 = 1 THEN 'https://example' || CAST(doc_id % 50 AS VARCHAR) ||
+      |        '.com:443/path/' || CAST(doc_id % 20 AS VARCHAR)
+      |      WHEN doc_id % 6 = 2 THEN 'https://example' || CAST(doc_id % 50 AS VARCHAR) ||
+      |        '.com/path/' || CAST(doc_id % 20 AS VARCHAR) || '?utm_source=feed&ref=a'
+      |      WHEN doc_id % 6 = 3 THEN 'http://example' || CAST(doc_id % 50 AS VARCHAR) ||
+      |        '.com/path/' || CAST(doc_id % 20 AS VARCHAR) || '#frag'
+      |      WHEN doc_id % 6 = 4 THEN 'https://example' || CAST(doc_id % 50 AS VARCHAR) ||
+      |        '.com/path/' || CAST(doc_id % 20 AS VARCHAR) || '?ref=a&utm_campaign=x'
+      |      ELSE 'https://www.example' || CAST(doc_id % 50 AS VARCHAR) ||
+      |        '.com/path/' || CAST(doc_id % 20 AS VARCHAR)
+      |    END AS url
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, url,
+      |    regexp_extract(nf, '^([a-z]+)://', 1) || '://' ||
+      |    regexp_replace(regexp_replace(
+      |      lower(regexp_extract(nf, '^[a-z]+://([^/?#]*)', 1)), '^www\.', ''),
+      |      ':(80|443)$', '') ||
+      |    regexp_replace(regexp_extract(nf, '^[a-z]+://[^/?#]*([^?#]*)', 1), '(.)/$', '\1') ||
+      |    CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END AS canonical_url
+      |  FROM (
+      |    SELECT doc_id, url, nf,
+      |      array_to_string(list_filter(string_split(regexp_extract(nf, '\?([^#]*)', 1), '&'),
+      |        kv -> NOT regexp_matches(kv, '^(utm_[^=]*|fbclid)=') AND kv <> ''), '&') AS q2
+      |    FROM (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf FROM u)))
+      |SELECT doc_id, url, canonical_url,
+      |  doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS is_canonical,
+      |  count(*) OVER (PARTITION BY canonical_url) AS n_copies
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------- end-to-end pipeline
+
+  val minTokens = 20
+  val maxDupWordFrac = 0.6
+
+  /** The whole curation pass as ONE composed plan — the query a corpus
+    * owner actually runs before training: quality gate (length +
+    * repetition), exact dedup (canonical doc per content key),
+    * benchmark decontamination, then the deterministic split. Every
+    * document comes back with its per-stage verdicts and its final
+    * disposition, so the output is simultaneously the curated corpus
+    * (rows with `kept`) and the audit trail (why each drop dropped).
+    *
+    * Composes the operators above without materializing between stages:
+    * Catalyst fuses the map-side gates into the scan, and the three
+    * shuffles left (content-key groupBy, doc-keyed contamination agg,
+    * presentation sort) are each keyed on high-cardinality columns —
+    * the same plan shape at 500 rows or 100 TB. */
+  def curatePipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+    // stage 1: quality — token floor + duplicate-word ceiling
+    val stats = docs.select(col("doc_id"), col("source"),
+      element_at(transform(array(split(trim(col("text")), "\\s+")), ws =>
+        struct(size(ws).as("n_tokens"),
+          size(array_distinct(ws)).as("n_uniq"))), 1).as("st"))
+      .select(col("doc_id"), col("source"),
+        col("st.n_tokens").as("n_tokens"),
+        (col("st.n_tokens") >= minTokens &&
+          (lit(1.0) - col("st.n_uniq").cast("double") / col("st.n_tokens"))
+            <= maxDupWordFrac).as("passed_quality"))
+    // stage 2: exact dedup on the first-10-words content key
+    val canon = docs.select(col("doc_id"),
+      md5(array_join(slice(split(col("text"), " "), 1, 10), " ")).as("fp"))
+      .withColumn("is_canonical",
+        col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .select("doc_id", "is_canonical")
+    // stage 3: decontamination (clean = below the overlap threshold;
+    // docs too short to shingle have no overlap and are clean)
+    val clean = contamination(s, dir)
+      .select(col("doc_id"), (!col("contaminated")).as("clean"))
+    // stage 4: the split only matters for kept rows
+    val split4 = hashSplit(s, dir).select("doc_id", "split")
+    stats
+      .join(canon, Seq("doc_id"))
+      .join(clean, Seq("doc_id"), "left")
+      .join(split4, Seq("doc_id"))
+      .withColumn("clean", coalesce(col("clean"), lit(true)) &&
+        col("doc_id") % 97 =!= 0) // eval docs themselves never train
+      .withColumn("kept", col("passed_quality") && col("is_canonical") && col("clean"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("passed_quality"), col("is_canonical"), col("clean"), col("kept"),
+        when(col("kept"), col("split")).as("split"))
+      .orderBy("doc_id")
+  }
+
+  val curatePipelineSql: String = DedupOps.shinglesSql +
+    s""", bl AS (
+       |  SELECT list(s) AS bl FROM (
+       |    SELECT DISTINCT unnest(sh) AS s FROM sh_t WHERE doc_id % 97 = 0)),
+       |stats AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+       |    len(string_split_regex(trim(text), '\\s+')) >= $minTokens AND
+       |      (1.0 - CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) /
+       |        len(string_split_regex(trim(text), '\\s+'))) <= $maxDupWordFrac AS passed_quality
+       |  FROM documents),
+       |canon AS (
+       |  SELECT doc_id,
+       |    doc_id = min(doc_id) OVER (
+       |      PARTITION BY md5(array_to_string((string_split(text, ' '))[1:10], ' ')))
+       |      AS is_canonical
+       |  FROM documents),
+       |cln AS (
+       |  SELECT sh_t.doc_id,
+       |    (CAST(len(list_intersect(sh, bl)) AS DOUBLE) / len(sh))
+       |      <= $contaminationFrac AS clean0
+       |  FROM sh_t CROSS JOIN bl),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN b <= 'b' THEN 'train' WHEN b <= 'd' THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id, substring($sampleKeySql, 1, 1) AS b FROM documents)),
+       |j AS (
+       |  SELECT stats.doc_id, source, n_tokens, passed_quality, is_canonical,
+       |    coalesce(clean0, TRUE) AND stats.doc_id % 97 <> 0 AS clean, split
+       |  FROM stats
+       |  JOIN canon ON stats.doc_id = canon.doc_id
+       |  LEFT JOIN cln ON stats.doc_id = cln.doc_id
+       |  JOIN sp ON stats.doc_id = sp.doc_id)
+       |SELECT doc_id, source, n_tokens, passed_quality, is_canonical, clean,
+       |  passed_quality AND is_canonical AND clean AS kept,
+       |  CASE WHEN passed_quality AND is_canonical AND clean THEN split END AS split
+       |FROM j ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -224,12 +402,16 @@ object PipelineOps {
     "q_corpus_mix"     -> (corpusMix _),
     "q_domain_cap"     -> (domainCapped _),
     "q_pack_sequences" -> (packSequences _),
-    "q_contamination"  -> (contamination _))
+    "q_contamination"  -> (contamination _),
+    "q_url_canonical"  -> (urlCanonical _),
+    "q_curate_pipeline" -> (curatePipeline _))
 
   def oracles: Map[String, String] = Map(
     "q_hash_split"     -> hashSplitSql,
     "q_corpus_mix"     -> corpusMixSql,
     "q_domain_cap"     -> domainCapSql,
     "q_pack_sequences" -> packSequencesSql,
-    "q_contamination"  -> contaminationSql)
+    "q_contamination"  -> contaminationSql,
+    "q_url_canonical"  -> urlCanonicalSql,
+    "q_curate_pipeline" -> curatePipelineSql)
 }
