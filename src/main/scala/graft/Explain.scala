@@ -53,7 +53,9 @@ object Explain {
       "q_domain_cap"         -> Seq("WindowGroupLimit"),
       "q_contamination"      -> Seq("BroadcastHashJoin"),
       "q_pack_sequences"     -> Seq("Window"),
-      "q_transfer_items"     -> Seq("Window", "Generate"))
+      "q_transfer_items"     -> Seq("Window", "Generate"),
+      "q_url_canonical"      -> Seq("Window"),
+      "q_curate_pipeline"    -> Seq("BroadcastHashJoin", "Window"))
 
     var bad = 0
     audit.foreach { case (name, expects) =>
