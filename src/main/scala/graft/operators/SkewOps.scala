@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.Tables
 
 /** Salted join for skewed keys.
   *
@@ -24,4 +26,37 @@ object SkewOps {
       .withColumn("__salt", col("__salt").cast("long"))
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Driver-verified proof that salting preserves join semantics: the
+    * lineitem→supplier equi-join through [[saltedJoin]], aggregated per
+    * supplier — hash-identical to the oracle's plain join because the
+    * salt column never reaches the output and every (row, match) pair
+    * survives replication exactly once. events/users is where real skew
+    * lives; supplier keys keep the oracle cheap. */
+  def saltedRevenue(s: SparkSession, dir: String): DataFrame = {
+    val dec = (c: Column) => c.cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    val big = Tables.lineitem(s, dir)
+      .select(col("l_suppkey").as("s_suppkey"),
+        (dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount")))).as("rev"))
+    val small = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))
+    saltedJoin(big, small, "s_suppkey", salt = 8)
+      .groupBy(col("s_name"))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("s_name")
+  }
+
+  val saltedRevenueSql: String =
+    """SELECT s_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name ORDER BY s_name""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_join" -> (saltedRevenue _))
+
+  def oracles: Map[String, String] = Map(
+    "q_salted_join" -> saltedRevenueSql)
 }
