@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,27 +20,34 @@ import graft.Tables
   */
 object PipelineOps {
 
-  /** Stable per-document sampling key: md5 over (source, doc_id). Using
-    * the hex string (not a parsed int) keeps the comparison identical in
-    * every engine — lowercase hex compares lexicographically in key
-    * order. */
-  private def sampleKey = md5(concat_ws("#", col("source"), col("doc_id").cast("string")))
+  /** Stable sampling key over arbitrary identity columns: md5 of their
+    * `#`-joined string forms. Using the hex string (not a parsed int)
+    * keeps comparisons identical in every engine — lowercase hex
+    * compares lexicographically in key order. */
+  def sampleKeyOf(cols: Column*): Column =
+    md5(concat_ws("#", cols.map(_.cast("string")): _*))
+
+  private def sampleKey = sampleKeyOf(col("source"), col("doc_id"))
 
   private val sampleKeySql = "md5(source || '#' || CAST(doc_id AS VARCHAR))"
 
   // ------------------------------------------------------ hash split
 
-  /** Deterministic train/val/test assignment by the first hex digit of
-    * the content hash: 12/16 train, 2/16 val, 2/16 test. Pure map-side
-    * column chain — a 100 TB corpus splits with zero shuffles, and a doc
-    * keeps its split across reruns and engine versions. */
-  def hashSplit(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .withColumn("bucket", substring(sampleKey, 1, 1))
-      .select(col("doc_id"), col("source"), col("bucket"),
+  /** Generic API: append (bucket, split) columns — deterministic
+    * train/val/test assignment by the first hex digit of the row's
+    * content hash: 12/16 train, 2/16 val, 2/16 test. Pure map-side
+    * column chain — a 100 TB corpus splits with zero shuffles, and a
+    * row keeps its split across reruns and engine versions. */
+  def hashSplitOf(df: DataFrame, key: Column): DataFrame =
+    df.withColumn("bucket", substring(key, 1, 1))
+      .withColumn("split",
         when(col("bucket") <= "b", "train")
           .when(col("bucket") <= "d", "val")
-          .otherwise("test").as("split"))
+          .otherwise("test"))
+
+  def hashSplit(s: SparkSession, dir: String): DataFrame =
+    hashSplitOf(Tables.documents(s, dir), sampleKey)
+      .select("doc_id", "source", "bucket", "split")
       .orderBy("doc_id")
 
   val hashSplitSql: String =
@@ -67,11 +74,20 @@ object PipelineOps {
     (2, "4000", 4.0), // rate 0.25
     (3, "1999", 10.0)) // rate 0.1
 
+  /** Generic API: keep each row with probability `rate` (a per-row
+    * Column, e.g. from a broadcast-joined config dim), deterministically:
+    * a 16-bit slice of the row's content hash is compared against the
+    * rate's hex threshold. Rows ≥ 1.0 always survive. The keep/drop
+    * decision is a map-side hash compare — mixing a 100 TB corpus is a
+    * single scan with no shuffle at all. */
+  def sampleByRateOf(df: DataFrame, key: Column, rate: Column): DataFrame =
+    df.filter(rate >= 1.0 ||
+      substring(key, 1, 4) < format_string("%04x", floor(rate * 65536).cast("int")))
+
   /** Weighted corpus mixing: downsample each source tier at its
     * configured rate, deterministically. The rate lookup is a literal
     * CASE (at production scale, a broadcast-joined config dim); the
-    * keep/drop decision is a map-side hash compare, so mixing a 100 TB
-    * corpus is a single scan with no shuffle at all. */
+    * keep/drop decision is the [[sampleByRateOf]] hash compare. */
   def corpusMix(s: SparkSession, dir: String): DataFrame = {
     val tier = substring(col("source"), 4, 10).cast("int") % 4
     val thr = tierRates.tail.foldLeft(lit(tierRates.head._2)) { case (acc, (t, h, _)) =>
@@ -108,21 +124,24 @@ object PipelineOps {
 
   val domainCap = 15
 
-  /** Per-domain quota: keep at most `domainCap` documents per source,
-    * chosen by the stable content hash (a deterministic uniform sample,
-    * not "first N by id" which would bias toward old crawls). One
-    * shuffle partitioned by source; Spark's WindowGroupLimit pushes the
-    * rank bound map-side, so each partition forwards at most
-    * `domainCap` rows per source into the shuffle — a viral domain with
-    * 100M pages costs its per-input-split top-15, not a 100M-row sort. */
-  def domainCapped(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(sampleKey, col("doc_id"))
-    Tables.documents(s, dir)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= domainCap)
+  /** Generic API: keep at most `cap` rows per domain, chosen by the
+    * stable content hash (a deterministic uniform sample, not "first N
+    * by id" which would bias toward old crawls). One shuffle
+    * partitioned by domain; Spark's WindowGroupLimit pushes the rank
+    * bound map-side, so each partition forwards at most `cap` rows per
+    * domain into the shuffle — a viral domain with 100M pages costs its
+    * per-input-split top-N, not a 100M-row sort. */
+  def domainCapOf(df: DataFrame, domain: Column, key: Column, tie: Column,
+      cap: Int): DataFrame = {
+    val w = Window.partitionBy(domain).orderBy(key, tie)
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= cap)
+  }
+
+  def domainCapped(s: SparkSession, dir: String): DataFrame =
+    domainCapOf(Tables.documents(s, dir), col("source"), sampleKey, col("doc_id"),
+      domainCap)
       .select(col("doc_id"), col("source"), col("rk"))
       .orderBy("doc_id")
-  }
 
   val domainCapSql: String =
     s"""SELECT doc_id, source, CAST(rk AS INTEGER) AS rk FROM (
@@ -136,25 +155,30 @@ object PipelineOps {
 
   val packBudget = 512
 
-  /** Sequence packing, concat-and-chunk style: per source, documents are
-    * concatenated in doc_id order into a token stream that is cut into
-    * `packBudget`-token context windows; each document learns which pack
-    * it starts in and at what offset. One window shuffle partitioned by
-    * source — the running sum is O(1) state per partition, so packing a
-    * 100 TB corpus is one pass (per-source streams pack independently,
-    * which is also what keeps pack contents deterministic under
-    * re-partitioning). */
-  def packSequences(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+  /** Generic API: concat-and-chunk sequence packing. Per group, rows are
+    * concatenated in `order` into a token stream that is cut into
+    * `budget`-token context windows; each row learns which pack it
+    * starts in (`pack_id`) and at what offset (`pack_offset`). One
+    * window shuffle partitioned by group — the running sum is O(1)
+    * state per partition, so packing a 100 TB corpus is one pass
+    * (per-group streams pack independently, which is also what keeps
+    * pack contents deterministic under re-partitioning). */
+  def packSequencesOf(df: DataFrame, group: Column, order: Column, tokens: Column,
+      budget: Int): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(order)
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, dir)
-      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
-      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .select(col("doc_id"), col("source"), col("n_tokens"),
-        floor(col("cum_before") / packBudget).as("pack_id"),
-        (col("cum_before") % packBudget).as("pack_offset"))
-      .orderBy("doc_id")
+    df.withColumn("cum_before", coalesce(sum(tokens).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("cum_before") / budget))
+      .withColumn("pack_offset", col("cum_before") % budget)
   }
+
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    packSequencesOf(
+      Tables.documents(s, dir)
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+"))),
+      col("source"), col("doc_id"), col("n_tokens"), packBudget)
+      .select("doc_id", "source", "n_tokens", "pack_id", "pack_offset")
+      .orderBy("doc_id")
 
   val packSequencesSql: String =
     s"""SELECT doc_id, source,
@@ -182,22 +206,33 @@ object PipelineOps {
     * so its distinct shingle hashes broadcast and the whole check is a
     * map-side probe plus one groupBy on doc_id. Nothing scales with
     * corpus × benchmark size. */
-  def contamination(s: SparkSession, dir: String): DataFrame = {
-    val sh = DedupOps.shingles(s, dir)
-    val bench = sh.filter(col("doc_id") % 97 === 0)
+  /** Generic API: per-document benchmark overlap over any (doc_id, sh)
+    * shingle frames (e.g. from [[DedupOps.shinglesOf]]). `bench` is the
+    * eval corpus's shingle frame — always tiny relative to training
+    * data, so its distinct hashes broadcast. */
+  def contaminationOf(corpus: DataFrame, bench: DataFrame, frac: Double): DataFrame = {
+    val benchH = bench
       .select(explode(transform(col("sh"), x => xxhash64(x))).as("h"))
       .distinct()
       .withColumn("hit", lit(1))
-    sh.filter(col("doc_id") % 97 =!= 0)
+    corpus
       .select(col("doc_id"), size(col("sh")).as("n_shingles"),
         explode(transform(col("sh"), x => xxhash64(x))).as("h"))
-      .join(broadcast(bench), Seq("h"), "left")
+      .join(broadcast(benchH), Seq("h"), "left")
       .groupBy(col("doc_id"), col("n_shingles"))
       .agg(coalesce(sum(col("hit")), lit(0)).cast("long").as("n_overlap"))
       .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
         (col("n_overlap").cast("double") / col("n_shingles")).as("overlap_frac"),
-        (col("n_overlap").cast("double") / col("n_shingles") > contaminationFrac)
+        (col("n_overlap").cast("double") / col("n_shingles") > frac)
           .as("contaminated"))
+  }
+
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val sh = DedupOps.shingles(s, dir)
+    contaminationOf(
+      sh.filter(col("doc_id") % 97 =!= 0),
+      sh.filter(col("doc_id") % 97 === 0),
+      contaminationFrac)
       .orderBy("doc_id")
   }
 
@@ -227,6 +262,26 @@ object PipelineOps {
     * canonical fetch. Pure string-expression chain + one groupBy-window
     * on the canonical key — the standard first pass over a 100 TB crawl.
     */
+  /** Generic API: the canonical form of a URL column — lowercased host,
+    * `www.` and default ports stripped, tracking parameters (`utm_*`,
+    * `fbclid`) dropped with the rest preserved in order, fragment
+    * dropped, trailing slash of non-root paths stripped. Pure codegen'd
+    * string expressions, usable in any plan. */
+  def canonicalUrlOf(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = regexp_extract(noFrag, "^([a-z]+)://", 1)
+    val host = regexp_replace(
+      regexp_replace(lower(regexp_extract(noFrag, "^[a-z]+://([^/?#]*)", 1)), "^www\\.", ""),
+      ":(80|443)$", "")
+    val path = regexp_replace(
+      regexp_extract(noFrag, "^[a-z]+://[^/?#]*([^?#]*)", 1), "(.)/$", "$1")
+    val query = array_join(
+      filter(split(regexp_extract(noFrag, "\\?([^#]*)", 1), "&"),
+        kv => !kv.rlike("^(utm_[^=]*|fbclid)=") && kv =!= ""), "&")
+    concat(scheme, lit("://"), host, path,
+      when(query =!= "", concat(lit("?"), query)).otherwise(lit("")))
+  }
+
   def urlCanonical(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
     val ids = id.cast("string")
@@ -242,23 +297,10 @@ object PipelineOps {
         concat(lit("https://example"), k, lit(".com/path/"), p, lit("?ref=a&utm_campaign=x")))
       .otherwise(concat(lit("https://www.example"), k, lit(".com/path/"), p))
 
-    val noFrag = regexp_replace(col("url"), "#.*$", "")
-    val scheme = regexp_extract(noFrag, "^([a-z]+)://", 1)
-    val host = regexp_replace(
-      regexp_replace(lower(regexp_extract(noFrag, "^[a-z]+://([^/?#]*)", 1)), "^www\\.", ""),
-      ":(80|443)$", "")
-    val path = regexp_replace(
-      regexp_extract(noFrag, "^[a-z]+://[^/?#]*([^?#]*)", 1), "(.)/$", "$1")
-    val query = array_join(
-      filter(split(regexp_extract(noFrag, "\\?([^#]*)", 1), "&"),
-        kv => !kv.rlike("^(utm_[^=]*|fbclid)=") && kv =!= ""), "&")
-    val canon = concat(scheme, lit("://"), host, path,
-      when(query =!= "", concat(lit("?"), query)).otherwise(lit("")))
-
     val byCanon = Window.partitionBy(col("canonical_url"))
     Tables.documents(s, dir)
       .withColumn("url", url)
-      .withColumn("canonical_url", canon)
+      .withColumn("canonical_url", canonicalUrlOf(col("url")))
       .withColumn("is_canonical", col("doc_id") === min(col("doc_id")).over(byCanon))
       .withColumn("n_copies", count(lit(1)).over(byCanon))
       .select("doc_id", "url", "canonical_url", "is_canonical", "n_copies")
