@@ -180,14 +180,25 @@ object TextFunctions {
     val docs = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-    val words = docs.select(col("source"), col("doc_id"),
+    // One scan + one explode feed both statistics: per-(word, doc)
+    // counts first (doc_id determines source, so source rides along in
+    // the group key), then document frequency as a whole-partition
+    // window on the word key and term frequency as a per-(source, word)
+    // rollup of the same frame. The naive two-branch formulation scans
+    // and explodes the corpus twice — at 100 TB the tokenization IS the
+    // cost, so it must run exactly once.
+    val wd = docs.select(col("source"), col("doc_id"),
       explode(split(trim(col("text")), "\\s+")).as("word"))
-    val tf = words.groupBy(col("source"), col("word")).agg(count(lit(1)).as("tf"))
-    val df = words.select(col("doc_id"), col("word")).distinct()
-      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .groupBy(col("word"), col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val byWord = Window.partitionBy(col("word"))
+    val tf = wd
+      .withColumn("df", count(lit(1)).over(byWord))
+      .groupBy(col("source"), col("word"))
+      .agg(sum(col("c")).as("tf"), max(col("df")).as("df"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("score").desc, col("word").asc)
-    tf.join(df, "word")
+    tf
       .crossJoin(nDocs)
       .withColumn("score", col("tf") * log(col("n_docs") / col("df")))
       .withColumn("rank", row_number().over(w))

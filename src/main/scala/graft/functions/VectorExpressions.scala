@@ -66,6 +66,15 @@ object GraftFunctions {
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
   }
 
+  /** Distinct xxhash64 word-n-gram shingle hashes — see [[ShingleHashes]]. */
+  def shingles(text: Column, n: Int): Column =
+    GraftBridge.column(ShingleHashes(GraftBridge.expression(text), n))
+
+  /** k-permutation MinHash signature over shingle hashes — see
+    * [[MinHashSignature]]. */
+  def minhash(hashes: Column, k: Int): Column =
+    GraftBridge.column(MinHashSignature(GraftBridge.expression(hashes), k))
+
   /** Column-level handle, usable without session registration. */
   def dot(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))

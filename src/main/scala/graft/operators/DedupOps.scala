@@ -54,6 +54,23 @@ object DedupOps {
         element_at(transform(array(split(col(textCol), " ")), mkShingles), 1).as("sh"))
   }
 
+  /** doc_id + distinct hashed shingle set via the native
+    * [[graft.functions.ShingleHashes]] expression — hash-identical to
+    * `transform(sh, xxhash64)` over [[shingles]] but one codegen'd JVM
+    * loop per document instead of an interpreted lambda per shingle.
+    * This is the production entry to every hash-domain dedup operator. */
+  def shingleHashes(s: SparkSession, dir: String): DataFrame =
+    shingleHashesOf(Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+      "doc_id", "text", 3)
+
+  /** Generic API: distinct word-n-gram shingle hashes over any corpus.
+    * Output columns are normalized to (doc_id, hs: array<bigint>). */
+  def shingleHashesOf(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.GraftFunctions.shingles(col(textCol), n).as("hs"))
+      .filter(size(col("hs")) >= 1)
+
   /** Shared DuckDB view of the same shingle sets. */
   val shinglesSql: String =
     """WITH sh_t AS (
@@ -116,16 +133,24 @@ object DedupOps {
     * identical up to 64-bit hash collisions (~1e-9 at 1e5 distinct
     * shingles). */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
-    ngramJaccardOf(shingles(s, dir), jaccardThreshold, stopShingleDfCap)
+    ngramJaccardHashedOf(shingleHashes(s, dir), jaccardThreshold, stopShingleDfCap)
 
   /** Generic API: Jaccard near-dup pairs over any (doc_id, sh) shingle
     * frame (e.g. from [[shinglesOf]]) at the given threshold.
     * `maxShingleDf` drops shingles whose document frequency exceeds the
     * cap before pairing (stop-shingle filtering; `Long.MaxValue` = exact). */
   def ngramJaccardOf(shingleSets: DataFrame, threshold: Double,
+      maxShingleDf: Long = Long.MaxValue): DataFrame =
+    ngramJaccardHashedOf(
+      shingleSets.select(col("doc_id"),
+        transform(col("sh"), x => xxhash64(x)).as("hs")),
+      threshold, maxShingleDf)
+
+  /** Hash-domain core: Jaccard near-dup pairs over any
+    * (doc_id, hs: array<bigint>) frame (e.g. from [[shingleHashesOf]]). */
+  def ngramJaccardHashedOf(hashSets: DataFrame, threshold: Double,
       maxShingleDf: Long = Long.MaxValue): DataFrame = {
-    val inv = shingleSets
-      .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
+    val inv = hashSets
       .select(col("doc_id"), size(col("hs")).as("sh_size"), explode(col("hs")).as("h"))
     // Per-shingle document frequency via a whole-partition window on the
     // ONE shuffle this pipeline needs: the heavy shingling runs once, the
@@ -190,7 +215,13 @@ object DedupOps {
     val und = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
       .unionByName(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
       .localCheckpoint()
-    var lbl = nodes.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // Only edge endpoints participate in propagation: on a real corpus
+    // the overwhelming majority of documents have no dup edge at all, so
+    // iterating over the full node set would re-shuffle the whole corpus
+    // every round for rows whose label can never change. Isolated nodes
+    // are stitched back (cluster = self) with one left join at the end.
+    var lbl = und.select(col("s").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint()
     var prevSum = java.math.BigDecimal.valueOf(-1)
     var sum = lbl.agg(org.apache.spark.sql.functions.sum(col("cluster_id")).cast("decimal(38,0)"))
@@ -205,7 +236,11 @@ object DedupOps {
       sum = lbl.agg(org.apache.spark.sql.functions.sum(col("cluster_id")).cast("decimal(38,0)"))
         .collect()(0).getDecimal(0)
     }
-    lbl.withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+    nodes.select(col("doc_id"))
+      .join(lbl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
   /** Dup clusters over the n-gram Jaccard pairs: every document labeled
@@ -244,37 +279,40 @@ object DedupOps {
   val minhashK = 32
   val lshBands = 16
   val lshRows = 2
-  private val mersenne = 2147483647L
-  /** Deterministic permutation parameters (public LCG constants). */
-  private val permA: IndexedSeq[Long] =
-    (0 until minhashK).map(i => ((1103515245L * (i + 1) + 12345L) % mersenne) | 1L)
-  private val permB: IndexedSeq[Long] =
-    (0 until minhashK).map(i => (7919L * (i + 37) + 104729L) % mersenne)
+  // permutation parameters (public LCG constants) live with the native
+  // expression: graft.functions.MinHashSignature.a/b
 
-  /** doc_id + 32-element minhash signature. */
+  /** doc_id + hashed shingle set + 32-element minhash signature, all
+    * through the native expressions ([[graft.functions.ShingleHashes]],
+    * [[graft.functions.MinHashSignature]]) — bit-identical to the
+    * declarative permutation chain but one JVM loop per document. */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame =
-    minhashSignaturesOf(shingles(s, dir))
+    minhashSignaturesHashedOf(shingleHashes(s, dir))
 
-  /** Generic API: minhash signatures over any (doc_id, sh) shingle frame. */
-  def minhashSignaturesOf(shingleSets: DataFrame): DataFrame = {
-    val hashed = shingleSets
-      .withColumn("hx", transform(col("sh"), x => pmod(xxhash64(x), lit(mersenne))))
-    hashed.select(col("doc_id"), col("sh"),
-      array((0 until minhashK).map { i =>
-        array_min(transform(col("hx"), x => pmod(x * lit(permA(i)) + lit(permB(i)), lit(mersenne))))
-      }: _*).as("sig"))
-  }
+  /** Generic API: minhash signatures over any (doc_id, sh) string shingle
+    * frame. Output (doc_id, hs, sig). */
+  def minhashSignaturesOf(shingleSets: DataFrame): DataFrame =
+    minhashSignaturesHashedOf(
+      shingleSets.select(col("doc_id"),
+        transform(col("sh"), x => xxhash64(x)).as("hs")))
+
+  /** Hash-domain core: signatures over a (doc_id, hs) frame. */
+  def minhashSignaturesHashedOf(hashSets: DataFrame): DataFrame =
+    hashSets.select(col("doc_id"), col("hs"),
+      graft.functions.GraftFunctions.minhash(col("hs"), minhashK).as("sig"))
 
   /** LSH candidate pairs verified with exact Jaccard ≥ 0.5. Probabilistic
     * recall (spec pins it against the exact operator), exact precision. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashLshOf(minhashSignatures(s, dir), jaccardThreshold)
 
-  /** Generic API: banded-LSH near-dup pairs over any (doc_id, sh, sig)
-    * signature frame (e.g. from [[minhashSignatures]]). */
+  /** Generic API: banded-LSH near-dup pairs over any (doc_id, hs, sig)
+    * signature frame (e.g. from [[minhashSignatures]]). Verification
+    * intersects the 64-bit shingle-hash sets — long compares, not string
+    * compares, on every candidate pair. */
   def minhashLshOf(signatures: DataFrame, threshold: Double): DataFrame = {
     val sig = signatures
-      .withColumn("sh_size", size(col("sh")))
+      .withColumn("sh_size", size(col("hs")))
       .cache()
     val bands = sig.select(col("doc_id"),
       posexplode(array((0 until lshBands).map { bi =>
@@ -285,8 +323,8 @@ object DedupOps {
     val cands = a.join(b, Seq("band_id", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val left = sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sh_size").as("size_a"))
-    val right = sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sh_size").as("size_b"))
+    val left = sig.select(col("doc_id").as("doc_a"), col("hs").as("sh_a"), col("sh_size").as("size_a"))
+    val right = sig.select(col("doc_id").as("doc_b"), col("hs").as("sh_b"), col("sh_size").as("size_b"))
     cands.join(left, "doc_a").join(right, "doc_b")
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",

@@ -210,14 +210,22 @@ object PipelineOps {
     * shingle frames (e.g. from [[DedupOps.shinglesOf]]). `bench` is the
     * eval corpus's shingle frame — always tiny relative to training
     * data, so its distinct hashes broadcast. */
-  def contaminationOf(corpus: DataFrame, bench: DataFrame, frac: Double): DataFrame = {
+  def contaminationOf(corpus: DataFrame, bench: DataFrame, frac: Double): DataFrame =
+    contaminationHashedOf(
+      corpus.select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs")),
+      bench.select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs")),
+      frac)
+
+  /** Hash-domain core: contamination over (doc_id, hs) shingle-hash
+    * frames (e.g. from [[DedupOps.shingleHashesOf]]). */
+  def contaminationHashedOf(corpus: DataFrame, bench: DataFrame, frac: Double): DataFrame = {
     val benchH = bench
-      .select(explode(transform(col("sh"), x => xxhash64(x))).as("h"))
+      .select(explode(col("hs")).as("h"))
       .distinct()
       .withColumn("hit", lit(1))
     corpus
-      .select(col("doc_id"), size(col("sh")).as("n_shingles"),
-        explode(transform(col("sh"), x => xxhash64(x))).as("h"))
+      .select(col("doc_id"), size(col("hs")).as("n_shingles"),
+        explode(col("hs")).as("h"))
       .join(broadcast(benchH), Seq("h"), "left")
       .groupBy(col("doc_id"), col("n_shingles"))
       .agg(coalesce(sum(col("hit")), lit(0)).cast("long").as("n_overlap"))
@@ -228,10 +236,10 @@ object PipelineOps {
   }
 
   def contamination(s: SparkSession, dir: String): DataFrame = {
-    val sh = DedupOps.shingles(s, dir)
-    contaminationOf(
-      sh.filter(col("doc_id") % 97 =!= 0),
-      sh.filter(col("doc_id") % 97 === 0),
+    val hs = DedupOps.shingleHashes(s, dir)
+    contaminationHashedOf(
+      hs.filter(col("doc_id") % 97 =!= 0),
+      hs.filter(col("doc_id") % 97 === 0),
       contaminationFrac)
       .orderBy("doc_id")
   }
