@@ -64,6 +64,12 @@ object GraftFunctions {
     RollingFingerprint.register(spark)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles", exprs => ShingleHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash", exprs => MinHashSignature(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
   }
 
   /** Distinct xxhash64 word-n-gram shingle hashes — see [[ShingleHashes]]. */

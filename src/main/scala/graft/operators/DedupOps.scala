@@ -197,6 +197,55 @@ object DedupOps {
        |WHERE jaccard >= $jaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ----------------------------------------------- duplicated spans
+
+  /** Flag threshold: documents with more than this fraction of their
+    * shingles shared with other documents are likely boilerplate or
+    * partial duplicates (the Gopher/RefinedWeb duplicated-n-gram
+    * signal). */
+  val dupSpanFlagFrac = 0.3
+
+  /** Per-document duplicated-span fraction: of a document's distinct
+    * word-3-gram shingles, the share that occurs in at least one other
+    * document. Catches partial/boilerplate duplication that whole-doc
+    * dedup misses — the standard corpus-quality gate between exact
+    * dedup and near-dup pair mining. Same single-shuffle shape as the
+    * n-gram inverted index: explode hashed shingles, document frequency
+    * as a whole-partition window on the shingle key, one per-doc
+    * rollup. */
+  def dupSpanFrac(s: SparkSession, dir: String): DataFrame =
+    dupSpanFracOf(shingleHashes(s, dir), dupSpanFlagFrac)
+
+  /** Generic API: duplicated-shingle fraction over any (doc_id, hs)
+    * shingle-hash frame (e.g. from [[shingleHashesOf]]). */
+  def dupSpanFracOf(hashSets: DataFrame, flagFrac: Double): DataFrame = {
+    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    hashSets
+      .select(col("doc_id"), size(col("hs")).as("n_shingles"), explode(col("hs")).as("h"))
+      .withColumn("df", count(lit(1)).over(byShingle))
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac", col("n_dup").cast("double") / col("n_shingles"))
+      .withColumn("flagged", col("dup_frac") > flagFrac)
+      .select("doc_id", "n_shingles", "n_dup", "dup_frac", "flagged")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle computes document frequency over the shingle *strings* —
+    * identical to the hashed plan up to 64-bit collisions. */
+  val dupSpanFracSql: String = shinglesSql +
+    s""", ex AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s FROM sh_t),
+       |dfq AS (SELECT s, count(*) AS df FROM ex GROUP BY 1)
+       |SELECT doc_id,
+       |  CAST(n_shingles AS INTEGER) AS n_shingles,
+       |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / n_shingles AS dup_frac,
+       |  (CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / n_shingles)
+       |    > $dupSpanFlagFrac AS flagged
+       |FROM ex JOIN dfq USING (s)
+       |GROUP BY doc_id, n_shingles
+       |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------- dup clusters
 
   /** Generic API: connected components over an undirected near-dup pair
@@ -481,6 +530,7 @@ object DedupOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"         -> (exactDedup _),
     "q_dedup_ngram_jaccard" -> (ngramJaccard _),
+    "q_dup_span_frac"       -> (dupSpanFrac _),
     "q_dedup_clusters"      -> (dedupClusters _),
     "q_dedup_minhash_lsh"   -> (minhashLsh _),
     "q_dedup_simhash"       -> (simhashPairs _),
@@ -493,5 +543,6 @@ object DedupOps {
   def oracles: Map[String, String] = Map(
     "q_dedup_exact"         -> exactDedupSql,
     "q_dedup_ngram_jaccard" -> ngramJaccardSql,
+    "q_dup_span_frac"       -> dupSpanFracSql,
     "q_dedup_clusters"      -> dedupClustersSql)
 }

@@ -1,0 +1,147 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Feedstock as a first-class DataSourceV2 connector:
+  *
+  *   spark.read.format("graft-feedstock").load(path)
+  *
+  * The connector tier matters at 100 TB because it is where pruning
+  * happens: the ScanBuilder implements SupportsPushDownRequiredColumns,
+  * so a query that selects `record.doc_id` ships a one-leaf schema to
+  * every partition reader and the JSON parser materializes exactly that
+  * field — nothing else is converted to Catalyst rows. Splits are one
+  * per file (feedstock arrives as many per-dataset files, which is the
+  * parallelism), and the reader streams lines — no whole-file buffering.
+  *
+  * Mirrors the reference's feedstock ingestion boundary
+  * (aws/submit.py's extracted-feedstock hand-off); the declarative
+  * helpers in [[FeedstockSource]] remain the schema-on-read path.
+  */
+class FeedstockDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-feedstock"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FeedstockSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new FeedstockTable(properties.get("path"), schema)
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+class FeedstockTable(path: String, tableSchema: StructType) extends Table with SupportsRead {
+  override def name(): String = s"graft-feedstock($path)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FeedstockScanBuilder(path, tableSchema)
+}
+
+class FeedstockScanBuilder(path: String, full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new FeedstockScan(path, required)
+}
+
+class FeedstockScan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-feedstock $path ReadSchema: ${required.catalogString}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    val it = fs.listFiles(new Path(path), true)
+    val files = Iterator.continually(it)
+      .takeWhile(_.hasNext)
+      .map(_.next())
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(st => FeedstockInputPartition(st.getPath.toString): InputPartition)
+      .toArray
+    files
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    FeedstockReaderFactory(required)
+}
+
+case class FeedstockInputPartition(file: String) extends InputPartition
+
+case class FeedstockReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new FeedstockPartitionReader(
+      partition.asInstanceOf[FeedstockInputPartition].file, required)
+}
+
+/** Streams one JSON-lines file, converting each line to an InternalRow
+  * of exactly the pruned schema. */
+class FeedstockPartitionReader(file: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private val path = new Path(file)
+  // executor-local conf; a cluster deployment threads the real Hadoop
+  // conf through a broadcast — the test/local FS needs no credentials
+  private val in = path.getFileSystem(new Configuration()).open(path)
+  private val reader = new java.io.BufferedReader(
+    new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    var line = reader.readLine()
+    while (line != null && line.trim.isEmpty) line = reader.readLine()
+    if (line == null) { row = null; false }
+    else { row = FeedstockPartitionReader.convert(mapper.readTree(line), required); true }
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
+}
+
+object FeedstockPartitionReader {
+  def convert(node: JsonNode, st: StructType): InternalRow =
+    new GenericInternalRow(st.fields.map { f =>
+      toCatalyst(if (node == null) null else node.get(f.name), f.dataType)
+    }.asInstanceOf[Array[Any]])
+
+  private def toCatalyst(n: JsonNode, dt: DataType): Any =
+    if (n == null || n.isNull) null
+    else dt match {
+      case s: StructType => convert(n, s)
+      case StringType => UTF8String.fromString(n.asText())
+      case IntegerType => n.asInt()
+      case LongType => n.asLong()
+      case DoubleType => n.asDouble()
+      case BooleanType => n.asBoolean()
+      case ArrayType(et, _) =>
+        val vs = new Array[Any](n.size())
+        var i = 0
+        while (i < n.size()) { vs(i) = toCatalyst(n.get(i), et); i += 1 }
+        new GenericArrayData(vs): ArrayData
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft-feedstock: unsupported leaf type ${other.catalogString}")
+    }
+}
