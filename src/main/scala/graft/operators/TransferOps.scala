@@ -190,9 +190,39 @@ object TransferOps {
        |  xfer_error
        |FROM r ORDER BY submission_id, item_idx""".stripMargin
 
+  /** create_data_entry_for_search (automate_manager.py:104-108): the
+    * search-facing data entry derived from a submission's first transfer
+    * item — `globus://{dest_ep}/{dest_path}` endpoint path plus the
+    * file-manager deep link. The reference formats with a literal `/`
+    * separator even though destination paths are absolute (double slash
+    * preserved here for fidelity). Only submissions whose transfer items
+    * resolved cleanly get an entry. */
+  def searchEntry(s: SparkSession, dir: String): DataFrame =
+    transferItems(s, dir)
+      .filter(col("item_idx") === 0 && col("xfer_error").isNull)
+      .select(
+        col("submission_id"),
+        concat(lit("globus://"), col("destination_endpoint_id"), lit("/"),
+          col("destination_path")).as("endpoint_path"),
+        concat(lit("https://app.globus.org/file-manager?origin_id="),
+          col("destination_endpoint_id"), lit("&origin_path="),
+          col("destination_path")).as("link"))
+      .orderBy("submission_id")
+
+  val searchEntrySql: String =
+    s"""SELECT submission_id,
+       |  'globus://' || destination_endpoint_id || '/' || destination_path AS endpoint_path,
+       |  'https://app.globus.org/file-manager?origin_id=' || destination_endpoint_id ||
+       |    '&origin_path=' || destination_path AS link
+       |FROM ($transferItemsSql) t
+       |WHERE item_idx = 0 AND xfer_error IS NULL
+       |ORDER BY submission_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_transfer_items" -> (transferItems _))
+    "q_transfer_items" -> (transferItems _),
+    "q_search_entry"   -> (searchEntry _))
 
   def oracles: Map[String, String] = Map(
-    "q_transfer_items" -> transferItemsSql)
+    "q_transfer_items" -> transferItemsSql,
+    "q_search_entry"   -> searchEntrySql)
 }
