@@ -23,7 +23,7 @@ object Bench {
     // hostage to whatever else the box is doing — a GC pause or a noisy
     // neighbor inflates one query by 10x. The min over reps is the
     // plan's actual cost.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
       spark.catalog.clearCache()

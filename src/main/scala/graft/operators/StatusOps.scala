@@ -407,7 +407,52 @@ object StatusOps {
       |SELECT node, ancestor, CAST(depth AS INTEGER) AS depth
       |FROM anc ORDER BY node, depth""".stripMargin
 
+  // ------------------------------------------------- flow error digest
+
+  /** get_error_msgs (flow_action.py:12-22): scan a flow run's log for
+    * ActionFailed entries and collect the bundled error lists from their
+    * parsed causes; entries whose cause carries no `errors` key are
+    * counted but contribute no message. Modeled on the events stream:
+    * a run = user_id, a failure = an 'error' event, the parsed cause =
+    * the props JSON (even-k causes bundle a search-ingest error message,
+    * odd-k causes don't — both branches of the reference's filter are
+    * exercised). One groupBy on the run key; messages are ordered by
+    * event time inside the aggregation, not by a window. */
+  def flowErrors(s: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(s, dir)
+      .filter(col("event_type") === "error")
+      .select(col("user_id").as("action_id"), col("ts"), col("event_id"),
+        k.as("k"))
+      .groupBy(col("action_id"))
+      .agg(
+        count(lit(1)).as("n_failed"),
+        sum(when(col("k") % 2 === 0, 1L).otherwise(0L)).as("n_with_errors"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("k") % 2 === 0,
+              struct(col("ts"), col("event_id"),
+                concat(lit("search-ingest-"), col("k").cast("string")).as("msg"))))),
+            x => x.getField("msg")),
+          ",").as("error_msgs"))
+      .orderBy("action_id")
+  }
+
+  val flowErrorsSql: String =
+    """WITH f AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events WHERE event_type = 'error')
+      |SELECT user_id AS action_id,
+      |  CAST(count(*) AS BIGINT) AS n_failed,
+      |  CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_errors,
+      |  coalesce(string_agg(
+      |    CASE WHEN k % 2 = 0 THEN 'search-ingest-' || CAST(k AS VARCHAR) END,
+      |    ',' ORDER BY ts, event_id), '') AS error_msgs
+      |FROM f GROUP BY 1 ORDER BY action_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_flow_errors"         -> (flowErrors _),
     "q_org_closure"         -> (orgClosure _),
     "q_status_code"         -> (statusCode _),
     "q_status_rollup"       -> (statusRollup _),
@@ -420,6 +465,7 @@ object StatusOps {
     "q_org_rules_merge"     -> (orgRulesMerge _))
 
   def oracles: Map[String, String] = Map(
+    "q_flow_errors"         -> flowErrorsSql,
     "q_org_closure"         -> orgClosureSql,
     "q_status_code"         -> statusCodeSql,
     "q_status_rollup"       -> statusRollupSql,
