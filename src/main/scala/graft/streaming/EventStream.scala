@@ -102,6 +102,85 @@ object EventStream {
           .otherwise("test"))
   }
 
+  final case class BandRow(band_id: Int, band_key: Long, doc_id: Long,
+      ts: Timestamp, sig: Seq[Long])
+  final case class BandState(entries: List[(Long, Seq[Long])])
+  final case class DupCandidate(doc_a: Long, doc_b: Long, band_id: Int,
+      est_jaccard: Double)
+
+  /** Per-bucket cap on remembered documents: a viral band key (the
+    * streaming analog of a stop shingle) must not grow one state entry
+    * without bound inside the watermark window. */
+  val maxBucketEntries = 64
+
+  /** Streaming near-dup detection: MinHash-banded LSH over a document
+    * stream. Shingling, signatures and the 16 band keys are all
+    * computed map-side by the native expressions (`graft_shingles`,
+    * `graft_minhash`), so the only stateful operator is a
+    * flatMapGroupsWithState keyed on (band_id, band_key): each bucket
+    * remembers the recent documents that hashed into it (capped, and
+    * dropped wholesale by event-time timeout once the watermark passes),
+    * and every arriving document is compared against them with the
+    * standard minhash estimate (matching signature positions / k).
+    * Pairs can surface from several bands — band_id is kept so callers
+    * dedupe downstream (a stateless distinct inside a foreachBatch sink
+    * or an idempotent upsert keyed on the pair).
+    *
+    * This is the streaming twin of
+    * [[graft.operators.DedupOps.minhashLshOf]]: same signatures, same
+    * banding, recall bounded by the same band-collision probability —
+    * but candidates emit within one watermark delay of ingestion
+    * instead of after a batch pass. `docs` needs (doc_id, ts, text). */
+  def nearDupCandidates(docs: DataFrame, minEstJaccard: Double = 0.5): Dataset[DupCandidate] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.GraftFunctions
+    import graft.operators.DedupOps.{lshBands, lshRows, minhashK}
+    val sig = docs
+      .select(col("doc_id"), col("ts"),
+        GraftFunctions.shingles(col("text"), 3).as("hs"))
+      .filter(size(col("hs")) >= 1)
+      .select(col("doc_id"), col("ts"),
+        GraftFunctions.minhash(col("hs"), minhashK).as("sig"))
+    val bands = sig.select(col("doc_id"), col("ts"), col("sig"),
+      posexplode(array((0 until lshBands).map { bi =>
+        xxhash64(concat_ws("_", slice(col("sig"), bi * lshRows + 1, lshRows)
+          .cast("array<string>")))
+      }: _*)).as(Seq("band_id", "band_key")))
+    bands
+      .withWatermark("ts", "1 hour")
+      .select(col("band_id"), col("band_key"), col("doc_id"), col("ts"), col("sig"))
+      .as[BandRow]
+      .groupByKey(r => (r.band_id, r.band_key))
+      .flatMapGroupsWithState[BandState, DupCandidate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, _, state: GroupState[BandState]) if state.hasTimedOut =>
+          state.remove()
+          Iterator.empty
+        case ((bandId, _), rows, state: GroupState[BandState]) =>
+          var entries = state.getOption.map(_.entries).getOrElse(Nil)
+          val out = Seq.newBuilder[DupCandidate]
+          var lastTs = 0L
+          rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
+            lastTs = math.max(lastTs, r.ts.getTime)
+            entries.foreach { case (seenId, seenSig) =>
+              if (seenId != r.doc_id) {
+                val matches = seenSig.iterator.zip(r.sig.iterator).count { case (a, b) => a == b }
+                val est = matches.toDouble / minhashK
+                if (est >= minEstJaccard)
+                  out += DupCandidate(math.min(seenId, r.doc_id),
+                    math.max(seenId, r.doc_id), bandId, est)
+              }
+            }
+            entries = ((r.doc_id, r.sig) :: entries.filterNot(_._1 == r.doc_id))
+              .take(maxBucketEntries)
+          }
+          state.update(BandState(entries))
+          // bucket state survives one watermark window past its last doc
+          state.setTimeoutTimestamp(lastTs + 3600L * 1000)
+          out.result().iterator
+      }
+  }
+
   final case class Ev(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, value: Double)
   final case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,

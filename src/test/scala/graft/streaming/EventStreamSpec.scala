@@ -123,4 +123,42 @@ class EventStreamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(4))).toMap
     assert(got == batch)
   }
+
+  test("streaming minhash LSH surfaces the batch near-dup pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000)
+    // docs from the corpus so signatures are realistic; every doc gets a
+    // timestamp inside one watermark window
+    val corpus = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, Long, String)]
+    stream.addData(corpus.zipWithIndex.map { case ((id, text), i) =>
+      (id, (i % 50).toLong, text)
+    }.toSeq)
+    val docs = stream.toDF().toDF("doc_id", "minute", "text")
+      .select(col("doc_id"),
+        (lit(1700000000000L) + col("minute") * 60000).cast("timestamp").as("ts"),
+        col("text"))
+    val q = EventStream.nearDupCandidates(docs)
+      .writeStream.format("memory").queryName("neardup").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamPairs = spark.table("neardup")
+      .select("doc_a", "doc_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch LSH over the same corpus: its verified strong pairs (exact
+    // jaccard >= 0.7 agree on many signature positions) must all surface
+    val strong = graft.operators.DedupOps.minhashLsh(spark, sfDir)
+      .filter(col("jaccard") >= 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strong.nonEmpty)
+    assert(strong.subsetOf(streamPairs),
+      s"missing ${strong.diff(streamPairs)} of ${strong.size} strong pairs")
+    // estimates are honest: no candidate below the threshold
+    val ests = spark.table("neardup").select("est_jaccard")
+      .collect().map(_.getDouble(0))
+    assert(ests.forall(_ >= 0.5))
+  }
 }
