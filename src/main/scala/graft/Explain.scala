@@ -38,6 +38,12 @@ object Explain {
       // (Window), collect_list postings (ObjectHashAggregate), pair
       // explode (Generate)
       "q_dedup_ngram_jaccard" -> Seq("Window", "ObjectHashAggregate", "Generate"),
+      // same inverted-index shape: DF window on the one shingle shuffle
+      "q_dup_span_frac"      -> Seq("Window", "Generate"),
+      // per-run digest: one hash aggregation, messages ordered inside
+      // the aggregation (no window over the log stream)
+      "q_flow_errors"        -> Seq("ObjectHashAggregate"),
+      "q_search_entry"       -> Seq("Window", "Generate"),
       "q_ann_topk"           -> Seq("BroadcastNestedLoopJoin"),
       "q_tfidf_top_terms"    -> Seq("Window"),
       "q_semi_join"          -> Seq("LeftSemi"),

@@ -335,7 +335,60 @@ object TextFunctions {
       |FROM st LEFT JOIN bgc ON st.doc_id = bgc.doc_id
       |ORDER BY st.doc_id""".stripMargin
 
+  // ------------------------------------------------- token rarity
+
+  /** Mean log corpus-frequency of a document's tokens — the cheap
+    * perplexity proxy corpus filters use (a document of common words
+    * scores high, gibberish/rare-token text scores low; the true
+    * unigram log-probability differs only by the corpus-size constant
+    * ln N). One linear pipeline: per-(word, doc) counts, corpus counts
+    * as a window on the word key, one per-doc rollup.
+    *
+    * FP discipline: a hash aggregation sums doubles in partition order,
+    * which is not reproducible across engines (or runs). The per-doc
+    * (count, multiplicity) pairs are exact integers, so they are
+    * collected, sorted, and folded in sorted order with `aggregate` —
+    * Spark and the DuckDB oracle add the same doubles in the same
+    * sequence, making the score bit-identical. */
+  def tokenRarity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wd = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+      .groupBy(col("word"), col("doc_id"))
+      .agg(count(lit(1)).as("m"))
+    wd
+      .withColumn("c", sum(col("m")).over(Window.partitionBy(col("word"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_tokens"),
+        aggregate(
+          array_sort(collect_list(struct(col("c"), col("m")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("m") * log(x.getField("c"))).as("logfreq_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("logfreq_sum") / col("n_tokens"), 6).as("mean_log_freq"))
+      .orderBy("doc_id")
+  }
+
+  val tokenRaritySql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+      |  FROM documents),
+      |wd AS (SELECT word, doc_id, count(*) AS m FROM w GROUP BY 1, 2),
+      |wc AS (SELECT *, sum(m) OVER (PARTITION BY word) AS c FROM wd),
+      |per AS (
+      |  SELECT doc_id,
+      |    CAST(sum(m) AS BIGINT) AS n_tokens,
+      |    list(struct_pack(c := c, m := m) ORDER BY c, m) AS pairs
+      |  FROM wc GROUP BY 1)
+      |SELECT doc_id, n_tokens,
+      |  round(list_reduce(list_prepend(0.0,
+      |    list_transform(pairs, p -> CAST(p.m AS DOUBLE) * ln(CAST(p.c AS DOUBLE)))),
+      |    (acc, x) -> acc + x) / n_tokens, 6) AS mean_log_freq
+      |FROM per ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_rarity"    -> (tokenRarity _),
     "q_tfidf_top_terms" -> (tfidfTopTerms _),
     "q_pii_scrub"     -> (piiScrub _),
     "q_repetition"    -> (repetitionScore _),
@@ -345,6 +398,7 @@ object TextFunctions {
     "q_fingerprint"   -> (fingerprint _))
 
   def oracles: Map[String, String] = Map(
+    "q_token_rarity"    -> tokenRaritySql,
     "q_tfidf_top_terms" -> tfidfTopTermsSql,
     "q_pii_scrub"     -> piiScrubSql,
     "q_repetition"    -> repetitionScoreSql,
