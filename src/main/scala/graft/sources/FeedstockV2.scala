@@ -10,9 +10,10 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -47,13 +48,85 @@ class FeedstockDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 }
 
-class FeedstockTable(path: String, tableSchema: StructType) extends Table with SupportsRead {
+class FeedstockTable(path: String, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-feedstock($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FeedstockScanBuilder(path, tableSchema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new FeedstockWriteBuilder(path, info.schema())
+}
+
+/** Batch write: one JSON-lines file per task, committed by rename-free
+  * direct write (task files are uniquely named by (partition, task), so
+  * speculative duplicates overwrite idempotently — the same contract the
+  * reference's per-dataset feedstock drops rely on). */
+class FeedstockWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder = this // overwrite == rewrite the dir
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new BatchWrite {
+      override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+        FeedstockWriterFactory(path, schema)
+      override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    }
+  }
+}
+
+case class FeedstockWriterFactory(path: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new FeedstockDataWriter(s"$path/part-$partitionId.jsonl", schema)
+}
+
+class FeedstockDataWriter(file: String, schema: StructType)
+    extends DataWriter[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private val p = new Path(file)
+  private val out = {
+    val fs = p.getFileSystem(new Configuration())
+    fs.mkdirs(p.getParent)
+    new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  override def write(row: InternalRow): Unit = {
+    out.write(FeedstockDataWriter.toJson(mapper, row, schema))
+    out.write("\n")
+  }
+  override def commit(): WriterCommitMessage = { out.close(); FeedstockCommit(file) }
+  override def abort(): Unit = out.close()
+  override def close(): Unit = ()
+}
+
+case class FeedstockCommit(file: String) extends WriterCommitMessage
+
+object FeedstockDataWriter {
+  def toJson(mapper: ObjectMapper, row: InternalRow, st: StructType): String = {
+    val node = mapper.createObjectNode()
+    st.fields.zipWithIndex.foreach { case (f, i) =>
+      if (row.isNullAt(i)) node.putNull(f.name)
+      else f.dataType match {
+        case s: StructType =>
+          node.set(f.name, mapper.readTree(
+            toJson(mapper, row.getStruct(i, s.size), s)))
+        case StringType => node.put(f.name, row.getUTF8String(i).toString)
+        case IntegerType => node.put(f.name, row.getInt(i))
+        case LongType => node.put(f.name, row.getLong(i))
+        case DoubleType => node.put(f.name, row.getDouble(i))
+        case BooleanType => node.put(f.name, row.getBoolean(i))
+        case other =>
+          throw new IllegalArgumentException(
+            s"graft-feedstock write: unsupported leaf type ${other.catalogString}")
+      }
+    }
+    mapper.writeValueAsString(node)
+  }
 }
 
 class FeedstockScanBuilder(path: String, full: StructType)

@@ -38,4 +38,19 @@ class FeedstockV2Spec extends SparkSpec {
     assert(q.agg(count(lit(1))).collect()(0).getLong(0) ==
       graft.Tables.documents(spark, sfDir).count())
   }
+
+  test("DSv2 write + read round trip through the connector") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val feedstock = FeedstockSource.fromDocuments(docs)
+    val tmp = java.nio.file.Files.createTempDirectory("feedstock-v2w").toString
+    feedstock.write.format("graft-feedstock").mode("append").save(tmp)
+    val back = FeedstockSource.flatten(
+      spark.read.format("graft-feedstock").load(tmp))
+    assert(back.count() == docs.count())
+    val a = back.orderBy("doc_id").select("doc_id", "text", "source_id")
+      .collect().map(_.toSeq)
+    val b = FeedstockSource.flatten(feedstock).orderBy("doc_id")
+      .select("doc_id", "text", "source_id").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
 }
