@@ -9,9 +9,12 @@ import graft.Tables
 
 /** Headline relational analytics over the fact tables.
   *
-  * Scale notes (100 TB): every query here keeps the dimension side of each
-  * join under `broadcast(...)` so the only shuffles are the fact-side
-  * aggregations on their group keys; money aggregations run in
+  * Scale notes (100 TB): FIXED-size dimensions (region, nation) are
+  * explicitly `broadcast(...)`; tables that scale with the corpus
+  * (customer, supplier, part) are joined without a hint — Catalyst's
+  * size statistics broadcast them while they fit (they do on every test
+  * SF) and AQE falls back to a shuffle join at the scale where a forced
+  * broadcast would OOM the executors. Money aggregations run in
   * DECIMAL(18,2) so partial (map-side) aggregation is exact and
   * reassociation-safe — results are bit-identical regardless of partition
   * count, which also makes them hash-comparable against the DuckDB oracle.
@@ -58,10 +61,11 @@ object AnalyticsOps {
     val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
     val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
-    // customer at sf is small relative to the facts: broadcast it so the
-    // orders⋈lineitem equi-join is the only shuffle.
+    // orders⋈lineitem shuffles on orderkey; customer scales with the
+    // corpus, so its join is left to the planner (stats-broadcast now,
+    // shuffle at 100 TB).
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
         .cast("double").as("revenue"))
@@ -90,11 +94,12 @@ object AnalyticsOps {
     val o = Tables.orders(s, dir)
       .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
     val l = Tables.lineitem(s, dir)
-    // All dims broadcast: the plan is lineitem⋈orders (shuffle on orderkey)
-    // with every other join map-side.
+    // Fixed dims (nation, region) broadcast; supplier/customer scale
+    // with the corpus and are planner-decided — the only guaranteed
+    // shuffle is lineitem⋈orders on orderkey.
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
@@ -120,7 +125,8 @@ object AnalyticsOps {
   def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(s, dir)
     val p = Tables.part(s, dir)
-    val rev = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    // part scales with the corpus: planner-decided join, no forced hint
+    val rev = l.join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_partkey"))
       .agg(sum(dec(col("l_extendedprice"))).cast("double").as("part_revenue"))
     val w = Window.partitionBy(col("p_brand"))
