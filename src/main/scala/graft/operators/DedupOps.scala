@@ -113,13 +113,17 @@ object DedupOps {
   val jaccardThreshold = 0.5
 
   /** Stop-shingle guard for the production entry point: a shingle shared
-    * by more than this many documents is dropped before the self-join —
-    * one viral phrase must not create a 10^12-row candidate partition
-    * (a single join key AQE cannot split). Well above any DF the test
-    * corpora can reach (≤ 5000 docs), so the oracle stays exact there;
-    * at web scale the recall loss from capping is bounded and pinned in
-    * DedupOpsSpec against the uncapped result. */
-  val stopShingleDfCap = 100000L
+    * by more than this many documents is dropped before pairing — one
+    * viral phrase must not create a quadratic candidate blowup on a
+    * single key AQE cannot split. The cap also bounds the pair
+    * generation's per-row work: pairs are emitted array-side from each
+    * posting list, so the largest intermediate a single row can
+    * materialize is cap²/2 structs (500k ≈ 16 MB at 1000 — bounded;
+    * an uncapped web-scale list would OOM the executor). Far above any
+    * DF the test corpora reach (max 25 at sf0.1), so every oracle stays
+    * exact; at web scale the recall loss from capping is bounded and
+    * pinned in DedupOpsSpec against the uncapped result. */
+  val stopShingleDfCap = 1000L
 
   /** Near-dup pairs with word-3-gram Jaccard ≥ 0.5, via an inverted index
     * over 64-bit shingle hashes: explode per-doc distinct shingle hashes
