@@ -348,8 +348,78 @@ object AnalyticsOps {
       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
+  // ------------------------------------------------- funnel
+
+  /** Ordered conversion funnel over the event stream: signup → click →
+    * purchase, each step strictly after the user's earliest previous
+    * step and within a 12-hour step window (otherwise the funnel does
+    * not count it). Per-stage user counts plus conversion from the top.
+    * Three aggregations co-keyed on user_id — after the first shuffle
+    * the step joins reuse the same hash partitioning, so a 100 TB event
+    * log pays one repartition, not three. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val t1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, "user_id")
+      .filter(col("ts") > col("t1") &&
+        col("ts") <= col("t1") + expr("INTERVAL 12 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, "user_id")
+      .filter(col("ts") > col("t2") &&
+        col("ts") <= col("t2") + expr("INTERVAL 12 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val stages = t1
+      .join(t2.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+      .join(t3.select(col("user_id"), col("t3")), Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t3").isNotNull, 3)
+          .when(col("t2").isNotNull, 2)
+          .otherwise(1).as("stage_reached"))
+    val total = stages.agg(count(lit(1)).cast("double").as("n_top"))
+    stages
+      .groupBy(col("stage_reached"))
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(total)
+      .select(col("stage_reached"), col("n_users"),
+        round(col("n_users").cast("double") / col("n_top"), 6).as("frac_of_top"))
+      .orderBy("stage_reached")
+  }
+
+  val funnelSql: String =
+    """WITH t1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |t2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |  JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+      |    AND e.ts <= t1.t1 + INTERVAL 12 HOUR
+      |  WHERE e.event_type = 'click' GROUP BY 1),
+      |t3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |  JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+      |    AND e.ts <= t2.t2 + INTERVAL 12 HOUR
+      |  WHERE e.event_type = 'purchase' GROUP BY 1),
+      |stages AS (
+      |  SELECT t1.user_id,
+      |    CASE WHEN t3.user_id IS NOT NULL THEN 3
+      |         WHEN t2.user_id IS NOT NULL THEN 2
+      |         ELSE 1 END AS stage_reached
+      |  FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+      |  LEFT JOIN t3 ON t1.user_id = t3.user_id),
+      |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_top FROM stages)
+      |SELECT CAST(stage_reached AS INTEGER) AS stage_reached,
+      |  CAST(count(*) AS BIGINT) AS n_users,
+      |  round(CAST(count(*) AS DOUBLE) / n_top, 6) AS frac_of_top
+      |FROM stages CROSS JOIN tot
+      |GROUP BY stage_reached, n_top
+      |ORDER BY stage_reached""".stripMargin
+
   // ------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel"            -> (funnel _),
     "q1_pricing_summary"  -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier"   -> (q5LocalSupplier _),
@@ -367,6 +437,7 @@ object AnalyticsOps {
     "q_approx_quantiles"  -> (approxQuantiles _))
 
   def oracles: Map[String, String] = Map(
+    "q_funnel"            -> funnelSql,
     "q1_pricing_summary"  -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier"   -> q5Sql,
