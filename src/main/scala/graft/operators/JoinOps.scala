@@ -50,6 +50,61 @@ object JoinOps {
     matched.select(leftOut ++ rightOut: _*)
   }
 
+  /** Generic forward ASOF LEFT join: for each left row, attach the
+    * EARLIEST right row of the same `key` with `right(tsCol) >=
+    * left(tsCol)` — the mirror of [[asofJoinOf]] (next reading at or
+    * after, instead of latest at or before). Same one-shuffle
+    * union+window shape, with the frame flipped to [current, ∞) and
+    * left rows sorting before right rows on equal ts so `>=` ties
+    * match. */
+  def asofForwardJoinOf(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+      leftTie: String, rightTie: String): DataFrame = {
+    val payloadCols = right.columns.filter(c => c != key && c != tsCol && c != rightTie)
+    val rightTagged = right.select(
+      col(key), col(tsCol), lit(1).as("__side"), col(rightTie).cast("long").as("__tie"),
+      struct((tsCol +: rightTie +: payloadCols.toSeq).map(col): _*).as("__payload"))
+    val leftTagged = left.select(
+      col(key), col(tsCol), lit(0).as("__side"), col(leftTie).cast("long").as("__tie"),
+      lit(null).cast(rightTagged.schema("__payload").dataType).as("__payload"),
+      struct(left.columns.map(col): _*).as("__left"))
+    val unioned = rightTagged.withColumn("__left",
+        lit(null).cast(leftTagged.schema("__left").dataType))
+      .unionByName(leftTagged)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol).asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = unioned
+      .withColumn("__match", first(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+    val leftOut = left.columns.map(c => col("__left").getField(c).as(c))
+    val rightOut = (tsCol +: rightTie +: payloadCols.toSeq)
+      .map(c => col("__match").getField(c).as(s"asof_$c"))
+    matched.select(leftOut ++ rightOut: _*)
+  }
+
+  /** For each click event: the next purchase of the same user at or
+    * after the click ts (forward ASOF, via the generic API). */
+  def asofForward(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"), col("value"))
+    asofForwardJoinOf(clicks, purchases, "user_id", "ts", "click_id", "purchase_id")
+      .orderBy("click_id")
+  }
+
+  val asofForwardSql: String =
+    """SELECT c.user_id, c.ts, c.click_id,
+      |  p.ts2 AS asof_ts, p.purchase_id AS asof_purchase_id, p.value AS asof_value
+      |FROM (SELECT user_id, ts, event_id AS click_id
+      |      FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT user_id AS user_id2, ts AS ts2,
+      |                  event_id AS purchase_id, value
+      |                FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id2 AND c.ts <= p.ts2
+      |ORDER BY c.click_id""".stripMargin
+
   /** For each purchase event: the most recent click of the same user at or
     * before the purchase ts (ASOF semantics, left join). */
   def asofJoin(s: SparkSession, dir: String): DataFrame = {
@@ -236,6 +291,7 @@ object JoinOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join"     -> (asofJoin _),
+    "q_asof_forward"  -> (asofForward _),
     "q_asof_native"   -> (asofJoinNative _),
     "q_range_join"    -> (rangeJoin _),
     "q_interval_join" -> (intervalJoin _),
@@ -243,6 +299,7 @@ object JoinOps {
 
   def oracles: Map[String, String] = Map(
     "q_asof_join"     -> asofJoinSql,
+    "q_asof_forward"  -> asofForwardSql,
     "q_asof_native"   -> asofJoinSql,
     "q_range_join"    -> rangeJoinSql,
     "q_interval_join" -> intervalJoinSql,
