@@ -17,7 +17,8 @@ object Bench {
       else SparkEntry.queries.view.filterKeys(args.contains).toMap
     // Warm each query's codegen + JIT on the smallest sf first (same
     // generated classes, negligible data) so the timed run measures the
-    // plan, not JVM compilation.
+    // plan, not JVM compilation. Warm-up failures are ignored here — the
+    // timed run surfaces them as hard errors below.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     // Best-of-N timing (deterministic name order): a single sample is
     // hostage to whatever else the box is doing — a GC pause or a noisy
@@ -27,21 +28,41 @@ object Bench {
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
       spark.catalog.clearCache()
+      // A failing query must fail the bench visibly, never time as
+      // instantly fast: record the error and make the run exit non-zero.
+      var err: Option[String] = None
       val dt = (1 to reps).map { _ =>
         // queries may cache intermediates; drop them so every rep is
         // measured cold, and take the GC pause now, outside the timer
         spark.catalog.clearCache()
         System.gc()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          err = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+        }
         (System.nanoTime() - t0) / 1e9
       }.min
-      name -> dt
+      (name, dt, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, Some(e)) => k -> e }
+    val errs = failed.map { case (k, e) =>
+      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // Belt-and-braces against captured-stdout truncation: the same JSON
+    // goes to a file next to the working dir.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"BENCH FAILURES: ${failed.map(_._1).mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

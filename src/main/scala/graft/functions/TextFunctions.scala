@@ -169,11 +169,11 @@ object TextFunctions {
     * a window rank — the canonical two-level shuffle shape. Everything is
     * one lazy plan: the corpus size is a 1-row aggregate cross-joined in
     * (exactly the oracle's `CROSS JOIN n`), never a driver-side count();
-    * df comes back through a plain shuffle join on `word` — a web-scale
+    * df comes back through a plain equi-join on `word` — a web-scale
     * vocabulary has billions of distinct tokens, so it must not be
-    * broadcast (AQE still turns it into a broadcast automatically when
-    * the frequency table is actually small). Output is (rank, word), not
-    * the score: ln() last-ulp differences between engines can't flip
+    * hand-broadcast (AQE still turns it into a broadcast automatically
+    * when the frequency table is actually small). Output is (rank, word),
+    * not the score: ln() last-ulp differences between engines can't flip
     * ranks that are tied-broken by word. */
   def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -182,20 +182,26 @@ object TextFunctions {
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     // One scan + one explode feed both statistics: per-(word, doc)
     // counts first (doc_id determines source, so source rides along in
-    // the group key), then document frequency as a whole-partition
-    // window on the word key and term frequency as a per-(source, word)
-    // rollup of the same frame. The naive two-branch formulation scans
-    // and explodes the corpus twice — at 100 TB the tokenization IS the
-    // cost, so it must run exactly once.
+    // the group key), then document frequency and term frequency as two
+    // rollups of the same frame — the shared (word, doc_id, source)
+    // exchange is planned once and reused (ReusedExchange), so the
+    // heavy tokenization runs exactly once.
     val wd = docs.select(col("source"), col("doc_id"),
       explode(split(trim(col("text")), "\\s+")).as("word"))
       .groupBy(col("word"), col("doc_id"), col("source"))
       .agg(count(lit(1)).as("c"))
-    val byWord = Window.partitionBy(col("word"))
+    // Document frequency as groupBy + join, NOT a whole-partition window
+    // on the word key: words are Zipfian, and a window would stream the
+    // hottest word's entire posting list through one partition that AQE
+    // cannot split. The groupBy's map-side partial aggregation collapses
+    // a hot word to one row per task before the shuffle; the join back is
+    // broadcast when the vocabulary is small (AQE) and an AQE-splittable
+    // sort-merge join when it is not.
+    val df = wd.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val tf = wd
-      .withColumn("df", count(lit(1)).over(byWord))
       .groupBy(col("source"), col("word"))
-      .agg(sum(col("c")).as("tf"), max(col("df")).as("df"))
+      .agg(sum(col("c")).as("tf"))
+      .join(df, Seq("word"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("score").desc, col("word").asc)
     tf
@@ -342,7 +348,9 @@ object TextFunctions {
     * scores high, gibberish/rare-token text scores low; the true
     * unigram log-probability differs only by the corpus-size constant
     * ln N). One linear pipeline: per-(word, doc) counts, corpus counts
-    * as a window on the word key, one per-doc rollup.
+    * as a groupBy + join on the word key (map-side partial aggregation
+    * collapses Zipfian hot words before the shuffle — same de-skew
+    * rationale as [[tfidfTopTerms]]), one per-doc rollup.
     *
     * FP discipline: a hash aggregation sums doubles in partition order,
     * which is not reproducible across engines (or runs). The per-doc
@@ -351,14 +359,14 @@ object TextFunctions {
     * Spark and the DuckDB oracle add the same doubles in the same
     * sequence, making the score bit-identical. */
   def tokenRarity(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val wd = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
       .groupBy(col("word"), col("doc_id"))
       .agg(count(lit(1)).as("m"))
+    val cf = wd.groupBy(col("word")).agg(sum(col("m")).as("c"))
     wd
-      .withColumn("c", sum(col("m")).over(Window.partitionBy(col("word"))))
+      .join(cf, Seq("word"))
       .groupBy(col("doc_id"))
       .agg(sum(col("m")).as("n_tokens"),
         aggregate(

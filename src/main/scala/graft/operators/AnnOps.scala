@@ -187,26 +187,40 @@ object AnnOps {
     * the lambda input, which keeps it materialized per row (a
     * single-use alias would be inlined into the lambda and re-computed
     * per element — the HOF pitfall documented at
-    * [[DedupOps.shinglesOf]]). All-zero vectors quantize to null. */
+    * [[DedupOps.shinglesOf]]). All-zero vectors quantize to null
+    * elements. Output is exploded to one scalar row per (vector,
+    * dimension): the full array is still verified element-by-element,
+    * but every compared cell is a scalar the comparison harness can
+    * canonicalize (an array cell is unhashable in a pandas sort). */
   def quantizeEmbeddings(s: SparkSession, dir: String): DataFrame = {
     Tables.embeddings(s, dir)
       .withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("scale", nullif(array_max(transform(col("v"), x => abs(x))), lit(0.0)))
       .select(
         col("vec_id"), col("scale"),
-        transform(col("v"),
-          x => floor(x * lit(127.0) / col("scale") + lit(0.5)).cast("int")).as("q"))
-      .orderBy("vec_id")
+        posexplode(transform(col("v"),
+          x => floor(x * lit(127.0) / col("scale") + lit(0.5)).cast("int")))
+          .as(Seq("idx", "q_val")))
+      .select("vec_id", "idx", "q_val", "scale")
+      .orderBy("vec_id", "idx")
   }
 
+  /** Multiple unnests in one SELECT are zipped positionally in DuckDB,
+    * so index and value stay aligned. */
   val quantizeEmbeddingsSql: String =
     """WITH s AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
       |    nullif(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 0.0) AS scale
-      |  FROM embeddings)
-      |SELECT vec_id, scale,
-      |  list_transform(v, x -> CAST(floor(x * 127.0 / scale + 0.5) AS INTEGER)) AS q
-      |FROM s ORDER BY vec_id""".stripMargin
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, scale,
+      |    list_transform(v, x -> CAST(floor(x * 127.0 / scale + 0.5) AS INTEGER)) AS q
+      |  FROM s)
+      |SELECT vec_id,
+      |  CAST(unnest(range(len(q))) AS INTEGER) AS idx,
+      |  unnest(q) AS q_val,
+      |  scale
+      |FROM q ORDER BY vec_id, idx""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_topk"       -> (annTopk _),
