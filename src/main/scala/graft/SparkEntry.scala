@@ -19,7 +19,8 @@ object SparkEntry {
     AnalyticsOps.queries ++ ScanOps.queries ++ VersionOps.queries ++ StatusOps.queries ++
       JoinOps.queries ++ graft.functions.TextFunctions.queries ++
       DedupOps.queries ++ AnnOps.queries ++ MultimodalOps.queries ++ SubmitOps.queries ++
-      OrgOps.queries ++ ExtractOps.queries ++ PipelineOps.queries ++ TransferOps.queries ++ SkewOps.queries
+      OrgOps.queries ++ ExtractOps.queries ++ MappingExtractOps.queries ++
+      PipelineOps.queries ++ TransferOps.queries ++ SkewOps.queries
 
   /** DuckDB-equivalent SQL for each hash-checked query (column names must
     * match the Spark output exactly; see SURVEY.md §6 for FP discipline). */
@@ -27,5 +28,6 @@ object SparkEntry {
     AnalyticsOps.oracles ++ ScanOps.oracles ++ VersionOps.oracles ++ StatusOps.oracles ++
       JoinOps.oracles ++ graft.functions.TextFunctions.oracles ++
       DedupOps.oracles ++ AnnOps.oracles ++ MultimodalOps.oracles ++ SubmitOps.oracles ++
-      OrgOps.oracles ++ ExtractOps.oracles ++ PipelineOps.oracles ++ TransferOps.oracles ++ SkewOps.oracles
+      OrgOps.oracles ++ ExtractOps.oracles ++ MappingExtractOps.oracles ++
+      PipelineOps.oracles ++ TransferOps.oracles ++ SkewOps.oracles
 }
