@@ -499,7 +499,15 @@ object DedupOps {
       "vec_id", "embedding", cosineThreshold)
 
   /** Generic API: banded random-hyperplane LSH near-dup pairs over any
-    * embedding frame. */
+    * embedding frame.
+    *
+    * The band self-join carries ONLY (vec_id, band_id, band_val) — ids,
+    * never vectors: the 4× band explode would otherwise push four copies
+    * of every embedding through the shuffle (minor at 64 dims, ruinous
+    * at 1024). Candidate pairs are deduped across bands first, then the
+    * full vectors are re-attached by two narrow equi-joins on vec_id for
+    * the exact-cosine verify — each embedding crosses the wire once per
+    * side, and only for vectors that actually reached a candidate pair. */
   def embeddingLshOf(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     import org.apache.spark.sql.functions.{typedlit => tl}
@@ -510,21 +518,25 @@ object DedupOps {
       when(dot(col("v"), tl(hyperplanes(j).toSeq)) > 0, lit(1)).otherwise(lit(0)).as(s"bit$j")
     }
     val bitsPerBand = lshHyperplanes / lshSimBands
-    val sig = e.select(col("vec_id") +: col("v") +: col("norm") +: bits: _*)
+    val sig = e.select(col("vec_id") +: bits: _*)
     val bandCols = (0 until lshSimBands).map { b =>
       (0 until bitsPerBand).map(k => col(s"bit${b * bitsPerBand + k}") * lit(1 << k)).reduce(_ + _)
     }
-    val bands = sig.select(col("vec_id"), col("v"), col("norm"),
+    val bands = sig.select(col("vec_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_id", "band_val")))
-    val a = bands.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"),
-      col("band_id"), col("band_val"))
-    val b = bands.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"),
-      col("band_id"), col("band_val"))
-    a.join(b, Seq("band_id", "band_val"))
+    val cand = bands.select(col("vec_id").as("vec_a"), col("band_id"), col("band_val"))
+      .join(bands.select(col("vec_id").as("vec_b"), col("band_id"), col("band_val")),
+        Seq("band_id", "band_val"))
       .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na")),
+        Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb")),
+        Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
-      .distinct()
       .filter(col("cosine") >= threshold)
       .orderBy("vec_a", "vec_b")
   }

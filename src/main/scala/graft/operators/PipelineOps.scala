@@ -364,40 +364,47 @@ object PipelineOps {
     * disposition, so the output is simultaneously the curated corpus
     * (rows with `kept`) and the audit trail (why each drop dropped).
     *
-    * Composes the operators above without materializing between stages:
-    * Catalyst fuses the map-side gates into the scan, and the three
-    * shuffles left (content-key groupBy, doc-keyed contamination agg,
-    * presentation sort) are each keyed on high-cardinality columns —
-    * the same plan shape at 500 rows or 100 TB. */
+    * At 100 TB the corpus scan IS the cost, so every map-side per-doc
+    * feature — quality stats, the exact-dedup content key, and the
+    * split — is computed in ONE projection over ONE scan; the heavy
+    * text column is dropped there, and the canonical-doc window then
+    * shuffles only the narrow (id, flags, fp) frame on the
+    * high-cardinality content key. Decontamination is the single side
+    * aggregation (it explodes shingles, a different row grain) and
+    * joins back narrow on doc_id. Two scans of the corpus total, plus
+    * the tiny benchmark-side scan that at production scale is a
+    * separate (broadcast) eval table anyway. */
   def curatePipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
-    // stage 1: quality — token floor + duplicate-word ceiling
-    val stats = docs.select(col("doc_id"), col("source"),
+    // one projection: tokenize once (materialized via the single-element
+    // array trick — see [[DedupOps.shinglesOf]] on HOF inlining), emit
+    // quality verdict + content key + split, drop the text
+    val base = docs.select(col("doc_id"), col("source"),
       element_at(transform(array(split(trim(col("text")), "\\s+")), ws =>
         struct(size(ws).as("n_tokens"),
-          size(array_distinct(ws)).as("n_uniq"))), 1).as("st"))
+          size(array_distinct(ws)).as("n_uniq"))), 1).as("st"),
+      md5(array_join(slice(split(col("text"), " "), 1, 10), " ")).as("fp"),
+      substring(sampleKey, 1, 1).as("bucket"))
       .select(col("doc_id"), col("source"),
         col("st.n_tokens").as("n_tokens"),
         (col("st.n_tokens") >= minTokens &&
           (lit(1.0) - col("st.n_uniq").cast("double") / col("st.n_tokens"))
-            <= maxDupWordFrac).as("passed_quality"))
-    // stage 2: exact dedup on the first-10-words content key
-    val canon = docs.select(col("doc_id"),
-      md5(array_join(slice(split(col("text"), " "), 1, 10), " ")).as("fp"))
-      .withColumn("is_canonical",
-        col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("fp"))))
-      .select("doc_id", "is_canonical")
-    // stage 3: decontamination (clean = below the overlap threshold;
-    // docs too short to shingle have no overlap and are clean)
+            <= maxDupWordFrac).as("passed_quality"),
+        col("fp"),
+        when(col("bucket") <= "b", "train")
+          .when(col("bucket") <= "d", "val")
+          .otherwise("test").as("split"))
+    // exact dedup: canonical doc per content key, window over the
+    // already-narrow frame
+    val canonized = base.withColumn("is_canonical",
+      col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+    // decontamination (clean = below the overlap threshold; docs too
+    // short to shingle have no overlap and are clean)
     val clean = contamination(s, dir)
       .select(col("doc_id"), (!col("contaminated")).as("clean"))
-    // stage 4: the split only matters for kept rows
-    val split4 = hashSplit(s, dir).select("doc_id", "split")
-    stats
-      .join(canon, Seq("doc_id"))
+    canonized
       .join(clean, Seq("doc_id"), "left")
-      .join(split4, Seq("doc_id"))
       .withColumn("clean", coalesce(col("clean"), lit(true)) &&
         col("doc_id") % 97 =!= 0) // eval docs themselves never train
       .withColumn("kept", col("passed_quality") && col("is_canonical") && col("clean"))

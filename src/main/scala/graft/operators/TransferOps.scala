@@ -218,11 +218,93 @@ object TransferOps {
        |WHERE item_idx = 0 AND xfer_error IS NULL
        |ORDER BY submission_id""".stripMargin
 
+  // ------------------------------------------------- automate record
+
+  private val portalUrl = "https://portal.example/detail/"
+  private val searchIndex = "search-index-1"
+  // 2024-01-01T00:00:00Z — the submission clock is injected (a
+  // deterministic epoch + per-submission offset) rather than read from
+  // now(): reproducible across engines and reruns.
+  private val ingestEpoch = 1704067200L
+
+  /** Automate flow-record assembly (aws/automate_manager.py:120-155,
+    * :157-163): the projection that completes the submit surface —
+    *  - `mdf_portal_link` = portal URL + versioned_source_id,
+    *  - `creators_list` = ", ".join over dc.creators creatorName
+    *    (creatorName is "Family, Given" form, so the joined string
+    *    nests commas exactly as the reference's does),
+    *  - the search-facing data entry (endpoint_path + file-manager
+    *    link) from the submission's FIRST resolved transfer item
+    *    (create_data_entry_for_search, :104-108) — null when the
+    *    transfer items failed validation,
+    *  - `ingest_date` in Zulu form (isoformat + Z, :158-160),
+    *  - flow flags carried through (search_index, group_by_dir,
+    *    curation_input, mint_doi, update_metadata_only).
+    * One map-side projection over the submission dim plus one narrow
+    * equi-join to the search entry — nothing here scales worse than the
+    * transfer-item resolution it builds on. */
+  def automateRecord(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val creatorNames =
+      typedLit(Seq("Footon, Bartholomew", "Curie, Marie", "Hopper, Grace"))
+    val subs = Tables.documents(s, dir).select(
+      id.as("submission_id"),
+      concat(lit("ds"), (id % 40).cast("string"), lit("-1."),
+        (id % 3).cast("string")).as("versioned_source_id"),
+      slice(creatorNames, lit(1), (id % 3 + 1).cast("int")).as("creators"),
+      concat(lit("user"), (id % 25).cast("string"), lit("@example.org"))
+        .as("submitting_user_email"),
+      (id % 6 === 0).as("curation_input"),
+      (id % 4 === 0).as("mint_doi"),
+      (id % 9 === 0).as("update_metadata_only"),
+      timestamp_seconds(lit(ingestEpoch) + (id * 37) % 100000).as("ingest_ts"))
+    subs
+      .join(searchEntry(s, dir), Seq("submission_id"), "left")
+      .select(
+        col("submission_id"),
+        concat(lit(portalUrl), col("versioned_source_id")).as("mdf_portal_link"),
+        array_join(col("creators"), ", ").as("creators_list"),
+        lit(searchIndex).as("search_index"),
+        lit(true).as("group_by_dir"),
+        col("submitting_user_email"),
+        col("curation_input"),
+        col("mint_doi"),
+        col("update_metadata_only"),
+        col("endpoint_path"),
+        col("link"),
+        concat(date_format(col("ingest_ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit("Z"))
+          .as("ingest_date"))
+      .orderBy("submission_id")
+  }
+
+  val automateRecordSql: String =
+    s"""WITH se AS ($searchEntrySql)
+       |SELECT doc_id AS submission_id,
+       |  '$portalUrl' || 'ds' || CAST(doc_id % 40 AS VARCHAR) || '-1.' ||
+       |    CAST(doc_id % 3 AS VARCHAR) AS mdf_portal_link,
+       |  array_to_string(
+       |    (['Footon, Bartholomew', 'Curie, Marie', 'Hopper, Grace'])
+       |      [1:CAST(doc_id % 3 + 1 AS INTEGER)], ', ') AS creators_list,
+       |  '$searchIndex' AS search_index,
+       |  TRUE AS group_by_dir,
+       |  'user' || CAST(doc_id % 25 AS VARCHAR) || '@example.org' AS submitting_user_email,
+       |  doc_id % 6 = 0 AS curation_input,
+       |  doc_id % 4 = 0 AS mint_doi,
+       |  doc_id % 9 = 0 AS update_metadata_only,
+       |  se.endpoint_path, se.link,
+       |  strftime(TIMESTAMP '2024-01-01 00:00:00' +
+       |    ((doc_id * 37) % 100000) * INTERVAL 1 SECOND,
+       |    '%Y-%m-%dT%H:%M:%S') || 'Z' AS ingest_date
+       |FROM documents LEFT JOIN se ON doc_id = se.submission_id
+       |ORDER BY submission_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_transfer_items" -> (transferItems _),
-    "q_search_entry"   -> (searchEntry _))
+    "q_search_entry"   -> (searchEntry _),
+    "q_automate_rec"   -> (automateRecord _))
 
   def oracles: Map[String, String] = Map(
     "q_transfer_items" -> transferItemsSql,
-    "q_search_entry"   -> searchEntrySql)
+    "q_search_entry"   -> searchEntrySql,
+    "q_automate_rec"   -> automateRecordSql)
 }
