@@ -114,6 +114,11 @@ object ShingleHashes {
 case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // an empty hash set has no minimum under any permutation → null
+  // signature, matching the declarative `min(...)`-over-empty chain
+  // (never a sentinel that could band-collide with other empty docs)
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -125,7 +130,8 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.MinHashSignature.compute($c, $k);")
+      s"""${ev.value} = graft.functions.MinHashSignature.compute($c, $k);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
@@ -151,6 +157,7 @@ object MinHashSignature {
   def compute(hs: ArrayData, k: Int): ArrayData = {
     require(k <= MaxK, s"minhash k capped at $MaxK")
     val n = hs.numElements()
+    if (n == 0) return null // no shingles → no signature (see nullable)
     val hx = new Array[Long](n)
     var j = 0
     while (j < n) { hx(j) = pmod(hs.getLong(j), Mersenne); j += 1 }

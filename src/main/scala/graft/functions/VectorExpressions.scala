@@ -58,7 +58,22 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
 /** One-stop registration for graft's native SQL functions. */
 object GraftFunctions {
-  import org.apache.spark.sql.{Column, GraftBridge}
+  import org.apache.spark.sql.{AnalysisException, Column, GraftBridge}
+
+  /** Fold a SQL-surface argument to Int at analysis time: any integral
+    * literal width is accepted (a parser may widen `3` to BIGINT), and a
+    * non-foldable or non-integral argument raises a standard
+    * AnalysisException instead of a ClassCastException at eval. */
+  private def intArg(fn: String, e: Expression): Int = {
+    if (!e.foldable)
+      throw new AnalysisException("NON_FOLDABLE_ARGUMENT",
+        Map("funcName" -> s"`$fn`", "paramName" -> "`k`", "paramType" -> "\"INT\""))
+    e.eval() match {
+      case n: Number => n.intValue()
+      case _ => throw new AnalysisException("SECOND_FUNCTION_ARGUMENT_NOT_INTEGER",
+        Map("functionName" -> fn))
+    }
+  }
 
   def register(spark: SparkSession): Unit = {
     RollingFingerprint.register(spark)
@@ -66,10 +81,10 @@ object GraftFunctions {
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles", exprs => ShingleHashes(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+        intArg("graft_shingles", exprs(1))), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash", exprs => MinHashSignature(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+        intArg("graft_minhash", exprs(1))), "scala_udf")
   }
 
   /** Distinct xxhash64 word-n-gram shingle hashes — see [[ShingleHashes]]. */

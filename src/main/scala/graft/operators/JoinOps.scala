@@ -94,15 +94,23 @@ object JoinOps {
       .orderBy("click_id")
   }
 
+  /** Deterministic oracle: DuckDB's ASOF JOIN leaves the choice among
+    * equal-ts right rows unspecified, while the engine pins min
+    * purchase_id (window order ts, side, tie). The window formulation
+    * below pins the exact same row — (ts, purchase_id) ascending — so
+    * the hash compare cannot flake if generated events ever tie. */
   val asofForwardSql: String =
-    """SELECT c.user_id, c.ts, c.click_id,
-      |  p.ts2 AS asof_ts, p.purchase_id AS asof_purchase_id, p.value AS asof_value
-      |FROM (SELECT user_id, ts, event_id AS click_id
-      |      FROM events WHERE event_type = 'click') c
-      |ASOF LEFT JOIN (SELECT user_id AS user_id2, ts AS ts2,
-      |                  event_id AS purchase_id, value
-      |                FROM events WHERE event_type = 'purchase') p
-      |  ON c.user_id = p.user_id2 AND c.ts <= p.ts2
+    """WITH c AS (SELECT user_id, ts, event_id AS click_id
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts, event_id AS purchase_id, value
+      |      FROM events WHERE event_type = 'purchase'),
+      |m AS (SELECT c.click_id, p.ts AS asof_ts, p.purchase_id AS asof_purchase_id,
+      |        p.value AS asof_value,
+      |        row_number() OVER (PARTITION BY c.click_id
+      |                           ORDER BY p.ts, p.purchase_id) AS rn
+      |      FROM c JOIN p ON c.user_id = p.user_id AND p.ts >= c.ts)
+      |SELECT c.user_id, c.ts, c.click_id, m.asof_ts, m.asof_purchase_id, m.asof_value
+      |FROM c LEFT JOIN m ON c.click_id = m.click_id AND m.rn = 1
       |ORDER BY c.click_id""".stripMargin
 
   /** For each purchase event: the most recent click of the same user at or
@@ -157,13 +165,17 @@ object JoinOps {
   }
 
   val asofJoinSql: String =
-    """SELECT p.purchase_id, p.user_id, p.ts, p.value,
-      |  c.click_id AS last_click_id, c.ts2 AS last_click_ts
-      |FROM (SELECT event_id AS purchase_id, user_id, ts, value
-      |      FROM events WHERE event_type = 'purchase') p
-      |ASOF LEFT JOIN (SELECT event_id AS click_id, user_id AS user_id2, ts AS ts2
-      |                FROM events WHERE event_type = 'click') c
-      |  ON p.user_id = c.user_id2 AND p.ts >= c.ts2
+    """WITH p AS (SELECT event_id AS purchase_id, user_id, ts, value
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS click_id, user_id, ts
+      |      FROM events WHERE event_type = 'click'),
+      |m AS (SELECT p.purchase_id, c.click_id AS last_click_id, c.ts AS last_click_ts,
+      |        row_number() OVER (PARTITION BY p.purchase_id
+      |                           ORDER BY c.ts DESC, c.click_id DESC) AS rn
+      |      FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+      |SELECT p.purchase_id, p.user_id, p.ts, p.value,
+      |  m.last_click_id, m.last_click_ts
+      |FROM p LEFT JOIN m ON p.purchase_id = m.purchase_id AND m.rn = 1
       |ORDER BY p.purchase_id""".stripMargin
 
   /** Equi + range predicate join: lineitems shipped within 60 days of

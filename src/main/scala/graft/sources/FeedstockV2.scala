@@ -18,6 +18,7 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** Feedstock as a first-class DataSourceV2 connector:
   *
@@ -61,46 +62,70 @@ class FeedstockTable(path: String, tableSchema: StructType)
     new FeedstockWriteBuilder(path, info.schema())
 }
 
-/** Batch write: one JSON-lines file per task, committed by rename-free
-  * direct write (task files are uniquely named by (partition, task), so
-  * speculative duplicates overwrite idempotently — the same contract the
-  * reference's per-dataset feedstock drops rely on). */
+/** Batch write: one JSON-lines file per task attempt, named by
+  * (partition, task) so concurrent speculative / zombie attempts never
+  * share a path. Each attempt writes to a dot-prefixed in-progress file
+  * (invisible to the reader, which skips `.`/`_` names) and renames to
+  * its final name only in task commit — which Spark's output-commit
+  * coordinator grants to at most one attempt per partition. Task abort
+  * deletes the in-progress file; job abort deletes any files that
+  * committed before the failure, so a failed job leaves no partial
+  * output behind. */
 class FeedstockWriteBuilder(path: String, schema: StructType)
     extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder = this // overwrite == rewrite the dir
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new BatchWrite {
+      // capture the session's Hadoop conf on the driver so spark.hadoop.*
+      // and filesystem credentials reach the executor-side writers
+      private val conf = new SerializableConfiguration(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-        FeedstockWriterFactory(path, schema)
+        FeedstockWriterFactory(path, schema, conf)
       override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        messages.foreach {
+          case FeedstockCommit(file) =>
+            val p = new Path(file)
+            p.getFileSystem(conf.value).delete(p, false)
+          case _ => ()
+        }
     }
   }
 }
 
-case class FeedstockWriterFactory(path: String, schema: StructType)
-    extends DataWriterFactory {
+case class FeedstockWriterFactory(path: String, schema: StructType,
+    conf: SerializableConfiguration) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new FeedstockDataWriter(s"$path/part-$partitionId.jsonl", schema)
+    new FeedstockDataWriter(
+      s"$path/part-$partitionId-$taskId.jsonl", schema, conf.value)
 }
 
-class FeedstockDataWriter(file: String, schema: StructType)
+class FeedstockDataWriter(file: String, schema: StructType, conf: Configuration)
     extends DataWriter[InternalRow] {
   private val mapper = new ObjectMapper()
-  private val p = new Path(file)
+  private val dest = new Path(file)
+  // in-progress name starts with '.' → skipped by the reader's file filter
+  private val tmp = new Path(dest.getParent, s".${dest.getName}.inprogress")
+  private val fs = dest.getFileSystem(conf)
   private val out = {
-    val fs = p.getFileSystem(new Configuration())
-    fs.mkdirs(p.getParent)
+    fs.mkdirs(dest.getParent)
     new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-      fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
+      fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8))
   }
 
   override def write(row: InternalRow): Unit = {
     out.write(FeedstockDataWriter.toJson(mapper, row, schema))
     out.write("\n")
   }
-  override def commit(): WriterCommitMessage = { out.close(); FeedstockCommit(file) }
-  override def abort(): Unit = out.close()
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    fs.delete(dest, false) // idempotent re-commit of a retried task
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"graft-feedstock: rename $tmp -> $dest failed")
+    FeedstockCommit(dest.toString)
+  }
+  override def abort(): Unit = { out.close(); fs.delete(tmp, false) }
   override def close(): Unit = ()
 }
 
@@ -133,17 +158,22 @@ class FeedstockScanBuilder(path: String, full: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new FeedstockScan(path, required)
+  override def build(): Scan = new FeedstockScan(path, required,
+    // driver-side: capture the session's Hadoop conf (spark.hadoop.*,
+    // fs credentials) for both split listing and the executor readers
+    new SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
 }
 
-class FeedstockScan(path: String, required: StructType) extends Scan with Batch {
+class FeedstockScan(path: String, required: StructType,
+    conf: SerializableConfiguration) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-feedstock $path ReadSchema: ${required.catalogString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(conf.value)
     val it = fs.listFiles(new Path(path), true)
     val files = Iterator.continually(it)
       .takeWhile(_.hasNext)
@@ -158,26 +188,25 @@ class FeedstockScan(path: String, required: StructType) extends Scan with Batch 
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    FeedstockReaderFactory(required)
+    FeedstockReaderFactory(required, conf)
 }
 
 case class FeedstockInputPartition(file: String) extends InputPartition
 
-case class FeedstockReaderFactory(required: StructType) extends PartitionReaderFactory {
+case class FeedstockReaderFactory(required: StructType,
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new FeedstockPartitionReader(
-      partition.asInstanceOf[FeedstockInputPartition].file, required)
+      partition.asInstanceOf[FeedstockInputPartition].file, required, conf.value)
 }
 
 /** Streams one JSON-lines file, converting each line to an InternalRow
   * of exactly the pruned schema. */
-class FeedstockPartitionReader(file: String, required: StructType)
+class FeedstockPartitionReader(file: String, required: StructType, conf: Configuration)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
   private val path = new Path(file)
-  // executor-local conf; a cluster deployment threads the real Hadoop
-  // conf through a broadcast — the test/local FS needs no credentials
-  private val in = path.getFileSystem(new Configuration()).open(path)
+  private val in = path.getFileSystem(conf).open(path)
   private val reader = new java.io.BufferedReader(
     new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
   private var row: InternalRow = _

@@ -53,4 +53,26 @@ class ShingleExpressionsSpec extends SparkSpec {
     assert(native.keySet == declarative.keySet)
     native.foreach { case (id, sig) => assert(sig == declarative(id), s"sig differs for doc $id") }
   }
+
+  test("MinHashSignature of an empty hash array is null, like the declarative min") {
+    import spark.implicits._
+    // a document shorter than the shingle width has zero shingles; its
+    // signature must be null (never a sentinel that band-collides with
+    // other empty docs), in both interpreted and codegen paths
+    val df = Seq(("too short", 1L), ("long enough to have shingles here", 2L))
+      .toDF("text", "doc_id")
+      .select(col("doc_id"),
+        GraftFunctions.minhash(GraftFunctions.shingles(col("text"), 5), 4).as("sig"))
+    val rows = df.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(rows(1L).isEmpty, "empty shingle set must give a null signature")
+    assert(rows(2L).nonEmpty)
+    // same through the SQL registration
+    GraftFunctions.register(spark)
+    df.sparkSession.createDataFrame(Seq(Tuple1("a b"))).toDF("text")
+      .createOrReplaceTempView("minhash_empty_probe")
+    val viaSql = spark.sql(
+      "SELECT graft_minhash(graft_shingles(text, 5), 4) AS sig FROM minhash_empty_probe")
+      .collect()
+    assert(viaSql.head.isNullAt(0))
+  }
 }
