@@ -45,7 +45,9 @@ object Explain {
       "q_flow_errors"        -> Seq("ObjectHashAggregate"),
       "q_search_entry"       -> Seq("Window", "Generate"),
       "q_ann_topk"           -> Seq("BroadcastNestedLoopJoin"),
-      "q_tfidf_top_terms"    -> Seq("Window"),
+      // df must be a hash aggregation (map-side partials collapse hot
+      // words), never a whole-partition window on the word key
+      "q_tfidf_top_terms"    -> Seq("Window", "HashAggregate"),
       "q_semi_join"          -> Seq("LeftSemi"),
       "q_anti_join"          -> Seq("LeftAnti"),
       "q_dedup_embedding"    -> Seq("HashAggregate"),
@@ -61,16 +63,34 @@ object Explain {
       "q_pack_sequences"     -> Seq("Window"),
       "q_transfer_items"     -> Seq("Window", "Generate"),
       "q_url_canonical"      -> Seq("Window"),
-      "q_curate_pipeline"    -> Seq("BroadcastHashJoin", "Window"))
+      "q_curate_pipeline"    -> Seq("BroadcastHashJoin", "Window"),
+      // row-local codegen projections: extraction never shuffles
+      "q_json_mapping_extract" -> Seq("Project"),
+      "q_xml_mapping_extract"  -> Seq("Project"),
+      "q_automate_rec"       -> Seq("Window", "Generate"),
+      // quantization is one exploded map-side projection
+      "q_embed_quantize"     -> Seq("Generate"),
+      // band join carries ids only; vectors re-attach via equi-joins
+      "q_dedup_embedding_lsh" -> Seq("Generate", "HashAggregate"))
+
+    // the curate pipeline's whole cost at scale is corpus scans: quality,
+    // content key, and split must share ONE projection, so `documents`
+    // may appear at most twice (main scan + contamination side agg)
+    val scanCaps = Map("q_curate_pipeline" -> ("documents", 2))
 
     var bad = 0
     audit.foreach { case (name, expects) =>
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       val missing = expects.filterNot(plan.contains)
       val cartesian = plan.contains("CartesianProduct")
-      if (missing.nonEmpty || cartesian) {
+      val overScan = scanCaps.get(name).flatMap { case (table, cap) =>
+        val n = plan.linesIterator.count(l => l.contains("Scan parquet") && l.contains(table))
+        if (n > cap) Some(s"$n scans of $table (cap $cap)") else None
+      }
+      if (missing.nonEmpty || cartesian || overScan.nonEmpty) {
         bad += 1
-        println(s"== $name: MISSING=${missing.mkString(",")} cartesian=$cartesian")
+        println(s"== $name: MISSING=${missing.mkString(",")} cartesian=$cartesian" +
+          overScan.map(o => s" overScan=$o").getOrElse(""))
         println(plan.linesIterator.take(40).mkString("\n"))
       } else println(s"== $name: OK")
     }

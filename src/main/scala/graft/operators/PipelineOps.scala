@@ -364,28 +364,32 @@ object PipelineOps {
     * disposition, so the output is simultaneously the curated corpus
     * (rows with `kept`) and the audit trail (why each drop dropped).
     *
-    * At 100 TB the corpus scan IS the cost, so every map-side per-doc
-    * feature — quality stats, the exact-dedup content key, and the
-    * split — is computed in ONE projection over ONE scan; the heavy
-    * text column is dropped there, and the canonical-doc window then
-    * shuffles only the narrow (id, flags, fp) frame on the
-    * high-cardinality content key. Decontamination is the single side
-    * aggregation (it explodes shingles, a different row grain) and
-    * joins back narrow on doc_id. Two scans of the corpus total, plus
-    * the tiny benchmark-side scan that at production scale is a
-    * separate (broadcast) eval table anyway. */
+    * At 100 TB the corpus scan IS the cost, so the plan reads the
+    * corpus exactly ONCE: a single projection emits every map-side
+    * per-doc feature — quality stats, the exact-dedup content key, the
+    * split, and the shingle-hash set — and drops the heavy text column.
+    * Decontamination rides that same frame: shingles explode, probe the
+    * broadcast benchmark set, and a groupBy on (doc_id, carried cols)
+    * re-collapses to one row per document — map-side partial
+    * aggregation means the per-shingle rows never cross the wire, so
+    * there is no join-back and no second corpus scan. The canonical-doc
+    * window then shuffles only the narrow per-doc frame on the
+    * high-cardinality content key. The only other scan is the tiny
+    * benchmark side, which at production scale is a separate
+    * (broadcast) eval table anyway. */
   def curatePipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
     // one projection: tokenize once (materialized via the single-element
     // array trick — see [[DedupOps.shinglesOf]] on HOF inlining), emit
-    // quality verdict + content key + split, drop the text
+    // quality verdict + content key + split + shingle hashes, drop the text
     val base = docs.select(col("doc_id"), col("source"),
       element_at(transform(array(split(trim(col("text")), "\\s+")), ws =>
         struct(size(ws).as("n_tokens"),
           size(array_distinct(ws)).as("n_uniq"))), 1).as("st"),
       md5(array_join(slice(split(col("text"), " "), 1, 10), " ")).as("fp"),
-      substring(sampleKey, 1, 1).as("bucket"))
+      substring(sampleKey, 1, 1).as("bucket"),
+      graft.functions.GraftFunctions.shingles(col("text"), 3).as("hs"))
       .select(col("doc_id"), col("source"),
         col("st.n_tokens").as("n_tokens"),
         (col("st.n_tokens") >= minTokens &&
@@ -394,19 +398,34 @@ object PipelineOps {
         col("fp"),
         when(col("bucket") <= "b", "train")
           .when(col("bucket") <= "d", "val")
-          .otherwise("test").as("split"))
+          .otherwise("test").as("split"),
+        col("hs"))
+    // decontamination without a join-back: explode the shingles with the
+    // per-doc columns carried along, probe the broadcast benchmark set,
+    // and re-collapse per doc (explode_outer keeps unshingleable docs:
+    // 0/0 > frac is false, so they come out clean — same as the absent
+    // rows of the join formulation)
+    val benchH = DedupOps.shingleHashes(s, dir)
+      .filter(col("doc_id") % 97 === 0)
+      .select(explode(col("hs")).as("h"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    val perDoc = base
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("passed_quality"), col("fp"), col("split"),
+        size(col("hs")).as("n_shingles"), explode_outer(col("hs")).as("h"))
+      .join(broadcast(benchH), Seq("h"), "left")
+      .groupBy(col("doc_id"), col("source"), col("n_tokens"),
+        col("passed_quality"), col("fp"), col("split"), col("n_shingles"))
+      .agg(coalesce(sum(col("hit")), lit(0)).cast("double").as("n_overlap"))
+      .withColumn("clean",
+        !(col("n_overlap") / col("n_shingles") > contaminationFrac) &&
+          col("doc_id") % 97 =!= 0) // eval docs themselves never train
     // exact dedup: canonical doc per content key, window over the
-    // already-narrow frame
-    val canonized = base.withColumn("is_canonical",
-      col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("fp"))))
-    // decontamination (clean = below the overlap threshold; docs too
-    // short to shingle have no overlap and are clean)
-    val clean = contamination(s, dir)
-      .select(col("doc_id"), (!col("contaminated")).as("clean"))
-    canonized
-      .join(clean, Seq("doc_id"), "left")
-      .withColumn("clean", coalesce(col("clean"), lit(true)) &&
-        col("doc_id") % 97 =!= 0) // eval docs themselves never train
+    // already-narrow one-row-per-doc frame
+    perDoc
+      .withColumn("is_canonical",
+        col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .withColumn("kept", col("passed_quality") && col("is_canonical") && col("clean"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("passed_quality"), col("is_canonical"), col("clean"), col("kept"),
