@@ -458,6 +458,29 @@ object DedupOps {
   def embeddingDedup(s: SparkSession, dir: String): DataFrame =
     embeddingLsh(s, dir)
 
+  /** Exact all-pairs twin as a driver-checked query: the correctness
+    * baseline for the embedding-dedup family, same role q_ann_topk
+    * plays for ANN. Broadcast nested loop — the right plan when one
+    * side fits in memory, and the yardstick the LSH recall spec is
+    * pinned against; never the 100 TB path (that is [[embeddingLsh]]).
+    * The cosine is a sequential index-order double fold on both
+    * engines (graft_dot here, list_dot_product in DuckDB), so the
+    * values hash bit-identically. */
+  def embeddingPairsExact(s: SparkSession, dir: String): DataFrame =
+    embeddingPairsOf(Tables.embeddings(s, dir), "vec_id", "embedding", cosineThreshold)
+
+  val embeddingPairsExactSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  list_dot_product(a.v, b.v) /
+       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+       |    AS cosine
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE list_dot_product(a.v, b.v) /
+       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+       |  >= $cosineThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   /** Spec-oracle twin: all pairs with cosine ≥ threshold, brute force.
     * O(n²) compute — test-scale verification only; production goes
     * through [[embeddingLshOf]] banding or AnnOps' IVF. */
@@ -500,6 +523,14 @@ object DedupOps {
 
   /** Generic API: banded random-hyperplane LSH near-dup pairs over any
     * embedding frame.
+    *
+    * Band-width discipline at scale: a band bucket holds ~n/2^bits
+    * vectors and the self-join generates the square of that per bucket,
+    * so bits-per-band must grow with the corpus — 4 bits fits the test
+    * corpus; a production corpus wants 8-16 bit bands (more
+    * hyperplanes, same shape). Recall at a given cosine is set by
+    * (bands, bits) and is pinned against the exact twin in
+    * EmbeddingLshSpec.
     *
     * The band self-join carries ONLY (vec_id, band_id, band_val) — ids,
     * never vectors: the 4× band explode would otherwise push four copies
@@ -551,7 +582,8 @@ object DedupOps {
     "q_dedup_minhash_lsh"   -> (minhashLsh _),
     "q_dedup_simhash"       -> (simhashPairs _),
     "q_dedup_embedding"     -> (embeddingDedup _),
-    "q_dedup_embedding_lsh" -> (embeddingLsh _))
+    "q_dedup_embedding_lsh" -> (embeddingLsh _),
+    "q_embed_pairs_exact"   -> (embeddingPairsExact _))
 
   /** minhash/simhash/embedding are pinned by specs, not SQL (hash and
     * LSH band functions are engine-specific) — driver records rows-only
@@ -560,5 +592,6 @@ object DedupOps {
     "q_dedup_exact"         -> exactDedupSql,
     "q_dedup_ngram_jaccard" -> ngramJaccardSql,
     "q_dup_span_frac"       -> dupSpanFracSql,
-    "q_dedup_clusters"      -> dedupClustersSql)
+    "q_dedup_clusters"      -> dedupClustersSql,
+    "q_embed_pairs_exact"   -> embeddingPairsExactSql)
 }

@@ -53,4 +53,33 @@ class FeedstockV2Spec extends SparkSpec {
       .select("doc_id", "text", "source_id").collect().map(_.toSeq)
     assert(a.sameElements(b))
   }
+
+  test("task attempts are invisible until commit; abort leaves nothing behind") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val tmp = java.nio.file.Files.createTempDirectory("feedstock-v2a").toString
+    val schema = StructType(Seq(StructField("s", StringType)))
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val factory = FeedstockWriterFactory(tmp, schema, conf)
+    // ignore the local filesystem's .crc checksum sidecars
+    def files() = new java.io.File(tmp).listFiles().toSeq.map(_.getName)
+      .filterNot(_.endsWith(".crc")).sorted
+
+    // two concurrent attempts of partition 0 (a speculative retry):
+    // distinct task ids → distinct paths, both invisible to a reader
+    val w1 = factory.createWriter(0, 11L)
+    val w2 = factory.createWriter(0, 12L)
+    w1.write(InternalRow(UTF8String.fromString("from-attempt-11")))
+    w2.write(InternalRow(UTF8String.fromString("from-attempt-12")))
+    assert(files().forall(_.startsWith(".")), s"in-progress files must hide: ${files()}")
+    assert(spark.read.format("graft-feedstock").schema(schema).load(tmp).count() == 0)
+
+    // only the committed attempt's file survives with a final name
+    w1.commit()
+    w2.abort()
+    assert(files() == Seq("part-0-11.jsonl"), files().toString)
+    assert(spark.read.format("graft-feedstock").schema(schema).load(tmp).count() == 1)
+  }
 }
