@@ -504,10 +504,12 @@ object DedupOps {
   val lshHyperplanes = 16
   val lshSimBands = 4 // 4 bands × 4 bits
 
-  /** Deterministic pseudo-random hyperplanes (fixed seed). */
-  private lazy val hyperplanes: IndexedSeq[Array[Double]] = {
+  /** Deterministic pseudo-random hyperplanes (fixed seed): the same
+    * (count, dim) always yields the same planes, so signatures are
+    * reproducible across runs, engines, and incremental batches. */
+  private def hyperplanesFor(n: Int, dim: Int): IndexedSeq[Array[Double]] = {
     val rnd = new scala.util.Random(42)
-    IndexedSeq.fill(lshHyperplanes)(Array.fill(64)(rnd.nextGaussian()))
+    IndexedSeq.fill(n)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
   /** Random-hyperplane LSH near-dup pairs: 16 sign bits per vector,
@@ -526,11 +528,11 @@ object DedupOps {
     *
     * Band-width discipline at scale: a band bucket holds ~n/2^bits
     * vectors and the self-join generates the square of that per bucket,
-    * so bits-per-band must grow with the corpus — 4 bits fits the test
-    * corpus; a production corpus wants 8-16 bit bands (more
-    * hyperplanes, same shape). Recall at a given cosine is set by
-    * (bands, bits) and is pinned against the exact twin in
-    * EmbeddingLshSpec.
+    * so bits-per-band must grow with the corpus — the default 4×4-bit
+    * geometry fits the test corpus; a production corpus wants 8-16 bit
+    * bands (raise `nHyperplanes` with `nBands`, same shape). Recall at
+    * a given cosine is set by (bands, bits) and is pinned against the
+    * exact twin in EmbeddingLshSpec.
     *
     * The band self-join carries ONLY (vec_id, band_id, band_val) — ids,
     * never vectors: the 4× band explode would otherwise push four copies
@@ -540,17 +542,21 @@ object DedupOps {
     * the exact-cosine verify — each embedding crosses the wire once per
     * side, and only for vectors that actually reached a candidate pair. */
   def embeddingLshOf(vecs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, nHyperplanes: Int = lshHyperplanes,
+      nBands: Int = lshSimBands, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.functions.{typedlit => tl}
+    require(nHyperplanes % nBands == 0, "hyperplane count must divide into bands")
+    require(nHyperplanes / nBands <= 30, "band value must fit an int")
+    val hp = hyperplanesFor(nHyperplanes, dim)
     val e = vecs
       .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-    val bits = (0 until lshHyperplanes).map { j =>
-      when(dot(col("v"), tl(hyperplanes(j).toSeq)) > 0, lit(1)).otherwise(lit(0)).as(s"bit$j")
+    val bits = (0 until nHyperplanes).map { j =>
+      when(dot(col("v"), tl(hp(j).toSeq)) > 0, lit(1)).otherwise(lit(0)).as(s"bit$j")
     }
-    val bitsPerBand = lshHyperplanes / lshSimBands
+    val bitsPerBand = nHyperplanes / nBands
     val sig = e.select(col("vec_id") +: bits: _*)
-    val bandCols = (0 until lshSimBands).map { b =>
+    val bandCols = (0 until nBands).map { b =>
       (0 until bitsPerBand).map(k => col(s"bit${b * bitsPerBand + k}") * lit(1 << k)).reduce(_ + _)
     }
     val bands = sig.select(col("vec_id"),

@@ -25,4 +25,21 @@ class EmbeddingLshSpec extends SparkSpec {
       assert(recall >= 0.25, s"recall $recall over ${brute.size} true pairs")
     }
   }
+
+  test("wider band geometry buys recall, still with exact precision") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val brute = DedupOps.embeddingPairsOf(e, "vec_id", "embedding",
+      DedupOps.cosineThreshold).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(planes: Int, bands: Int): Double = {
+      val pairs = DedupOps.embeddingLshOf(e, "vec_id", "embedding",
+        DedupOps.cosineThreshold, nHyperplanes = planes, nBands = bands)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.subsetOf(brute), "precision must stay exact")
+      if (brute.isEmpty) 1.0 else pairs.size.toDouble / brute.size
+    }
+    // more bands of the same width = more chances to collide: recall
+    // must not drop when the geometry widens (the production knob)
+    assert(recallOf(32, 8) >= recallOf(16, 4))
+  }
 }
