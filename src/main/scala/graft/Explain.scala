@@ -71,7 +71,12 @@ object Explain {
       // quantization is one exploded map-side projection
       "q_embed_quantize"     -> Seq("Generate"),
       // band join carries ids only; vectors re-attach via equi-joins
-      "q_dedup_embedding_lsh" -> Seq("Generate", "HashAggregate"))
+      "q_dedup_embedding_lsh" -> Seq("Generate", "HashAggregate"),
+      // chunk frequency must be a hash aggregation (map-side partials
+      // collapse viral chunks), never a window on the chunk key
+      "q_chunk_dedup"        -> Seq("HashAggregate", "Generate", "ObjectHashAggregate"),
+      // the rule cascade runs at scan speed: one codegen projection
+      "q_gopher_filter"      -> Seq("Project"))
 
     // the curate pipeline's whole cost at scale is corpus scans: quality,
     // content key, and split must share ONE projection, so `documents`

@@ -395,7 +395,89 @@ object TextFunctions {
       |    (acc, x) -> acc + x) / n_tokens, 6) AS mean_log_freq
       |FROM per ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ rule cascade
+
+  /** Gopher-style document-shape filter (Rae et al. 2021, §A1.1): hard
+    * per-document rules — word-count bounds, mean word length bounds,
+    * alphabetic-word fraction, symbol-to-word ratio, minimum stopword
+    * presence — each emitted as its own flag plus the conjunction
+    * `keep`. Complements [[qualityScore]] (soft weighted score) and
+    * [[repetitionScore]] (within-doc repetition): these are the
+    * drop-before-you-score gates of a curation pipeline.
+    *
+    * One map-side projection over the corpus — no shuffle, no state;
+    * at 100 TB this runs at scan speed inside whole-stage codegen and
+    * pushes only (doc_id, text) through the reader. */
+  def gopherFilter(s: SparkSession, dir: String): DataFrame = {
+    // one split shared by all word-level rules (see qualityScore);
+    // integer counts only, so no fold-order FP concerns
+    def stats(ws: Column): Column = struct(
+      size(ws).as("n_words"),
+      size(filter(ws, w => w.rlike("[A-Za-z]"))).as("n_alpha"),
+      size(array_intersect(array_distinct(ws),
+        typedlit(qualityStopwords))).as("n_stop"))
+    val st = element_at(transform(array(split(trim(col("text")), "\\s+")), stats _), 1)
+    val nWords = col("st.n_words").cast("double")
+    val noWs = length(regexp_replace(trim(col("text")), "\\s+", ""))
+    val nSymbols = length(col("text")) -
+      length(translate(col("text"), "#…", ""))
+    val meanWordLen = noWs.cast("double") / nWords
+    val alphaFrac = col("st.n_alpha").cast("double") / nWords
+    val symbolRatio = nSymbols.cast("double") / nWords
+    val okWords = col("st.n_words").between(50, 100000)
+    val okMeanLen = meanWordLen.between(3.0, 10.0)
+    val okAlpha = alphaFrac >= 0.8
+    val okSymbol = symbolRatio <= 0.1
+    val okStop = col("st.n_stop") >= 2
+    Tables.documents(s, dir)
+      .withColumn("st", st)
+      .select(
+        col("doc_id"),
+        col("st.n_words").as("n_words"),
+        meanWordLen.as("mean_word_len"),
+        alphaFrac.as("alpha_frac"),
+        symbolRatio.as("symbol_ratio"),
+        col("st.n_stop").as("n_stop"),
+        okWords.as("ok_words"),
+        okMeanLen.as("ok_mean_len"),
+        okAlpha.as("ok_alpha"),
+        okSymbol.as("ok_symbol"),
+        okStop.as("ok_stop"),
+        (okWords && okMeanLen && okAlpha && okSymbol && okStop).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val gopherFilterSql: String = {
+    val stopList = qualityStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_words,
+       |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      x -> regexp_matches(x, '[A-Za-z]'))) AS INTEGER) AS n_alpha,
+       |    CAST(len(list_intersect(list_distinct(string_split_regex(trim(text), '\\s+')),
+       |      $stopList)) AS INTEGER) AS n_stop,
+       |    CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) AS no_ws,
+       |    CAST(length(text) - length(replace(replace(text, '#', ''), '…', ''))
+       |      AS DOUBLE) AS n_symbols
+       |  FROM documents)
+       |SELECT doc_id, n_words,
+       |  no_ws / n_words AS mean_word_len,
+       |  CAST(n_alpha AS DOUBLE) / n_words AS alpha_frac,
+       |  n_symbols / n_words AS symbol_ratio,
+       |  n_stop,
+       |  n_words BETWEEN 50 AND 100000 AS ok_words,
+       |  no_ws / n_words BETWEEN 3.0 AND 10.0 AS ok_mean_len,
+       |  CAST(n_alpha AS DOUBLE) / n_words >= 0.8 AS ok_alpha,
+       |  n_symbols / n_words <= 0.1 AS ok_symbol,
+       |  n_stop >= 2 AS ok_stop,
+       |  (n_words BETWEEN 50 AND 100000) AND (no_ws / n_words BETWEEN 3.0 AND 10.0)
+       |    AND (CAST(n_alpha AS DOUBLE) / n_words >= 0.8)
+       |    AND (n_symbols / n_words <= 0.1) AND (n_stop >= 2) AS keep
+       |FROM w ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gopher_filter"   -> (gopherFilter _),
     "q_token_rarity"    -> (tokenRarity _),
     "q_tfidf_top_terms" -> (tfidfTopTerms _),
     "q_pii_scrub"     -> (piiScrub _),
@@ -406,6 +488,7 @@ object TextFunctions {
     "q_fingerprint"   -> (fingerprint _))
 
   def oracles: Map[String, String] = Map(
+    "q_gopher_filter"   -> gopherFilterSql,
     "q_token_rarity"    -> tokenRaritySql,
     "q_tfidf_top_terms" -> tfidfTopTermsSql,
     "q_pii_scrub"     -> piiScrubSql,

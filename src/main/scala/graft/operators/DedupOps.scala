@@ -250,6 +250,86 @@ object DedupOps {
        |GROUP BY doc_id, n_shingles
        |ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------- chunk-level dedup
+
+  /** Words per non-overlapping chunk. Small enough that boilerplate
+    * repeats across the synthetic corpus; at web scale the natural unit
+    * is a LINE (split on newline) and the same operator applies with a
+    * line splitter instead of the fixed-width chunker. */
+  val chunkDedupWords = 3
+
+  /** A chunk occurring at least this many times corpus-wide is
+    * boilerplate and is removed from every document. */
+  val chunkBoilerplateCount = 3L
+
+  def chunkDedup(s: SparkSession, dir: String): DataFrame =
+    chunkDedupOf(Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+      "doc_id", "text", chunkDedupWords, chunkBoilerplateCount)
+
+  /** Generic API: corpus-wide boilerplate-chunk removal (the CCNet /
+    * RefinedWeb line-dedup pass, fixed-width chunks standing in for
+    * lines on a corpus without newlines). Splits each document into
+    * consecutive `n`-word chunks, counts every chunk string's
+    * occurrences across the whole corpus, removes the occurrences of any
+    * chunk reaching `dfCap`, and reassembles the surviving chunks in
+    * their original order. A document whose every chunk is boilerplate
+    * yields a null `clean_text`.
+    *
+    * Scale shape: chunk frequency is a plain `groupBy(chunk).count` —
+    * map-side partial aggregation collapses a viral chunk to one row per
+    * task before the shuffle, so no single partition ever receives a hot
+    * chunk's full posting stream (the skew trap the tfidf window had).
+    * The join back is a shuffle equi-join on the chunk string; a skewed
+    * join key is split by AQE skew-join, which cannot be done for a
+    * window. Reassembly is one groupBy on doc_id — partition-sized
+    * state, order restored by sorting the (pos, chunk) structs. */
+  def chunkDedupOf(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, dfCap: Long): DataFrame = {
+    val ws = split(trim(col(textCol)), "\\s+")
+    val nChunks = ceil(size(ws).cast("double") / n).cast("int")
+    val chunks = docs
+      .filter(size(ws) >= 1)
+      .select(col(idCol).as("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(ws, i * n + 1, lit(n)), " "))).as(Seq("pos", "chunk")))
+    val freq = chunks.groupBy(col("chunk")).agg(count(lit(1)).as("c"))
+    chunks.join(freq, Seq("chunk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("c") >= dfCap, 1L).otherwise(0L)).as("n_removed"),
+        sort_array(collect_list(when(col("c") < dfCap,
+          struct(col("pos"), col("chunk"))))).as("kept"))
+      .select(col("doc_id"), col("n_chunks"), col("n_removed"),
+        when(size(col("kept")) === 0, lit(null))
+          .otherwise(array_join(transform(col("kept"), k => k.getField("chunk")), " "))
+          .as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle over the chunk *strings*; `string_agg` skips the NULLed
+    * boilerplate chunks and yields NULL when nothing survives, matching
+    * the Spark side's explicit empty-array → null. */
+  val chunkDedupSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+       |ch AS (
+       |  SELECT doc_id, i AS pos,
+       |    array_to_string(ws[CAST(i*$chunkDedupWords+1 AS BIGINT) :
+       |      CAST(i*$chunkDedupWords+$chunkDedupWords AS BIGINT)], ' ') AS chunk
+       |  FROM (
+       |    SELECT doc_id, ws,
+       |      unnest(range(CAST(ceil(len(ws) / $chunkDedupWords.0) AS BIGINT))) AS i
+       |    FROM w WHERE len(ws) >= 1)),
+       |freq AS (SELECT chunk, count(*) AS c FROM ch GROUP BY 1)
+       |SELECT doc_id,
+       |  count(*) AS n_chunks,
+       |  CAST(sum(CASE WHEN c >= $chunkBoilerplateCount THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_removed,
+       |  string_agg(CASE WHEN c < $chunkBoilerplateCount THEN chunk END, ' '
+       |    ORDER BY pos) AS clean_text
+       |FROM ch JOIN freq USING (chunk)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------- dup clusters
 
   /** Generic API: connected components over an undirected near-dup pair
@@ -584,6 +664,7 @@ object DedupOps {
     "q_dedup_exact"         -> (exactDedup _),
     "q_dedup_ngram_jaccard" -> (ngramJaccard _),
     "q_dup_span_frac"       -> (dupSpanFrac _),
+    "q_chunk_dedup"         -> (chunkDedup _),
     "q_dedup_clusters"      -> (dedupClusters _),
     "q_dedup_minhash_lsh"   -> (minhashLsh _),
     "q_dedup_simhash"       -> (simhashPairs _),
@@ -598,6 +679,7 @@ object DedupOps {
     "q_dedup_exact"         -> exactDedupSql,
     "q_dedup_ngram_jaccard" -> ngramJaccardSql,
     "q_dup_span_frac"       -> dupSpanFracSql,
+    "q_chunk_dedup"         -> chunkDedupSql,
     "q_dedup_clusters"      -> dedupClustersSql,
     "q_embed_pairs_exact"   -> embeddingPairsExactSql)
 }
