@@ -447,10 +447,7 @@ object DedupOps {
     val sig = signatures
       .withColumn("sh_size", size(col("hs")))
       .cache()
-    val bands = sig.select(col("doc_id"),
-      posexplode(array((0 until lshBands).map { bi =>
-        xxhash64(concat_ws("_", slice(col("sig"), bi * lshRows + 1, lshRows).cast("array<string>")))
-      }: _*)).as(Seq("band_id", "band_key")))
+    val bands = lshBandsOf(sig)
     val a = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("band_key"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band_id"), col("band_key"))
     val cands = a.join(b, Seq("band_id", "band_key"))
@@ -465,6 +462,73 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** (doc_id, band_id, band_key) rows of a (doc_id, sig) signature
+    * frame — the LSH probe key both the batch operator and the
+    * incremental index share, so their band keys are identical by
+    * construction. */
+  def lshBandsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
+      posexplode(array((0 until lshBands).map { bi =>
+        xxhash64(concat_ws("_", slice(col("sig"), bi * lshRows + 1, lshRows).cast("array<string>")))
+      }: _*)).as(Seq("band_id", "band_key")))
+
+  // ----------------------------------------------- incremental dedup
+
+  /** The two tables a growing pipeline persists so a NEW batch can be
+    * deduped against the accumulated corpus without rescanning it:
+    * `bands` (doc_id, band_id, band_key) is the LSH probe table and
+    * `shingles` (doc_id, hs, sh_size) the exact-verify table. Persist
+    * both bucketed on their join keys ([[graft.sources.Bucketing]]:
+    * (band_id, band_key) and doc_id respectively) and the probe's two
+    * equi-joins plan with zero corpus-side exchanges; after the probe,
+    * union the batch's rows into both tables for the next increment. */
+  final case class NearDupIndex(bands: DataFrame, shingles: DataFrame)
+
+  /** Build the persistent near-dup index of a corpus (one scan). */
+  def nearDupIndexOf(docs: DataFrame, idCol: String, textCol: String): NearDupIndex = {
+    val sig = minhashSignaturesHashedOf(shingleHashesOf(docs, idCol, textCol, 3))
+    NearDupIndex(lshBandsOf(sig),
+      sig.select(col("doc_id"), col("hs"), size(col("hs")).as("sh_size")))
+  }
+
+  /** Probe a new batch against a persisted corpus index: emits
+    * (new_id, corpus_id, jaccard) for every corpus near-dup of a batch
+    * document, with the same banding and the same exact-Jaccard verify
+    * as [[minhashLshOf]] — the incremental pairs are exactly the full
+    * rebuild's batch×corpus pairs (pinned by spec). Only the batch is
+    * shingled and signed; the corpus contributes through two equi-joins
+    * against its persisted tables, so the per-increment cost is
+    * O(batch) + candidate verification, never O(corpus). */
+  def incrementalNearDupsOf(index: NearDupIndex, newDocs: DataFrame,
+      idCol: String, textCol: String, threshold: Double): DataFrame = {
+    val sig = minhashSignaturesHashedOf(shingleHashesOf(newDocs, idCol, textCol, 3))
+      .withColumn("sh_size", size(col("hs")))
+    val cands = lshBandsOf(sig).select(col("doc_id").as("new_id"), col("band_id"), col("band_key"))
+      .join(index.bands.select(col("doc_id").as("corpus_id"), col("band_id"), col("band_key")),
+        Seq("band_id", "band_key"))
+      .select("new_id", "corpus_id").distinct()
+    cands
+      .join(sig.select(col("doc_id").as("new_id"), col("hs").as("sh_a"),
+        col("sh_size").as("size_a")), "new_id")
+      .join(index.shingles.select(col("doc_id").as("corpus_id"), col("hs").as("sh_b"),
+        col("sh_size").as("size_b")), "corpus_id")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("size_a") + col("size_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "corpus_id", "jaccard")
+      .orderBy("new_id", "corpus_id")
+  }
+
+  /** Driver entry: docs with doc_id % 10 == 0 arrive as the new batch;
+    * the rest are the already-indexed corpus. */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism)
+    val index = nearDupIndexOf(docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+    incrementalNearDupsOf(index, docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", jaccardThreshold)
   }
 
   // ----------------------------------------------- SimHash
@@ -667,6 +731,7 @@ object DedupOps {
     "q_chunk_dedup"         -> (chunkDedup _),
     "q_dedup_clusters"      -> (dedupClusters _),
     "q_dedup_minhash_lsh"   -> (minhashLsh _),
+    "q_dedup_incremental"   -> (incrementalDedup _),
     "q_dedup_simhash"       -> (simhashPairs _),
     "q_dedup_embedding"     -> (embeddingDedup _),
     "q_dedup_embedding_lsh" -> (embeddingLsh _),
