@@ -222,9 +222,152 @@ object AnnOps {
       |  scale
       |FROM q ORDER BY vec_id, idx""".stripMargin
 
+  // ------------------------------------------------ product quantization
+
+  val pqSubspaces = 8
+  val pqCodes = 16
+  val pqLloydIterations = 3
+
+  /** (vec_id, subspace, sv) rows: each L2-normalized vector split into
+    * `pqSubspaces` contiguous subvectors. Normalizing first makes L2
+    * codebook distance rank like cosine, so PQ recall is comparable
+    * against the cosine brute-force baseline. */
+  private def subvectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      transform(col("v"), x => x / col("norm")).as("nv"))
+      .select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(pqSubspaces - 1)),
+          j => slice(col("nv"), j * (size(col("nv")) / pqSubspaces) + 1,
+            size(col("nv")) / pqSubspaces))).as(Seq("subspace", "sv")))
+
+  /** Per-subspace centroid arrays as one m-row frame for broadcast:
+    * (subspace, cents: array<struct<code, cv>>). */
+  private def codebookArr(cb: DataFrame): DataFrame =
+    cb.groupBy(col("subspace"))
+      .agg(sort_array(collect_list(struct(col("code"), col("cv")))).as("cents"))
+
+  /** Squared L2 distance between two equal-length arrays, as a
+    * sequential index-order fold — deterministic like the dot product. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  /** Per-row (d2, code) scores against a subspace's centroid array;
+    * lexicographic min tie-breaks equal distances to the smallest code. */
+  private def codeScores(sv: Column): Column =
+    transform(col("cents"), c => struct(
+      l2sq(sv, c.getField("cv")).as("d2"), c.getField("code").as("code")))
+
+  /** Product-quantization codebook: `pqCodes` L2 centroids per subspace,
+    * trained with the same deterministic Lloyd as [[centroids]] (hash-
+    * seeded init, float-quantized means, empty-cluster keep) — all
+    * subspaces train together in one exploded frame, so a round is one
+    * broadcast-assign + one (subspace, code) aggregation regardless of
+    * m. At 100 TB: train on a sample, the codebook is m×k×(d/m) floats
+    * — kilobytes — and rides every later plan as a broadcast. */
+  def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    pqCodebookOf(subvectors(embeddingsWithNorm(s, dir)))
+
+  /** Test hook: the normalized subvector frame for a directory. */
+  def pqSubvectorsForTest(s: SparkSession, dir: String): DataFrame =
+    subvectors(embeddingsWithNorm(s, dir))
+
+  def pqCodebookOf(sub: DataFrame): DataFrame = {
+    val bySub = Window.partitionBy(col("subspace"))
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+    var cb = sub
+      .withColumn("rn", row_number().over(bySub))
+      .filter(col("rn") <= pqCodes)
+      .select(col("subspace"), (col("rn") - 1).as("code"), col("sv").as("cv"))
+      .localCheckpoint()
+    for (_ <- 1 to pqLloydIterations) {
+      val assigned = sub.join(broadcast(codebookArr(cb)), "subspace")
+        .select(col("subspace"), col("sv"),
+          array_min(codeScores(col("sv"))).getField("code").as("code"))
+      val means = assigned
+        .groupBy(col("subspace"), col("code"))
+        .agg(graft.functions.GraftFunctions.vecsum(col("sv")).as("ssum"),
+          count(lit(1)).as("cnt"))
+        .select(col("subspace"), col("code"),
+          transform(col("ssum"), x => (x / col("cnt")).cast("float").cast("double"))
+            .as("new_cv"))
+      cb = cb
+        .select(col("subspace"), col("code"), col("cv").as("prev_cv"))
+        .join(means, Seq("subspace", "code"), "left")
+        .select(col("subspace"), col("code"),
+          coalesce(col("new_cv"), col("prev_cv")).as("cv"))
+        .localCheckpoint()
+    }
+    cb
+  }
+
+  /** PQ encoding: (vec_id, subspace, code) — the persisted form. Three
+    * small ints per row in place of the vector: a 64-dim float corpus
+    * shrinks 32×, and every later search touches only this frame. */
+  def pqEncodeOf(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(codebookArr(cb)), "subspace")
+      .select(col("vec_id"), col("subspace"),
+        array_min(codeScores(col("sv"))).getField("code").as("code"))
+
+  /** ADC shortlist size: quantization error on structure-free vectors
+    * is too coarse to trust the PQ ranking for the final top-k, so ADC
+    * is used the way production PQ engines use it — as a cheap pruner
+    * whose shortlist an exact pass re-ranks. */
+  val pqShortlist = 50
+
+  /** PQ-ADC top-k with exact re-rank: the query side builds its
+    * per-(subspace, code) distance lookup table — m×k rows per query,
+    * kilobytes — which broadcast-joins the encoded corpus on
+    * (subspace, code); summing the m partial distances per (query,
+    * vector) recovers the PQ approximate distance, and the best
+    * `pqShortlist` candidates per query are re-ranked with the exact
+    * cosine. The full corpus is only ever touched as (vec_id, subspace,
+    * code) triples; float vectors are fetched by equi-join for
+    * shortlist rows alone — the plan that holds when the corpus no
+    * longer fits in aggregate executor memory as floats. */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddingsWithNorm(s, dir)
+    val sub = subvectors(e).localCheckpoint()
+    val cb = pqCodebookOf(sub)
+    val encoded = pqEncodeOf(sub, cb)
+
+    // query LUT: distance from each query subvector to every centroid
+    val lut = sub.filter(col("vec_id") < nQueries)
+      .join(broadcast(codebookArr(cb)), "subspace")
+      .select(col("vec_id").as("query_id"), col("subspace"),
+        explode(codeScores(col("sv"))).as("sc"))
+      .select(col("query_id"), col("subspace"),
+        col("sc.code").as("code"), col("sc.d2").as("d2"))
+
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2").asc, col("neighbor_id").asc)
+    val shortlist = encoded.join(broadcast(lut), Seq("subspace", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d2")).as("approx_d2"))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= pqShortlist)
+      .select("query_id", "neighbor_id")
+
+    // exact re-rank of the shortlist only
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    shortlist
+      .join(broadcast(q), "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("norm").as("cn")), "neighbor_id")
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_topk"       -> (annTopk _),
     "q_ann_ivf"        -> (annIvf _),
+    "q_ann_pq"         -> (annPq _),
     "q_embed_quantize" -> (quantizeEmbeddings _))
 
   /** IVF is approximate by construction — spec-pinned, rows-only check. */
