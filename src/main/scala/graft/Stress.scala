@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-headroom stress: materializes a corpus `MULT`× the size of the
+  * given sf directory by unioning doc_id-shifted copies (i.e. "MULT
+  * crawls of the same web" — a heavily duplicated corpus, the
+  * worst-realistic case for the dedup family, whose candidate pair
+  * count grows with the square of the duplication factor), then times
+  * the heaviest document/embedding operators on it. Run:
+  *   SPARK_GRAFT_MULT=10 sbt "runMain graft.Stress /root/testdata/sf0.1 /tmp/graft_stress"
+  *
+  * This is a diagnostic, not part of the driver contract: it shows
+  * which plans scale linearly with corpus size and which pay the
+  * quadratic dup-pair cost, and that none of them fall over when the
+  * per-partition row counts grow 10×.
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val workDir = args.lift(1).getOrElse("/tmp/graft_stress")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.tune(spark)
+
+    // ---- materialize the scaled corpus (id-shifted copies)
+    val shift = 100000000L
+    def scale(table: String, idCol: String): Unit = {
+      val base = Tables.table(spark, srcDir, table)
+      val scaled = (0 until mult).map { i =>
+        base.withColumn(idCol, col(idCol) + lit(i * shift))
+      }.reduce(_ union _)
+      scaled.repartition(cpus.toInt).write.mode(SaveMode.Overwrite)
+        .parquet(s"$workDir/$table.parquet")
+    }
+    scale("documents", "doc_id")
+    scale("embeddings", "vec_id")
+
+    val defaults: Seq[String] = Seq(
+      "q_dedup_exact", "q_chunk_dedup", "q_gopher_filter", "q_token_rarity",
+      "q_tfidf_top_terms", "q_dup_span_frac", "q_dedup_ngram_jaccard",
+      "q_dedup_clusters", "q_dedup_simhash", "q_dedup_minhash_lsh",
+      "q_dedup_embedding_lsh", "q_ann_ivf", "q_curate_pipeline")
+    val heavies: Seq[String] =
+      if (args.length > 2) args.drop(2).toSeq else defaults
+
+    val timings = heavies.map { name =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, workDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"== $name%-24s $dt%8.2f s  $n%10d rows")
+      name -> dt
+    }
+    val total = timings.map(_._2).sum
+    println(f"== stress total ${total}%.1f s over ${heavies.size} queries at ${mult}x $srcDir")
+    spark.stop()
+  }
+}

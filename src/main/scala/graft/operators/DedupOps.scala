@@ -151,9 +151,58 @@ object DedupOps {
       threshold, maxShingleDf)
 
   /** Hash-domain core: Jaccard near-dup pairs over any
-    * (doc_id, hs: array<bigint>) frame (e.g. from [[shingleHashesOf]]). */
+    * (doc_id, hs: array<bigint>) frame (e.g. from [[shingleHashesOf]]).
+    *
+    * Duplicate-collapse prepass: documents with IDENTICAL shingle sets
+    * (md5 of the sorted hash array) are collapsed to one representative
+    * before the inverted index is built, and the representative-level
+    * pairs expand back through the copy groups afterward. On a corpus
+    * where every page is crawled c times, posting lists shrink c× and
+    * the array-side pair generation c²× — the candidate stage costs
+    * what a deduplicated corpus costs, and only the (output-sized) pair
+    * expansion pays for the duplication. Value-identical to running the
+    * index over the raw corpus: a copy pair's jaccard is exactly 1.0
+    * (common = size_a = size_b), and a cross pair's common/size counts
+    * only depend on the shingle sets, which are bitwise those of the
+    * representatives. With a `maxShingleDf` cap the df is measured on
+    * distinct sets — on a duplicated corpus that is the more meaningful
+    * reading (a phrase is not viral because one page was crawled often). */
   def ngramJaccardHashedOf(hashSets: DataFrame, threshold: Double,
       maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    val grouped = hashSets
+      .withColumn("gk", md5(concat_ws(",", array_sort(col("hs")).cast("array<string>"))))
+      .groupBy(col("gk"))
+      .agg(min(col("doc_id")).as("rep_id"),
+        min_by(col("hs"), col("doc_id")).as("hs"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+      .localCheckpoint() // pair detection + both expansions read it
+    val repPairs = repPairsOf(
+      grouped.select(col("rep_id").as("doc_id"), col("hs")), threshold, maxShingleDf)
+
+    // within-group: every copy pair is a jaccard-1.0 near-dup
+    val within = grouped
+      .filter(size(col("members")) >= 2)
+      .select(explode(flatten(transform(col("members"), (a, i) =>
+        transform(slice(col("members"), i + 2, size(col("members"))),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), lit(1.0).as("jaccard"))
+
+    // cross-group: a representative pair stands for |A|×|B| doc pairs
+    val cross = repPairs
+      .join(grouped.select(col("rep_id").as("doc_a"), col("members").as("ma")), "doc_a")
+      .join(grouped.select(col("rep_id").as("doc_b"), col("members").as("mb")), "doc_b")
+      .select(col("jaccard"),
+        explode(flatten(transform(col("ma"), a =>
+          transform(col("mb"), b => struct(least(a, b).as("doc_a"),
+            greatest(a, b).as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("jaccard"))
+
+    within.unionByName(cross).orderBy("doc_a", "doc_b")
+  }
+
+  /** Inverted-index pair detection over distinct shingle sets. */
+  private def repPairsOf(hashSets: DataFrame, threshold: Double,
+      maxShingleDf: Long): DataFrame = {
     val inv = hashSets
       .select(col("doc_id"), size(col("hs")).as("sh_size"), explode(col("hs")).as("h"))
     // Per-shingle document frequency via a whole-partition window on the
@@ -189,7 +238,6 @@ object DedupOps {
         col("common").cast("double") / (col("size_a") + col("size_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 
   val ngramJaccardSql: String = shinglesSql +
@@ -692,9 +740,27 @@ object DedupOps {
     require(nHyperplanes % nBands == 0, "hyperplane count must divide into bands")
     require(nHyperplanes / nBands <= 30, "band value must fit an int")
     val hp = hyperplanesFor(nHyperplanes, dim)
-    val e = vecs
+
+    // Duplicate-collapse prepass (see ngramJaccardHashedOf): identical
+    // vectors share every sign bit, so a c-times-crawled embedding would
+    // put c copies in each band bucket and pay c² in the self-join.
+    // Collapse to one representative per distinct vector (md5 of the
+    // exact double strings — Double.toString round-trips), pair at the
+    // representative level, expand through the copy groups after.
+    // Cosine of a copy pair is dot(v,v)/(norm·norm) — the same doubles
+    // the uncollapsed plan would produce for that pair.
+    val grouped = vecs
       .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("gk", md5(concat_ws(",", col("v").cast("array<string>"))))
+      .groupBy(col("gk"))
+      .agg(min(col("vec_id")).as("rep_id"),
+        min_by(col("v"), col("vec_id")).as("v"),
+        sort_array(collect_list(col("vec_id"))).as("members"))
+      .localCheckpoint()
+    val e = grouped
+      .select(col("rep_id").as("vec_id"), col("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+
     val bits = (0 until nHyperplanes).map { j =>
       when(dot(col("v"), tl(hp(j).toSeq)) > 0, lit(1)).otherwise(lit(0)).as(s"bit$j")
     }
@@ -711,7 +777,7 @@ object DedupOps {
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b")
       .distinct()
-    cand
+    val repPairs = cand
       .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na")),
         Seq("vec_a"))
       .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb")),
@@ -719,7 +785,31 @@ object DedupOps {
       .select(col("vec_a"), col("vec_b"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .orderBy("vec_a", "vec_b")
+
+    // within-group: copy pairs, cosine via the same formula on the
+    // shared vector
+    val within = grouped
+      .filter(size(col("members")) >= 2)
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("cosine", dot(col("v"), col("v")) / (col("norm") * col("norm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("cosine"),
+        explode(flatten(transform(col("members"), (a, i) =>
+          transform(slice(col("members"), i + 2, size(col("members"))),
+            b => struct(a.as("vec_a"), b.as("vec_b")))))).as("p"))
+      .select(col("p.vec_a"), col("p.vec_b"), col("cosine"))
+
+    // cross-group: expand each representative pair through both groups
+    val cross = repPairs
+      .join(grouped.select(col("rep_id").as("vec_a"), col("members").as("ma")), "vec_a")
+      .join(grouped.select(col("rep_id").as("vec_b"), col("members").as("mb")), "vec_b")
+      .select(col("cosine"),
+        explode(flatten(transform(col("ma"), a =>
+          transform(col("mb"), b => struct(least(a, b).as("vec_a"),
+            greatest(a, b).as("vec_b")))))).as("p"))
+      .select(col("p.vec_a"), col("p.vec_b"), col("cosine"))
+
+    within.unionByName(cross).orderBy("vec_a", "vec_b")
   }
 
   // ----------------------------------------------- registry
