@@ -271,16 +271,25 @@ object AnnOps {
   def pqSubvectorsForTest(s: SparkSession, dir: String): DataFrame =
     subvectors(embeddingsWithNorm(s, dir))
 
+  /** Codebook training runs on a deterministic 1-in-`pqTrainSampleInv`
+    * hash sample of the vectors — the codebook is a density model, not
+    * an index, so a sample trains it as well as the corpus does (and at
+    * 100 TB training on the full corpus is never on the table). The
+    * sample is keyed on vec_id hash, so it is reproducible and
+    * identical across the train and encode passes. */
+  val pqTrainSampleInv = 4
+
   def pqCodebookOf(sub: DataFrame): DataFrame = {
+    val sample = sub.filter(pmod(xxhash64(col("vec_id")), lit(pqTrainSampleInv)) === 0)
     val bySub = Window.partitionBy(col("subspace"))
       .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
-    var cb = sub
+    var cb = sample
       .withColumn("rn", row_number().over(bySub))
       .filter(col("rn") <= pqCodes)
       .select(col("subspace"), (col("rn") - 1).as("code"), col("sv").as("cv"))
       .localCheckpoint()
     for (_ <- 1 to pqLloydIterations) {
-      val assigned = sub.join(broadcast(codebookArr(cb)), "subspace")
+      val assigned = sample.join(broadcast(codebookArr(cb)), "subspace")
         .select(col("subspace"), col("sv"),
           array_min(codeScores(col("sv"))).getField("code").as("code"))
       val means = assigned

@@ -167,15 +167,21 @@ object DedupOps {
     * representatives. With a `maxShingleDf` cap the df is measured on
     * distinct sets — on a duplicated corpus that is the more meaningful
     * reading (a phrase is not viral because one page was crawled often). */
-  def ngramJaccardHashedOf(hashSets: DataFrame, threshold: Double,
-      maxShingleDf: Long = Long.MaxValue): DataFrame = {
-    val grouped = hashSets
+  /** The collapse groups: one row per distinct shingle set —
+    * (gk, rep_id, hs, members), eagerly materialized since every
+    * consumer reads it at least twice. */
+  private[operators] def ngramCollapseOf(hashSets: DataFrame): DataFrame =
+    hashSets
       .withColumn("gk", md5(concat_ws(",", array_sort(col("hs")).cast("array<string>"))))
       .groupBy(col("gk"))
       .agg(min(col("doc_id")).as("rep_id"),
         min_by(col("hs"), col("doc_id")).as("hs"),
         sort_array(collect_list(col("doc_id"))).as("members"))
-      .localCheckpoint() // pair detection + both expansions read it
+      .localCheckpoint()
+
+  def ngramJaccardHashedOf(hashSets: DataFrame, threshold: Double,
+      maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    val grouped = ngramCollapseOf(hashSets)
     val repPairs = repPairsOf(
       grouped.select(col("rep_id").as("doc_id"), col("hs")), threshold, maxShingleDf)
 
@@ -426,12 +432,29 @@ object DedupOps {
 
   /** Dup clusters over the n-gram Jaccard pairs: every document labeled
     * with its cluster's minimum doc_id; keeping `is_canonical` rows IS
-    * the deduplicated corpus. */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    * the deduplicated corpus.
+    *
+    * Connected components never sees the expanded pair set: a copy
+    * group would enter it as an n² clique, but CC only needs
+    * connectivity, so the edge set is the representative-level pairs
+    * plus one member→representative edge per copy — linear in the
+    * corpus at any duplication factor, with labels identical to CC over
+    * the full clique (the representative is the group's minimum id, and
+    * reachability through it equals reachability through any clique
+    * edge). */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val grouped = ngramCollapseOf(shingleHashes(s, dir))
+    val repPairs = repPairsOf(
+      grouped.select(col("rep_id").as("doc_id"), col("hs")),
+      jaccardThreshold, stopShingleDfCap)
+    val groupEdges = grouped
+      .select(col("rep_id").as("doc_a"), explode(col("members")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
     dupClustersOf(
       Tables.documents(s, dir).select(col("doc_id")),
-      ngramJaccard(s, dir).select("doc_a", "doc_b"))
+      repPairs.select("doc_a", "doc_b").unionByName(groupEdges))
       .orderBy("doc_id")
+  }
 
   /** WITH RECURSIVE reachability oracle: cluster = min reachable id.
     * (RECURSIVE must annotate the whole CTE chain, so the shared shingle
