@@ -76,7 +76,12 @@ object Explain {
       // collapse viral chunks), never a window on the chunk key
       "q_chunk_dedup"        -> Seq("HashAggregate", "Generate", "ObjectHashAggregate"),
       // the rule cascade runs at scan speed: one codegen projection
-      "q_gopher_filter"      -> Seq("Project"))
+      "q_gopher_filter"      -> Seq("Project"),
+      // ADC: encoded corpus joins the per-query LUT via broadcast —
+      // the corpus side of the search carries codes, not vectors
+      "q_ann_pq"             -> Seq("BroadcastHashJoin"),
+      // incremental probe: batch bands equi-join the index bands
+      "q_dedup_incremental"  -> Seq("HashAggregate"))
 
     // the curate pipeline's whole cost at scale is corpus scans: quality,
     // content key, and split must share ONE projection, so `documents`

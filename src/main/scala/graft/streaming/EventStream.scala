@@ -181,6 +181,47 @@ object EventStream {
       }
   }
 
+  /** Streaming twin of
+    * [[graft.operators.DedupOps.incrementalNearDupsOf]]: a document
+    * stream probed against the PERSISTED corpus signature index via
+    * stream-static joins — band match against `index.bands`, then exact
+    * Jaccard verification against `index.shingles` with the stream
+    * row's own shingle set carried through the banding. Entirely
+    * STATELESS (no watermark, no state store): every operator is a
+    * map-side projection or a stream-static equi-join, so a new
+    * document is verified against the full corpus history within its
+    * micro-batch, and the index can be arbitrarily large (bucketed on
+    * its join keys it is read co-located — IncrementalIndexSpec).
+    * Precision is exact — candidates are verified before emission; a
+    * pair surfaces once per colliding band (band_id kept), so callers
+    * dedupe downstream like with [[nearDupCandidates]]. `docs` needs
+    * (doc_id, text). */
+  def indexProbe(docs: DataFrame, index: graft.operators.DedupOps.NearDupIndex,
+      threshold: Double = 0.5): DataFrame = {
+    import graft.functions.GraftFunctions
+    import graft.operators.DedupOps.{lshBands, lshRows, minhashK}
+    val sig = docs
+      .select(col("doc_id"), GraftFunctions.shingles(col("text"), 3).as("hs"))
+      .filter(size(col("hs")) >= 1)
+      .select(col("doc_id"), col("hs"),
+        GraftFunctions.minhash(col("hs"), minhashK).as("sig"))
+    val bands = sig.select(col("doc_id").as("new_id"), col("hs"),
+      posexplode(array((0 until lshBands).map { bi =>
+        xxhash64(concat_ws("_", slice(col("sig"), bi * lshRows + 1, lshRows)
+          .cast("array<string>")))
+      }: _*)).as(Seq("band_id", "band_key")))
+    bands
+      .join(index.bands.select(col("doc_id").as("corpus_id"),
+        col("band_id"), col("band_key")), Seq("band_id", "band_key"))
+      .join(index.shingles.select(col("doc_id").as("corpus_id"),
+        col("hs").as("sh_b"), col("sh_size").as("size_b")), Seq("corpus_id"))
+      .withColumn("common", size(array_intersect(col("hs"), col("sh_b"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("hs")) + col("size_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("band_id"), col("jaccard"))
+  }
+
   final case class Ev(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, value: Double)
   final case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,

@@ -161,4 +161,30 @@ class EventStreamSpec extends SparkSpec {
       .collect().map(_.getDouble(0))
     assert(ests.forall(_ >= 0.5))
   }
+
+  test("streaming index probe matches the batch incremental probe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sfDir)
+    val index = graft.operators.DedupOps.nearDupIndexOf(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+    val batchRows = docs.filter(col("doc_id") % 10 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(batchRows.toSeq)
+    val q = EventStream.indexProbe(
+        stream.toDF().toDF("doc_id", "text"), index)
+      .writeStream.format("memory").queryName("idxprobe").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("idxprobe")
+      .select("new_id", "corpus_id", "jaccard").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.operators.DedupOps.incrementalDedup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch,
+      s"stream ${streamed.size} pairs vs batch ${batch.size}")
+  }
 }
