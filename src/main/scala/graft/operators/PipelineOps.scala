@@ -471,6 +471,63 @@ object PipelineOps {
        |  CASE WHEN passed_quality AND is_canonical AND clean THEN split END AS split
        |FROM j ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------- corpus report
+
+  /** Per-source corpus health report — the monitoring query a curation
+    * pipeline runs after every ingest: document and token volume,
+    * length distribution, exact-duplicate rate, language spread. One
+    * map-side projection feeding one groupBy(source) plus a global fp
+    * aggregation for the dup rate; every measure is integer math or a
+    * decimal-summed average, so the report is bit-stable at any
+    * partitioning (a plain double avg would drift in the last ulp with
+    * partition order). */
+  def corpusReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+    val perDoc = docs.select(
+      col("doc_id"), col("source"), col("lang"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+      md5(array_join(slice(split(col("text"), " "), 1, 10), " ")).as("fp"))
+    val dupFp = perDoc.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_copies"))
+    perDoc.join(dupFp, Seq("fp"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (sum(col("n_tokens").cast("decimal(18,6)")) / count(lit(1)))
+          .cast("double").as("avg_doc_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        (sum(when(col("n_copies") >= 2, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("exact_dup_frac"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("source")
+  }
+
+  val corpusReportSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, lang,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |    md5(array_to_string((string_split(text, ' '))[1:10], ' ')) AS fp
+      |  FROM documents),
+      |f AS (SELECT fp, count(*) AS n_copies FROM d GROUP BY 1)
+      |SELECT source,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(sum(CAST(n_tokens AS DECIMAL(18,6))) / count(*) AS DOUBLE) AS avg_doc_tokens,
+      |  min(n_tokens) AS min_tokens,
+      |  max(n_tokens) AS max_tokens,
+      |  CAST(sum(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+      |    AS exact_dup_frac,
+      |  count(DISTINCT lang) AS n_langs
+      |FROM d JOIN f USING (fp)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // ----------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -480,6 +537,7 @@ object PipelineOps {
     "q_pack_sequences" -> (packSequences _),
     "q_contamination"  -> (contamination _),
     "q_url_canonical"  -> (urlCanonical _),
+    "q_corpus_report"  -> (corpusReport _),
     "q_curate_pipeline" -> (curatePipeline _))
 
   def oracles: Map[String, String] = Map(
@@ -489,5 +547,6 @@ object PipelineOps {
     "q_pack_sequences" -> packSequencesSql,
     "q_contamination"  -> contaminationSql,
     "q_url_canonical"  -> urlCanonicalSql,
+    "q_corpus_report"  -> corpusReportSql,
     "q_curate_pipeline" -> curatePipelineSql)
 }
