@@ -81,7 +81,9 @@ object Explain {
       // the corpus side of the search carries codes, not vectors
       "q_ann_pq"             -> Seq("BroadcastHashJoin"),
       // incremental probe: batch bands equi-join the index bands
-      "q_dedup_incremental"  -> Seq("HashAggregate"))
+      "q_dedup_incremental"  -> Seq("HashAggregate"),
+      // report: one grouped agg, dup rate via hash aggregation
+      "q_corpus_report"      -> Seq("HashAggregate"))
 
     // the curate pipeline's whole cost at scale is corpus scans: quality,
     // content key, and split must share ONE projection, so `documents`

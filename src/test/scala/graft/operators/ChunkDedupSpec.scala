@@ -48,6 +48,16 @@ class ChunkDedupSpec extends SparkSpec {
     assert(out == Map(1L -> "a b c", 2L -> "e f g", 3L -> "h i j"))
   }
 
+  test("with an infinite cap nothing is removed: clean_text is the normalized text") {
+    val docs = graft.Tables.documents(spark, sfDir).limit(50)
+    val out = DedupOps.chunkDedupOf(docs, "doc_id", "text", 3, Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val norm = docs.select(col("doc_id"),
+        array_join(split(trim(col("text")), "\\s+"), " ").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == norm)
+  }
+
   test("corpus run removes something and never grows a document") {
     val out = DedupOps.chunkDedup(spark, sfDir)
     val rows = out.collect()

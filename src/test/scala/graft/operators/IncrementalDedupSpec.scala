@@ -25,6 +25,22 @@ class IncrementalDedupSpec extends SparkSpec {
       s"incremental ${incr.size} pairs vs rebuild cross ${full.size}")
   }
 
+  test("duplicating every doc leaves the original-pair set and values unchanged") {
+    // pins the duplicate-collapse claim directly: near-dup pairs among
+    // the ORIGINAL ids must be identical (ids and jaccard doubles) when
+    // every document gains an id-shifted exact copy
+    val shift = 10000000L
+    val sets = DedupOps.shingleHashes(spark, sfDir)
+    val doubled = sets.unionByName(
+      sets.withColumn("doc_id", col("doc_id") + shift))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val base = pairs(DedupOps.ngramJaccardHashedOf(sets, DedupOps.jaccardThreshold))
+    val dup = pairs(DedupOps.ngramJaccardHashedOf(doubled, DedupOps.jaccardThreshold))
+      .filter { case ((a, b), _) => a < shift && b < shift }
+    assert(dup == base, s"dup-restricted ${dup.size} vs base ${base.size}")
+  }
+
   test("probe never pairs a batch doc with another batch doc") {
     val out = DedupOps.incrementalDedup(spark, sfDir).collect()
     out.foreach { r =>
