@@ -141,8 +141,10 @@ object DedupOps {
 
   /** Generic API: Jaccard near-dup pairs over any (doc_id, sh) shingle
     * frame (e.g. from [[shinglesOf]]) at the given threshold.
-    * `maxShingleDf` drops shingles whose document frequency exceeds the
-    * cap before pairing (stop-shingle filtering; `Long.MaxValue` = exact). */
+    * `maxShingleDf` drops shingles whose frequency across DISTINCT
+    * shingle sets exceeds the cap before pairing (stop-shingle
+    * filtering; `Long.MaxValue` = exact; see [[ngramJaccardHashedOf]]
+    * for the collapse semantics). */
   def ngramJaccardOf(shingleSets: DataFrame, threshold: Double,
       maxShingleDf: Long = Long.MaxValue): DataFrame =
     ngramJaccardHashedOf(
@@ -184,26 +186,36 @@ object DedupOps {
     val grouped = ngramCollapseOf(hashSets)
     val repPairs = repPairsOf(
       grouped.select(col("rep_id").as("doc_id"), col("hs")), threshold, maxShingleDf)
+    // every copy pair is a jaccard-1.0 near-dup (common = size_a = size_b)
+    expandCollapsedPairs(grouped, repPairs, "doc_a", "doc_b",
+      "jaccard", lit(1.0))
+      .orderBy("doc_a", "doc_b")
+  }
 
-    // within-group: every copy pair is a jaccard-1.0 near-dup
+  /** Expand representative-level pairs through collapse groups: every
+    * within-group (copy) pair gets `selfValue` — the exact value the
+    * uncollapsed plan computes for an identical pair — and each rep
+    * pair stands for |A|×|B| doc pairs carrying its value. Both sides
+    * are output-sized: the quadratic cost of duplication lands here,
+    * in rows emitted, never in candidate generation. */
+  private def expandCollapsedPairs(grouped: DataFrame, repPairs: DataFrame,
+      aCol: String, bCol: String, valCol: String, selfValue: Column): DataFrame = {
     val within = grouped
       .filter(size(col("members")) >= 2)
       .select(explode(flatten(transform(col("members"), (a, i) =>
         transform(slice(col("members"), i + 2, size(col("members"))),
-          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"), lit(1.0).as("jaccard"))
-
-    // cross-group: a representative pair stands for |A|×|B| doc pairs
+          b => struct(a.as(aCol), b.as(bCol)))))).as("p"),
+        selfValue.as(valCol))
+      .select(col(s"p.$aCol"), col(s"p.$bCol"), col(valCol))
     val cross = repPairs
-      .join(grouped.select(col("rep_id").as("doc_a"), col("members").as("ma")), "doc_a")
-      .join(grouped.select(col("rep_id").as("doc_b"), col("members").as("mb")), "doc_b")
-      .select(col("jaccard"),
+      .join(grouped.select(col("rep_id").as(aCol), col("members").as("ma")), aCol)
+      .join(grouped.select(col("rep_id").as(bCol), col("members").as("mb")), bCol)
+      .select(col(valCol),
         explode(flatten(transform(col("ma"), a =>
-          transform(col("mb"), b => struct(least(a, b).as("doc_a"),
-            greatest(a, b).as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"), col("jaccard"))
-
-    within.unionByName(cross).orderBy("doc_a", "doc_b")
+          transform(col("mb"), b => struct(least(a, b).as(aCol),
+            greatest(a, b).as(bCol)))))).as("p"))
+      .select(col(s"p.$aCol"), col(s"p.$bCol"), col(valCol))
+    within.unionByName(cross)
   }
 
   /** Inverted-index pair detection over distinct shingle sets. */
@@ -513,11 +525,24 @@ object DedupOps {
   /** Generic API: banded-LSH near-dup pairs over any (doc_id, hs, sig)
     * signature frame (e.g. from [[minhashSignatures]]). Verification
     * intersects the 64-bit shingle-hash sets — long compares, not string
-    * compares, on every candidate pair. */
+    * compares, on every candidate pair. Duplicate-collapse prepass like
+    * [[ngramJaccardHashedOf]]: identical shingle sets have identical
+    * signatures, so copies would multiply every band bucket; banding and
+    * verification run per distinct set and the pairs expand afterward
+    * (copy pairs are exact jaccard 1.0 — same value the raw verify
+    * computes). */
   def minhashLshOf(signatures: DataFrame, threshold: Double): DataFrame = {
-    val sig = signatures
+    val grouped = signatures
+      .withColumn("gk", md5(concat_ws(",", array_sort(col("hs")).cast("array<string>"))))
+      .groupBy(col("gk"))
+      .agg(min(col("doc_id")).as("rep_id"),
+        min_by(col("hs"), col("doc_id")).as("hs"),
+        min_by(col("sig"), col("doc_id")).as("sig"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+      .localCheckpoint()
+    val sig = grouped
+      .select(col("rep_id").as("doc_id"), col("hs"), col("sig"))
       .withColumn("sh_size", size(col("hs")))
-      .cache()
     val bands = lshBandsOf(sig)
     val a = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("band_key"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band_id"), col("band_key"))
@@ -526,12 +551,14 @@ object DedupOps {
       .select("doc_a", "doc_b").distinct()
     val left = sig.select(col("doc_id").as("doc_a"), col("hs").as("sh_a"), col("sh_size").as("size_a"))
     val right = sig.select(col("doc_id").as("doc_b"), col("hs").as("sh_b"), col("sh_size").as("size_b"))
-    cands.join(left, "doc_a").join(right, "doc_b")
+    val repPairs = cands.join(left, "doc_a").join(right, "doc_b")
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("common").cast("double") / (col("size_a") + col("size_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+    expandCollapsedPairs(grouped, repPairs, "doc_a", "doc_b",
+      "jaccard", lit(1.0))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -637,9 +664,17 @@ object DedupOps {
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
     simhashPairsOf(simhashSignatures(s, dir), simhashMaxHamming)
 
-  /** Generic API: Hamming-bounded pairs over any (doc_id, simhash) frame. */
+  /** Generic API: Hamming-bounded pairs over any (doc_id, simhash)
+    * frame. The collapse group IS the signature value here — identical
+    * simhashes band identically, so banding runs per distinct signature
+    * and copy pairs expand with Hamming 0 (bit_count(x^x)). */
   def simhashPairsOf(signatures: DataFrame, maxHamming: Int): DataFrame = {
-    val sig = signatures.cache()
+    val grouped = signatures
+      .groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("rep_id"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+      .localCheckpoint()
+    val sig = grouped.select(col("rep_id").as("doc_id"), col("simhash"))
     val bands = sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map { j =>
         expr(s"(simhash >> ${16 * j}) & 65535")
@@ -648,12 +683,14 @@ object DedupOps {
       col("band_id"), col("band_val"))
     val b = bands.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
       col("band_id"), col("band_val"))
-    a.join(b, Seq("band_id", "band_val"))
+    val repPairs = a.join(b, Seq("band_id", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(sim_a ^ sim_b)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    expandCollapsedPairs(grouped, repPairs, "doc_a", "doc_b",
+      "hamming", lit(0))
       .orderBy("doc_a", "doc_b")
   }
 
