@@ -647,16 +647,33 @@ object DedupOps {
       Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
       "doc_id", "text")
 
-  /** Generic API: 64-bit simhash per document over any corpus. */
+  /** Generic API: 64-bit simhash per document over any corpus.
+    *
+    * The signature is a pure function of the text, so it is computed
+    * once per DISTINCT text and fanned back out — the expensive part
+    * (a per-word explode that multiplies the shuffled row count by the
+    * document length) runs on the deduplicated corpus, and a
+    * 100×-crawled page costs one signature instead of 100. One md5
+    * groupBy of the raw texts buys that; at a real crawl's 30-60%
+    * exact-dup rate it pays for itself immediately. */
   def simhashSignaturesOf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = docs
-      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("word"))
-      .groupBy(col("doc_id"), col("word"))
+    val grouped = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .groupBy(md5(col("__text")).as("__tk"))
+      .agg(min(col("doc_id")).as("rep_id"),
+        min_by(col("__text"), col("doc_id")).as("__text"),
+        collect_list(col("doc_id")).as("members"))
+      .localCheckpoint()
+    val repSigs = grouped
+      .select(col("rep_id"), explode(split(col("__text"), " ")).as("word"))
+      .groupBy(col("rep_id"), col("word"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("h", xxhash64(col("word")))
-    words
-      .groupBy(col("doc_id"))
+      .groupBy(col("rep_id"))
       .agg(graft.functions.GraftFunctions.simhash(col("h"), col("cnt")).as("simhash"))
+    grouped.select(col("rep_id"), explode(col("members")).as("doc_id"))
+      .join(repSigs, "rep_id")
+      .select(col("doc_id"), col("simhash"))
   }
 
   /** Pairs with Hamming(simhash) ≤ 3 via 4×16-bit band join (pigeonhole:
