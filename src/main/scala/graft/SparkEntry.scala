@@ -18,7 +18,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     AnalyticsOps.queries ++ ScanOps.queries ++ VersionOps.queries ++ StatusOps.queries ++
       JoinOps.queries ++ graft.functions.TextFunctions.queries ++
-      DedupOps.queries ++ AnnOps.queries ++ MultimodalOps.queries ++ SubmitOps.queries ++
+      DedupOps.queries ++ AnnOps.queries ++ SemDedupOps.queries ++
+      MultimodalOps.queries ++ SubmitOps.queries ++
       OrgOps.queries ++ ExtractOps.queries ++ MappingExtractOps.queries ++
       PipelineOps.queries ++ TransferOps.queries ++ SkewOps.queries
 
@@ -27,7 +28,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     AnalyticsOps.oracles ++ ScanOps.oracles ++ VersionOps.oracles ++ StatusOps.oracles ++
       JoinOps.oracles ++ graft.functions.TextFunctions.oracles ++
-      DedupOps.oracles ++ AnnOps.oracles ++ MultimodalOps.oracles ++ SubmitOps.oracles ++
+      DedupOps.oracles ++ AnnOps.oracles ++ SemDedupOps.oracles ++
+      MultimodalOps.oracles ++ SubmitOps.oracles ++
       OrgOps.oracles ++ ExtractOps.oracles ++ MappingExtractOps.oracles ++
       PipelineOps.oracles ++ TransferOps.oracles ++ SkewOps.oracles
 }

@@ -92,8 +92,12 @@ object AnnOps {
     * consumers in [[annIvf]] read materialized rows instead of replaying
     * the whole training lineage — the classic iterative-Spark fix. At
     * 100 TB, train on a sample; the plan shape is identical. */
-  def centroids(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddingsWithNorm(s, dir)
+  def centroids(s: SparkSession, dir: String): DataFrame =
+    centroidsOf(embeddingsWithNorm(s, dir))
+
+  /** Generic API: train k-means centroids over any (vec_id, v, norm)
+    * frame with the same deterministic Lloyd recipe. */
+  def centroidsOf(e: DataFrame): DataFrame = {
     var cents = e
       .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
       .limit(kClusters)

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+  * arXiv:2303.09540): k-means-partition the embedding space, find
+  * cosine-near pairs WITHIN each cluster only, then keep one canonical
+  * document per semantic-duplicate group. The paper's observation is
+  * that semantic duplicates land in the same k-means cell, so the
+  * all-pairs search shrinks from O(n²) to Σ cluster_size² — and k is
+  * the knob that bounds cluster size as the corpus grows (the paper
+  * scales k with n; skew in cell population is an equi-join key skew
+  * that AQE can split, unlike a window).
+  *
+  * Scale design, front to back:
+  *  - Duplicate-collapse prepass ([[DedupOps.ngramJaccardHashedOf]]'s
+  *    pattern): identical vectors are collapsed to one representative
+  *    before anything else, so a c-times-crawled page costs one row in
+  *    training, assignment, and the within-cell self-join instead of
+  *    multiplying every stage by c (and the cell pair-gen by c²).
+  *    Copies rejoin through copy-group edges at the component step.
+  *  - Centroids train on the DISTINCT vectors (deterministic Lloyd,
+  *    [[AnnOps.centroidsOf]]) — dedup-weighted training is the version
+  *    you want: a page's crawl count must not drag the means.
+  *  - Assignment is map-side (broadcast centroid array, per-row argmax).
+  *  - Candidate generation is the within-cell self-join on cluster_id;
+  *    exact cosine verifies every candidate, so precision is exact and
+  *    only the cell partition (vs. a global all-pairs) is approximate.
+  *  - Groups close transitively with [[DedupOps.dupClustersOf]]
+  *    (min-label propagation over edge endpoints); `keep` = the
+  *    group's minimum vec_id, so "keep rows" IS the semantically
+  *    deduplicated corpus.
+  */
+object SemDedupOps {
+
+  /** Pair threshold: aligned with [[DedupOps.cosineThreshold]] so the
+    * family's exact twin ([[DedupOps.embeddingPairsOf]]) doubles as
+    * this operator's recall yardstick. Production SemDeDup on real
+    * sentence embeddings runs far tighter (≈ 0.95). */
+  val semThreshold: Double = DedupOps.cosineThreshold
+
+  private def dot(a: Column, b: Column): Column = graft.functions.GraftFunctions.dot(a, b)
+
+  /** Driver entry: semantic dedup of the embeddings table. */
+  def semDedup(s: SparkSession, dir: String): DataFrame =
+    semDedupOf(
+      Tables.embeddings(s, dir).repartition(s.sparkContext.defaultParallelism),
+      "vec_id", "embedding", semThreshold)
+
+  /** Collapse groups: one row per distinct vector value (md5 of the
+    * exact double strings — Double.toString round-trips), members
+    * sorted, representative = min id. Eagerly materialized: training,
+    * assignment, edges, and the final expansion all read it. */
+  private[operators] def collapseOf(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vecs
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("gk", md5(concat_ws(",", col("v").cast("array<string>"))))
+      .groupBy(col("gk"))
+      .agg(min(col("vec_id")).as("rep_id"),
+        min_by(col("v"), col("vec_id")).as("v"),
+        sort_array(collect_list(col("vec_id"))).as("members"))
+      .localCheckpoint()
+
+  /** Generic API: (vec_id, cluster_id, sem_group, keep) for any
+    * embedding frame. `sem_group` is the minimum vec_id reachable
+    * through within-cluster cosine ≥ `threshold` edges; `keep` marks
+    * the one canonical row per group; `cluster_id` is the k-means cell.
+    * Zero vectors have no defined cosine: they still land in a
+    * (deterministic, arbitrary) cell but never pair — each keeps
+    * itself. */
+  def semDedupOf(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val grouped = collapseOf(vecs, idCol, vecCol)
+    val e = grouped.select(col("rep_id").as("vec_id"), col("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    semDedupWithCentroids(grouped, AnnOps.centroidsOf(e), threshold)
+  }
+
+  /** Core, parameterized by the trained centroid frame — the spec pins
+    * collapse equivalence and the brute-force-CC twin at fixed
+    * centroids (training input changes centroids; the invariant is
+    * about everything after them). */
+  private[operators] def semDedupWithCentroids(grouped: DataFrame,
+      cents: DataFrame, threshold: Double): DataFrame = {
+    val e = grouped.select(col("rep_id").as("vec_id"), col("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val assigned = AnnOps.assignmentsOf(e, cents)
+
+    // within-cell candidate pairs (equi-join on the cell id), exact
+    // cosine verify — ids and vectors meet only inside a cell
+    val a = assigned.select(col("cluster_id"), col("vec_id").as("doc_a"),
+      col("v").as("va"), col("norm").as("na"))
+    val b = assigned.select(col("cluster_id"), col("vec_id").as("doc_b"),
+      col("v").as("vb"), col("norm").as("nb"))
+    // the norm guard matters: Spark orders NaN above every double, so a
+    // zero vector's 0/0 cosine would otherwise PASS the >= filter and
+    // weld all zero vectors into one bogus group
+    val repPairs = a.join(b, Seq("cluster_id"))
+      .filter(col("doc_a") < col("doc_b") && col("na") > 0 && col("nb") > 0)
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select("doc_a", "doc_b")
+
+    // copy-group edges: a copy pair's cosine is dot(v,v)/norm² = 1,
+    // which passes any threshold ≤ 1 — but only when the shared vector
+    // is non-zero (a zero vector's cosine is undefined ⇒ no edge, same
+    // as the uncollapsed plan's null-cosine drop)
+    val groupEdges = grouped
+      .filter(size(col("members")) >= 2 && dot(col("v"), col("v")) > 0 &&
+        lit(threshold) <= 1.0)
+      .select(col("rep_id").as("doc_a"), explode(col("members")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+
+    val nodes = grouped.select(explode(col("members")).as("doc_id"))
+    val cc = DedupOps.dupClustersOf(nodes, repPairs.unionByName(groupEdges))
+      .select(col("doc_id").as("vec_id"), col("cluster_id").as("sem_group"),
+        col("is_canonical").as("keep"))
+
+    // members inherit their representative's k-means cell
+    val memberCell = grouped.select(col("rep_id"), explode(col("members")).as("vec_id"))
+      .join(assigned.select(col("vec_id").as("rep_id"), col("cluster_id")), "rep_id")
+      .select(col("vec_id"), col("cluster_id"))
+    cc.join(memberCell, Seq("vec_id"), "left")
+      .select("vec_id", "cluster_id", "sem_group", "keep")
+      .orderBy("vec_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_semdedup" -> (semDedup _))
+
+  /** Cluster assignment depends on in-engine Lloyd training — not
+    * SQL-expressible; semantics pinned by SemDedupSpec (brute-force CC
+    * twin, collapse equivalence, determinism). */
+  def oracles: Map[String, String] = Map.empty
+}

@@ -42,6 +42,22 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("viral-prefilter two-pass plan is value-identical to the one-pass window") {
+    val shingleSets = DedupOps.shingles(spark, sfDir)
+    // tight cap so the blocklist is non-empty on test data and the
+    // prefilter path actually removes rows before the posting shuffle
+    val cap = 20L
+    def pairsOf(prefilter: Boolean) =
+      DedupOps.ngramJaccardOf(shingleSets, DedupOps.jaccardThreshold, cap, prefilter)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val onePass = pairsOf(prefilter = false)
+    val twoPass = pairsOf(prefilter = true)
+    assert(onePass.nonEmpty)
+    assert(twoPass == onePass,
+      s"plans diverge: only-one-pass ${onePass.keySet.diff(twoPass.keySet)}, " +
+        s"only-two-pass ${twoPass.keySet.diff(onePass.keySet)}")
+  }
+
   test("simhash: near-identical documents collide at low hamming") {
     import spark.implicits._
     // plant a near-dup corpus: doc + one-word-changed copy
