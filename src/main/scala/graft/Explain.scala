@@ -83,7 +83,10 @@ object Explain {
       // incremental probe: batch bands equi-join the index bands
       "q_dedup_incremental"  -> Seq("HashAggregate"),
       // report: one grouped agg, dup rate via hash aggregation
-      "q_corpus_report"      -> Seq("HashAggregate"))
+      "q_corpus_report"      -> Seq("HashAggregate"),
+      // semdedup: centroids ride a broadcast; within-cell candidates
+      // come from a hash equi-join on the cell id, never a nested loop
+      "q_semdedup"           -> Seq("BroadcastNestedLoopJoin", "HashAggregate"))
 
     // the curate pipeline's whole cost at scale is corpus scans: quality,
     // content key, and split must share ONE projection, so `documents`
