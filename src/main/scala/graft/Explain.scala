@@ -86,7 +86,15 @@ object Explain {
       "q_corpus_report"      -> Seq("HashAggregate"),
       // semdedup: centroids ride a broadcast; within-cell candidates
       // come from a hash equi-join on the cell id, never a nested loop
-      "q_semdedup"           -> Seq("BroadcastNestedLoopJoin", "HashAggregate"))
+      "q_semdedup"           -> Seq("BroadcastNestedLoopJoin", "HashAggregate"),
+      // bigram-LM model counts are hash aggregations (map-side partials
+      // collapse Zipfian hot bigrams), per-doc fold is the sorted
+      // collect_list (ObjectHashAggregate); model joins are plain
+      // equi-joins, never hand-broadcast (vocabulary-sized)
+      "q_lm_perplexity"      -> Seq("HashAggregate", "ObjectHashAggregate"),
+      // DSIR models are <=256 rows by construction -> explicit broadcast;
+      // the doc side never shuffles on the hot bucket key
+      "q_dsir_weights"       -> Seq("BroadcastHashJoin", "ObjectHashAggregate"))
 
     // the curate pipeline's whole cost at scale is corpus scans: quality,
     // content key, and split must share ONE projection, so `documents`

@@ -49,6 +49,7 @@ object Stress {
       "q_tfidf_top_terms", "q_dup_span_frac", "q_dedup_ngram_jaccard",
       "q_dedup_clusters", "q_dedup_simhash", "q_dedup_minhash_lsh",
       "q_dedup_embedding_lsh", "q_ann_ivf", "q_ann_pq", "q_semdedup",
+      "q_lm_perplexity", "q_dsir_weights",
       "q_dedup_incremental", "q_corpus_report", "q_curate_pipeline")
     val heavies: Seq[String] =
       if (args.length > 2) args.drop(2).toSeq else defaults

@@ -1,0 +1,239 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Model-based corpus quality scoring — the two standard "train a cheap
+  * model on a clean reference slice, score the whole crawl" filters of
+  * an LLM data pipeline:
+  *
+  *   - [[lmPerplexity]]: CCNet-style bigram language-model scoring
+  *     (Wenzek et al. 2019, arXiv:1911.00359 §4.3 — there a 5-gram
+  *     KenLM over Wikipedia; here a 2-gram model with add-one
+  *     smoothing, the same shape without the external binary model).
+  *   - [[dsirWeights]]: DSIR importance weights over hashed n-gram
+  *     features (Xie et al. 2023, arXiv:2302.03169 §3 — bag of hashed
+  *     unigrams+bigrams, log ratio of target vs raw bucket models).
+  *
+  * Both are deterministic and engine-portable: model counts are exact
+  * integers, documents fold their per-feature log terms in sorted
+  * order (see SURVEY.md §6 — hash aggregations sum doubles in
+  * partition order, so compared double aggregates are folded over
+  * sorted exact-integer pairs on both engines), and every compared
+  * log-derived column is rounded to 6 decimals to absorb last-ulp
+  * `ln` differences between DuckDB and the JVM.
+  */
+object QualityModelOps {
+
+  /** The "clean reference" slice the models are trained on — a fixed
+    * source subset standing in for the curated corpus (Wikipedia in
+    * CCNet/DSIR). */
+  val refSources: Seq[String] = Seq("src0", "src1", "src2", "src3")
+  private val refSourcesSql = refSources.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  private def wordsCol = split(trim(col("text")), "\\s+")
+
+  /** word-bigram list via one shared split (let-bound as a lambda
+    * variable so the split computes once per row — see SURVEY §5). */
+  private def bigramsCol = element_at(
+    transform(array(wordsCol), ws =>
+      transform(sequence(lit(0), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2)))), 1)
+
+  // ------------------------------------------- CCNet-style bigram LM
+
+  /** Mean bigram log-probability of every document under an add-one
+    * smoothed bigram LM trained on [[refSources]] — low score = high
+    * perplexity = far from the reference distribution, the CCNet
+    * filter signal.
+    *
+    * P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V), with c(·) bigram /
+    * bigram-context counts in the reference slice and V the context
+    * vocabulary size; an unseen context degrades to the uniform 1/V.
+    *
+    * Scale shape: ONE explode feeds everything — per-(doc, bigram)
+    * multiplicities, reference bigram counts, reference context
+    * counts, and V are all rollups of the same frame, so the heavy
+    * tokenization runs once and the exchange is reused. Model counts
+    * are groupBy hash aggregations (map-side partials collapse the
+    * Zipfian hot bigrams — never a whole-partition window on the
+    * token key), the model joins back through plain equi-joins (a
+    * web-scale bigram vocabulary must not be hand-broadcast; AQE
+    * broadcasts it when the reference slice is actually small), and V
+    * rides as a 1-row aggregate cross-join, never a driver count(). */
+  def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+    val bg = docs
+      .select(col("source"), col("doc_id"), explode(bigramsCol).as("bg"))
+      .groupBy(col("doc_id"), col("source"), col("bg"))
+      .agg(count(lit(1)).as("m"))
+    val ref = bg.filter(col("source").isin(refSources: _*))
+    val cb = ref.groupBy(col("bg")).agg(sum(col("m")).as("cb"))
+    val cw = ref.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("m")).as("cw"))
+    val v = cw.agg(count(lit(1)).as("v"))
+
+    val scored = bg
+      .join(cb, Seq("bg"), "left")
+      .join(cw, col("w1") === substring_index(col("bg"), " ", 1), "left")
+      .crossJoin(v)
+      .select(col("doc_id"), col("m"),
+        coalesce(col("cb"), lit(0L)).as("cb0"),
+        coalesce(col("cw"), lit(0L)).as("cw0"),
+        col("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        aggregate(
+          array_sort(collect_list(struct(col("cb0"), col("cw0"), col("m"), col("v")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("m") *
+            (log(x.getField("cb0") + lit(1)) -
+              log(x.getField("cw0") + x.getField("v")))).as("lp_sum"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("lp_sum") / col("n_bigrams"), 6).as("mean_log_prob"))
+      .orderBy("doc_id")
+  }
+
+  val lmPerplexitySql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, source, bg, count(*) AS m FROM (
+       |    SELECT doc_id, source, unnest(list_transform(range(len(ws) - 1),
+       |      i -> ws[i+1] || ' ' || ws[i+2])) AS bg
+       |    FROM w)
+       |  GROUP BY 1, 2, 3),
+       |cb AS (SELECT bg, CAST(sum(m) AS BIGINT) AS cb FROM bg
+       |       WHERE source IN $refSourcesSql GROUP BY 1),
+       |cw AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(m) AS BIGINT) AS cw
+       |       FROM bg WHERE source IN $refSourcesSql GROUP BY 1),
+       |v AS (SELECT count(*) AS v FROM cw),
+       |per AS (
+       |  SELECT doc_id,
+       |    CAST(sum(m) AS BIGINT) AS n_bigrams,
+       |    list(struct_pack(cb0 := cb0, cw0 := cw0, m := m, v := v)
+       |      ORDER BY cb0, cw0, m, v) AS terms
+       |  FROM (
+       |    SELECT bg.doc_id, bg.m,
+       |      coalesce(cb.cb, 0) AS cb0, coalesce(cw.cw, 0) AS cw0, v.v
+       |    FROM bg
+       |    LEFT JOIN cb USING (bg)
+       |    LEFT JOIN cw ON cw.w1 = split_part(bg.bg, ' ', 1)
+       |    CROSS JOIN v)
+       |  GROUP BY 1)
+       |SELECT d.doc_id, per.n_bigrams,
+       |  round(list_reduce(list_prepend(0.0, list_transform(per.terms, t ->
+       |    CAST(t.m AS DOUBLE) * (ln(CAST(t.cb0 AS DOUBLE) + 1)
+       |      - ln(CAST(t.cw0 AS DOUBLE) + t.v)))),
+       |    (acc, x) -> acc + x) / per.n_bigrams, 6) AS mean_log_prob
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------- DSIR weights
+
+  /** Number of hashed feature buckets. Buckets are the first two hex
+    * chars of md5(feature) — the one hash both engines compute
+    * identically — so B is fixed at 256. */
+  val dsirBuckets = 256
+
+  /** DSIR log importance weight per document: features are hashed word
+    * unigrams + bigrams; the target model is bucket frequencies in
+    * [[refSources]], the raw model is bucket frequencies in the whole
+    * corpus (both add-one smoothed over the 256 buckets); a document's
+    * weight is Σ m(b) · [ln p_target(b) − ln p_raw(b)] over its
+    * feature buckets — positive means "looks like the reference", the
+    * signal DSIR resamples on. `target_like` thresholds the rounded
+    * weight at 0 so both engines compare the identical value.
+    *
+    * Scale shape: one corpus scan; both models are rollups of the same
+    * exploded frame and are AT MOST 256 rows by construction, so they
+    * are explicitly broadcast (unlike a vocabulary-keyed model, the
+    * bound is structural, not data-dependent) — the per-doc side never
+    * shuffles on the hot bucket key; the only doc-keyed exchange is
+    * the final per-document rollup. Corpus totals ride as a 1-row
+    * aggregate cross-join, never a driver count(). */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+    val fb = docs
+      .select(col("source"), col("doc_id"),
+        explode(concat(wordsCol, bigramsCol)).as("f"))
+      .select(col("source"), col("doc_id"), substring(md5(col("f")), 1, 2).as("bucket"))
+      .groupBy(col("doc_id"), col("source"), col("bucket"))
+      .agg(count(lit(1)).as("m"))
+    val cr = fb.groupBy(col("bucket")).agg(sum(col("m")).as("cr"))
+    val ct = fb.filter(col("source").isin(refSources: _*))
+      .groupBy(col("bucket")).agg(sum(col("m")).as("ct"))
+    val totals = cr.agg(sum(col("cr")).as("nr"))
+      .crossJoin(ct.agg(sum(col("ct")).as("nt")))
+
+    fb
+      .join(broadcast(ct), Seq("bucket"), "left")
+      .join(broadcast(cr), Seq("bucket"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("m"),
+        coalesce(col("ct"), lit(0L)).as("ct0"), col("cr").as("cr0"),
+        col("nt"), col("nr"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_features"),
+        round(aggregate(
+          array_sort(collect_list(struct(
+            col("ct0"), col("cr0"), col("m"), col("nt"), col("nr")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("m") *
+            ((log(x.getField("ct0") + lit(1)) - log(x.getField("nt") + lit(dsirBuckets))) -
+              (log(x.getField("cr0") + lit(1)) - log(x.getField("nr") + lit(dsirBuckets))))),
+          6).as("log_weight"))
+      .select(col("doc_id"), col("n_features"), col("log_weight"),
+        (col("log_weight") > 0.0).as("target_like"))
+      .orderBy("doc_id")
+  }
+
+  val dsirWeightsSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, source, unnest(list_concat(ws,
+       |    list_transform(range(len(ws) - 1), i -> ws[i+1] || ' ' || ws[i+2]))) AS f
+       |  FROM w),
+       |fb AS (
+       |  SELECT doc_id, source, substr(md5(f), 1, 2) AS bucket, count(*) AS m
+       |  FROM f GROUP BY 1, 2, 3),
+       |cr AS (SELECT bucket, CAST(sum(m) AS BIGINT) AS cr FROM fb GROUP BY 1),
+       |ct AS (SELECT bucket, CAST(sum(m) AS BIGINT) AS ct FROM fb
+       |       WHERE source IN $refSourcesSql GROUP BY 1),
+       |tot AS (SELECT
+       |  (SELECT CAST(sum(cr) AS BIGINT) FROM cr) AS nr,
+       |  (SELECT CAST(sum(ct) AS BIGINT) FROM ct) AS nt),
+       |per AS (
+       |  SELECT doc_id,
+       |    CAST(sum(m) AS BIGINT) AS n_features,
+       |    round(list_reduce(list_prepend(0.0, list_transform(
+       |      list(struct_pack(ct0 := ct0, cr0 := cr0, m := m, nt := nt, nr := nr)
+       |        ORDER BY ct0, cr0, m, nt, nr),
+       |      t -> CAST(t.m AS DOUBLE) *
+       |        ((ln(CAST(t.ct0 AS DOUBLE) + 1) - ln(CAST(t.nt AS DOUBLE) + $dsirBuckets))
+       |         - (ln(CAST(t.cr0 AS DOUBLE) + 1) - ln(CAST(t.nr AS DOUBLE) + $dsirBuckets))))),
+       |      (acc, x) -> acc + x), 6) AS log_weight
+       |  FROM (
+       |    SELECT fb.doc_id, fb.m, coalesce(ct.ct, 0) AS ct0, cr.cr AS cr0, nt, nr
+       |    FROM fb LEFT JOIN ct USING (bucket) JOIN cr USING (bucket) CROSS JOIN tot)
+       |  GROUP BY 1)
+       |SELECT doc_id, n_features, log_weight, log_weight > 0 AS target_like
+       |FROM per ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lm_perplexity" -> (lmPerplexity _),
+    "q_dsir_weights"  -> (dsirWeights _))
+
+  def oracles: Map[String, String] = Map(
+    "q_lm_perplexity" -> lmPerplexitySql,
+    "q_dsir_weights"  -> dsirWeightsSql)
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class QualityModelOpsSpec extends SparkSpec {
+
+  private lazy val docs = graft.Tables.documents(spark, sfDir)
+    .select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).as("n_words"))
+
+  test("lm perplexity: one row per doc, n_bigrams = n_words - 1, all log probs negative") {
+    val lp = QualityModelOps.lmPerplexity(spark, sfDir)
+    val joined = lp.join(docs, Seq("doc_id")).collect()
+    assert(joined.length == docs.count())
+    joined.foreach { r =>
+      val nWords = r.getAs[Int]("n_words")
+      assert(r.getAs[Long]("n_bigrams") == nWords - 1L)
+      // smoothed bigram probs are strictly < 1 (cb <= cw, V >= 1)
+      assert(r.getAs[Double]("mean_log_prob") < 0.0)
+    }
+  }
+
+  test("lm perplexity: reference-slice docs score higher than out-of-slice docs on average") {
+    val lp = QualityModelOps.lmPerplexity(spark, sfDir).join(docs, Seq("doc_id"))
+      .groupBy(col("source").isin(QualityModelOps.refSources: _*).as("is_ref"))
+      .agg(avg(col("mean_log_prob")).as("avg_lp"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // docs the model was trained on have every bigram seen (cb >= 1);
+    // out-of-slice docs carry unseen bigrams that fall to the smoothing floor
+    assert(lp(true) > lp(false))
+  }
+
+  test("dsir: n_features = 2*n_words - 1, flag mirrors the rounded weight's sign") {
+    val w = QualityModelOps.dsirWeights(spark, sfDir)
+    val joined = w.join(docs, Seq("doc_id")).collect()
+    assert(joined.length == docs.count())
+    joined.foreach { r =>
+      val nWords = r.getAs[Int]("n_words")
+      assert(r.getAs[Long]("n_features") == 2L * nWords - 1L)
+      assert(r.getAs[Boolean]("target_like") == (r.getAs[Double]("log_weight") > 0.0))
+    }
+  }
+
+  test("dsir: reference-slice docs weigh more target-like than out-of-slice docs on average") {
+    val byRef = QualityModelOps.dsirWeights(spark, sfDir).join(docs, Seq("doc_id"))
+      .groupBy(col("source").isin(QualityModelOps.refSources: _*).as("is_ref"))
+      .agg(avg(col("log_weight")).as("avg_w"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byRef(true) > byRef(false))
+  }
+
+  test("both scores are deterministic across runs") {
+    def digest(df: org.apache.spark.sql.DataFrame): String =
+      df.select(md5(concat_ws("#", df.columns.map(c => col(c).cast("string")): _*))
+        .as("h")).agg(md5(concat_ws("", collect_list(col("h")))).as("d"))
+        .collect()(0).getString(0)
+    assert(digest(QualityModelOps.lmPerplexity(spark, sfDir)) ==
+      digest(QualityModelOps.lmPerplexity(spark, sfDir)))
+    assert(digest(QualityModelOps.dsirWeights(spark, sfDir)) ==
+      digest(QualityModelOps.dsirWeights(spark, sfDir)))
+  }
+}
