@@ -229,6 +229,29 @@ object QualityModelOps {
        |SELECT doc_id, n_features, log_weight, log_weight > 0 AS target_like
        |FROM per ORDER BY doc_id""".stripMargin
 
+  /** The trained DSIR bucket model as a reusable frame: per bucket, the
+    * add-one-smoothed log ratio ln p_target − ln p_raw. ≤256 rows by
+    * construction — the streaming scorer collapses it to one broadcast
+    * map ([[graft.streaming.EventStream.dsirScoreStream]]). `docs`
+    * needs (source, text); the target slice is [[refSources]]. */
+  def dsirModelOf(docs: DataFrame): DataFrame = {
+    val fb = docs
+      .select(col("source"), explode(concat(wordsCol, bigramsCol)).as("f"))
+      .select(col("source"), substring(md5(col("f")), 1, 2).as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("m"))
+    val cr = fb.groupBy(col("bucket")).agg(sum(col("m")).as("cr"))
+    val ct = fb.filter(col("source").isin(refSources: _*))
+      .groupBy(col("bucket")).agg(sum(col("m")).as("ct"))
+    val totals = cr.agg(sum(col("cr")).as("nr"))
+      .crossJoin(ct.agg(sum(col("ct")).as("nt")))
+    cr.join(ct, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        ((log(coalesce(col("ct"), lit(0L)) + lit(1)) - log(col("nt") + lit(dsirBuckets))) -
+          (log(col("cr") + lit(1)) - log(col("nr") + lit(dsirBuckets)))).as("log_ratio"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lm_perplexity" -> (lmPerplexity _),
     "q_dsir_weights"  -> (dsirWeights _))

@@ -271,4 +271,37 @@ object EventStream {
           }
       }
   }
+
+  /** Stateless streaming DSIR quality scoring: score an incoming
+    * document stream against a trained bucket model
+    * ([[graft.operators.QualityModelOps.dsirModelOf]], ≤256 rows by
+    * construction). The model collapses to ONE row holding a
+    * bucket→log-ratio map and rides a broadcast into the stream, so
+    * scoring is purely map-side — no streaming state, no watermark, no
+    * shuffle; at production width every executor scores its partition
+    * of the crawl at ingest speed. Feature hashing (md5-prefix buckets)
+    * is identical to the batch operator's, so stream scores match the
+    * batch [[graft.operators.QualityModelOps.dsirWeights]] up to
+    * double-fold order (spec-pinned to 1e-9, flags identical).
+    *
+    * `docs` needs (doc_id, text); emits (doc_id, n_features,
+    * log_weight, target_like) in append mode. */
+  def dsirScoreStream(docs: DataFrame, bucketModel: DataFrame): DataFrame = {
+    val m = bucketModel.agg(
+      map_from_entries(collect_list(struct(col("bucket"), col("log_ratio"))))
+        .as("lr"))
+    val ws = split(trim(col("text")), "\\s+")
+    val feats = element_at(transform(array(ws), w =>
+      concat(w, transform(sequence(lit(0), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))), 1)
+    docs
+      .crossJoin(broadcast(m))
+      .select(col("doc_id"), feats.as("fs"), col("lr"))
+      .select(col("doc_id"),
+        size(col("fs")).cast("long").as("n_features"),
+        round(aggregate(col("fs"), lit(0.0), (acc, f) =>
+          acc + coalesce(element_at(col("lr"), substring(md5(f), 1, 2)), lit(0.0))),
+          6).as("log_weight"))
+      .withColumn("target_like", col("log_weight") > 0.0)
+  }
 }
