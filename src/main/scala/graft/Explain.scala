@@ -94,7 +94,14 @@ object Explain {
       "q_lm_perplexity"      -> Seq("HashAggregate", "ObjectHashAggregate"),
       // DSIR models are <=256 rows by construction -> explicit broadcast;
       // the doc side never shuffles on the hot bucket key
-      "q_dsir_weights"       -> Seq("BroadcastHashJoin", "ObjectHashAggregate"))
+      "q_dsir_weights"       -> Seq("BroadcastHashJoin", "ObjectHashAggregate"),
+      // resampling: hourly rollup is a hash aggregation (map-side
+      // partials collapse the raw stream), spine is a Generate off the
+      // tiny per-user bounds frame
+      "q_gap_fill"           -> Seq("HashAggregate", "Generate"),
+      "q_locf"               -> Seq("Window", "Generate"),
+      // FIR smoothing: one user-key window, O(1) frame state
+      "q_ewma"               -> Seq("Window"))
 
     // the curate pipeline's whole cost at scale is corpus scans: quality,
     // content key, and split must share ONE projection, so `documents`

@@ -18,7 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     AnalyticsOps.queries ++ ScanOps.queries ++ VersionOps.queries ++ StatusOps.queries ++
       JoinOps.queries ++ graft.functions.TextFunctions.queries ++
-      QualityModelOps.queries ++
+      QualityModelOps.queries ++ TimeSeriesOps.queries ++
       DedupOps.queries ++ AnnOps.queries ++ SemDedupOps.queries ++
       MultimodalOps.queries ++ SubmitOps.queries ++
       OrgOps.queries ++ ExtractOps.queries ++ MappingExtractOps.queries ++
@@ -29,7 +29,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     AnalyticsOps.oracles ++ ScanOps.oracles ++ VersionOps.oracles ++ StatusOps.oracles ++
       JoinOps.oracles ++ graft.functions.TextFunctions.oracles ++
-      QualityModelOps.oracles ++
+      QualityModelOps.oracles ++ TimeSeriesOps.oracles ++
       DedupOps.oracles ++ AnnOps.oracles ++ SemDedupOps.oracles ++
       MultimodalOps.oracles ++ SubmitOps.oracles ++
       OrgOps.oracles ++ ExtractOps.oracles ++ MappingExtractOps.oracles ++

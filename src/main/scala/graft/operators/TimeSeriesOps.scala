@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Time-series resampling over the event stream: hourly gap-fill,
+  * last-observation-carried-forward, and a truncated (FIR) EWMA.
+  *
+  * Scale notes (100 TB): the hourly rollup is the only full-data
+  * shuffle — map-side partial aggregation collapses each task's events
+  * to one row per (user, hour) before the exchange. Everything after it
+  * runs on the rolled-up frame (users x active-hours, orders of
+  * magnitude smaller than the raw stream): the spine explode is
+  * map-side from per-user (min, max) bounds, and the fill join is an
+  * equi-join on (user_id, bucket) that AQE plans against the rollup.
+  * The EWMA is deliberately the TRUNCATED form — an exact recursive
+  * EWMA needs either a sequential scan per key or a pow() rescaling
+  * trick that overflows double range after ~1000 rows, while the
+  * 8-lag FIR window is O(1) state per row, stays inside whole-stage
+  * codegen, and is within (1-alpha)^8 < 6% of the infinite tail.
+  */
+object TimeSeriesOps {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Per-(user, hour) rollup: event count + exact decimal value sum
+    * (reassociation-safe, so the hash matches the oracle at any
+    * partition count). */
+  private def hourly(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), window(col("ts"), "1 hour").getField("start").as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+
+  private val hourlySql: String =
+    """WITH b AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS bucket, count(*) AS n_events,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY 1),
+      |spine AS (
+      |  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      |  FROM r),
+      |g AS (
+      |  SELECT s.user_id, s.bucket, b.n_events, b.sum_value
+      |  FROM spine s LEFT JOIN b ON s.user_id = b.user_id AND s.bucket = b.bucket)
+      |""".stripMargin
+
+  /** Hourly spine per user (first..last active hour) with zero-filled
+    * gaps — the regular grid a downstream forecaster or anomaly
+    * detector needs. */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val b = hourly(s, dir)
+    val spine = b.groupBy(col("user_id"))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("bucket"))
+    spine.join(b, Seq("user_id", "bucket"), "left")
+      .select(col("user_id"), col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("user_id", "bucket")
+  }
+
+  val gapFillSql: String = hourlySql +
+    """SELECT user_id, bucket, coalesce(n_events, 0) AS n_events,
+      |  coalesce(sum_value, 0e0) AS sum_value
+      |FROM g ORDER BY user_id, bucket""".stripMargin
+
+  /** Same spine, but gap hours carry the last observed hourly sum
+    * forward (LOCF resampling) instead of zeroing. `last(ignoreNulls)`
+    * over a running frame is O(1) window state. */
+  def locf(s: SparkSession, dir: String): DataFrame = {
+    val b = hourly(s, dir)
+    val spine = b.groupBy(col("user_id"))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("bucket"))
+    val w = Window.partitionBy("user_id").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(b, Seq("user_id", "bucket"), "left")
+      .select(col("user_id"), col("bucket"),
+        last(col("sum_value"), ignoreNulls = true).over(w).as("filled_value"))
+      .orderBy("user_id", "bucket")
+  }
+
+  val locfSql: String = hourlySql +
+    """SELECT user_id, bucket,
+      |  last_value(sum_value IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+      |FROM g ORDER BY user_id, bucket""".stripMargin
+
+  // FIR weights (1-alpha)^k for alpha = 0.3: exact decimal literals
+  // (7^k / 10^k), identical on both sides — never computed via pow(),
+  // whose last-ulp may differ between engines.
+  private val firWeights = Seq(0.7, 0.49, 0.343, 0.2401, 0.16807, 0.117649, 0.0823543)
+  private val firWeightsSqlLits =
+    Seq("0.7e0", "0.49e0", "0.343e0", "0.2401e0", "0.16807e0", "0.117649e0", "0.0823543e0")
+
+  /** Truncated exponentially-weighted moving average of each user's
+    * event values (alpha = 0.3, 8-tap FIR, weights renormalized over
+    * the taps that exist). Additions are written left-associated in
+    * BOTH engines so the double arithmetic is bit-identical. */
+  def ewma(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val lags = firWeights.indices.map(k => lag(col("value"), k + 1).over(w))
+    val num = lags.zip(firWeights).foldLeft(col("value")) {
+      case (acc, (l, wk)) => acc + coalesce(l, lit(0.0)) * lit(wk)
+    }
+    val den = lags.zip(firWeights).foldLeft(lit(1.0)) {
+      case (acc, (l, wk)) => acc + when(l.isNotNull, lit(wk)).otherwise(lit(0.0))
+    }
+    Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        round(num / den, 6).as("ewma"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  val ewmaSql: String = {
+    val num = firWeightsSqlLits.zipWithIndex.foldLeft("value") {
+      case (acc, (wk, k)) =>
+        s"$acc + coalesce(lag(value, ${k + 1}) OVER w, 0e0) * $wk"
+    }
+    val den = firWeightsSqlLits.zipWithIndex.foldLeft("1e0") {
+      case (acc, (wk, k)) =>
+        s"$acc + CASE WHEN lag(value, ${k + 1}) OVER w IS NOT NULL THEN $wk ELSE 0e0 END"
+    }
+    s"""SELECT user_id, event_id, ts, value,
+       |  round(($num) / ($den), 6) AS ewma
+       |FROM events WHERE value IS NOT NULL
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |ORDER BY user_id, ts, event_id""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gap_fill" -> (gapFill _),
+    "q_locf"     -> (locf _),
+    "q_ewma"     -> (ewma _))
+
+  def oracles: Map[String, String] = Map(
+    "q_gap_fill" -> gapFillSql,
+    "q_locf"     -> locfSql,
+    "q_ewma"     -> ewmaSql)
+}

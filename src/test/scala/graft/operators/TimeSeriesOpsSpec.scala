@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+class TimeSeriesOpsSpec extends SparkSpec {
+
+  test("gap_fill zero-fills every missing hour between first and last activity") {
+    val out = TimeSeriesOps.gapFill(spark, sfDir)
+    val rows = out.collect()
+    // spine is dense: per user, rows == hours between min and max bucket
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (_, rs) =>
+      val hrs = rs.map(_.getTimestamp(1).getTime)
+      val span = (hrs.max - hrs.min) / 3600000L + 1
+      assert(rs.length == span, "spine must cover every hour exactly once")
+      assert(hrs.distinct.length == rs.length)
+    }
+    // gap rows are zero, never null
+    assert(rows.forall(r => !r.isNullAt(2) && !r.isNullAt(3)))
+    val gaps = rows.count(_.getLong(2) == 0L)
+    assert(gaps > 0, "sf0.001 activity must leave at least one gap hour")
+    rows.filter(_.getLong(2) == 0L).foreach(r => assert(r.getDouble(3) == 0.0))
+  }
+
+  test("locf carries the last observed hourly sum across gap hours") {
+    val gf = TimeSeriesOps.gapFill(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3)))
+    val lf = TimeSeriesOps.locf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+    assert(gf.length == lf.length)
+    // replay LOCF over the gap-fill frame and compare cell by cell
+    val expected = gf.groupBy(_._1).iterator.flatMap { case (u, rs) =>
+      var lastSeen = 0.0
+      rs.sortBy(_._2).map { case (_, t, n, s) =>
+        if (n > 0L) lastSeen = s
+        (u, t) -> lastSeen
+      }
+    }.toMap
+    lf.foreach { case (u, t, v) => assert(v == expected((u, t))) }
+  }
+
+  test("ewma matches a hand-rolled truncated FIR over each user's series") {
+    import spark.implicits._
+    val out = TimeSeriesOps.ewma(spark, sfDir)
+      .select("user_id", "event_id", "ewma").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val series = graft.Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "value")
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+      .groupBy(_._1)
+    val w = Seq(1.0, 0.7, 0.49, 0.343, 0.2401, 0.16807, 0.117649, 0.0823543)
+    var checked = 0
+    series.foreach { case (u, rs) =>
+      val vals = rs.sortBy(r => (r._2.getTime, r._3)).map(r => (r._3, r._4))
+      vals.indices.foreach { i =>
+        val taps = (0 until math.min(i + 1, 8)).map(k => vals(i - k)._2 * w(k))
+        val den = w.take(math.min(i + 1, 8)).sum
+        val exp = BigDecimal(taps.sum / den)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(out((u, vals(i)._1)) - exp) <= 1e-9,
+          s"user $u event ${vals(i)._1}")
+        checked += 1
+      }
+    }
+    assert(checked > 100)
+  }
+
+  test("ewma damps spikes relative to the raw series") {
+    import spark.implicits._
+    val rows = TimeSeriesOps.ewma(spark, sfDir)
+      .select("user_id", "value", "ewma").as[(Long, Double, Double)].collect()
+    val rawVar = variance(rows.map(_._2))
+    val smoothVar = variance(rows.map(_._3))
+    assert(smoothVar < rawVar, "smoothing must reduce variance")
+  }
+
+  private def variance(xs: Array[Double]): Double = {
+    val m = xs.sum / xs.length
+    xs.map(x => (x - m) * (x - m)).sum / xs.length
+  }
+}
