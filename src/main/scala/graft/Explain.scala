@@ -98,6 +98,9 @@ object Explain {
       // resampling: hourly rollup is a hash aggregation (map-side
       // partials collapse the raw stream), spine is a Generate off the
       // tiny per-user bounds frame
+      // keep rule: rank + member-count share one cluster_id window
+      // partitioning; only text LENGTH rides the join, never the text
+      "q_dedup_keep"         -> Seq("Window"),
       "q_gap_fill"           -> Seq("HashAggregate", "Generate"),
       "q_locf"               -> Seq("Window", "Generate"),
       // FIR smoothing: one user-key window, O(1) frame state

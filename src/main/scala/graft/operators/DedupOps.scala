@@ -512,6 +512,48 @@ object DedupOps {
        |  min(r) = id AS is_canonical
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------- keep rule
+
+  /** The production step after clustering: pick ONE survivor per
+    * near-dup cluster by content quality — longest text wins, ties
+    * break to the smallest doc_id — and flag everything else for
+    * deletion. Emitting a flag (not filtering) keeps the decision
+    * auditable; `keep` rows ARE the deduplicated corpus.
+    *
+    * Scale: the rank and member-count windows share one partitioning on
+    * cluster_id; near-dup cluster sizes are bounded (they are copy
+    * groups, not Zipfian keys), so no cluster dominates a partition.
+    * The text itself never shuffles — only its length rides the join. */
+  def dedupKeep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cluster_id")
+    val rank = row_number().over(w.orderBy(col("text_len").desc, col("doc_id").asc))
+    dedupClusters(s, dir)
+      .join(Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("text_len")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("text_len"),
+        count(lit(1)).over(w).as("n_members"),
+        (rank === 1).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Keep-rule oracle: the same window rule over the recursive-CTE
+    * cluster reachability (the clusters oracle's final SELECT becomes
+    * two more CTEs). */
+  val dedupKeepSql: String =
+    dedupClustersSql.replaceFirst(
+      "SELECT id AS doc_id, min\\(r\\) AS cluster_id,[\\s\\S]*$",
+      """, cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |sized AS (
+        |  SELECT c.doc_id, c.cluster_id, CAST(length(d.text) AS BIGINT) AS text_len
+        |  FROM cl c JOIN documents d ON c.doc_id = d.doc_id)
+        |SELECT doc_id, cluster_id, text_len,
+        |  count(*) OVER (PARTITION BY cluster_id) AS n_members,
+        |  row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY text_len DESC, doc_id ASC) = 1 AS keep
+        |FROM sized ORDER BY doc_id""".stripMargin)
+
   // ----------------------------------------------- MinHash + LSH
 
   val minhashK = 32
@@ -919,6 +961,7 @@ object DedupOps {
     "q_dup_span_frac"       -> (dupSpanFrac _),
     "q_chunk_dedup"         -> (chunkDedup _),
     "q_dedup_clusters"      -> (dedupClusters _),
+    "q_dedup_keep"          -> (dedupKeep _),
     "q_dedup_minhash_lsh"   -> (minhashLsh _),
     "q_dedup_incremental"   -> (incrementalDedup _),
     "q_dedup_simhash"       -> (simhashPairs _),
@@ -935,5 +978,6 @@ object DedupOps {
     "q_dup_span_frac"       -> dupSpanFracSql,
     "q_chunk_dedup"         -> chunkDedupSql,
     "q_dedup_clusters"      -> dedupClustersSql,
+    "q_dedup_keep"          -> dedupKeepSql,
     "q_embed_pairs_exact"   -> embeddingPairsExactSql)
 }

