@@ -43,13 +43,28 @@ object Stress {
     }
     scale("documents", "doc_id")
     scale("embeddings", "vec_id")
+    // events: keep ts as the raw nanos long (Tables.events converts on
+    // read); shift user_id too — the scaled corpus is "MULT× the user
+    // base", not longer per-user series, matching how an event stream
+    // actually grows
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    locally {
+      val base = Tables.table(spark, srcDir, "events")
+      (0 until mult).map { i =>
+        base.withColumn("event_id", col("event_id") + lit(i * shift))
+          .withColumn("user_id", col("user_id") + lit(i * shift))
+      }.reduce(_ union _)
+        .repartition(cpus.toInt).write.mode(SaveMode.Overwrite)
+        .parquet(s"$workDir/events.parquet")
+    }
 
     val defaults: Seq[String] = Seq(
       "q_dedup_exact", "q_chunk_dedup", "q_gopher_filter", "q_token_rarity",
       "q_tfidf_top_terms", "q_dup_span_frac", "q_dedup_ngram_jaccard",
       "q_dedup_clusters", "q_dedup_simhash", "q_dedup_minhash_lsh",
       "q_dedup_embedding_lsh", "q_ann_ivf", "q_ann_pq", "q_semdedup",
-      "q_lm_perplexity", "q_dsir_weights",
+      "q_lm_perplexity", "q_dsir_weights", "q_dedup_keep",
+      "q_gap_fill", "q_locf", "q_ewma",
       "q_dedup_incremental", "q_corpus_report", "q_curate_pipeline")
     val heavies: Seq[String] =
       if (args.length > 2) args.drop(2).toSeq else defaults
