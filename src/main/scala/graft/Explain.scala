@@ -104,7 +104,11 @@ object Explain {
       "q_gap_fill"           -> Seq("HashAggregate", "Generate"),
       "q_locf"               -> Seq("Window", "Generate"),
       // FIR smoothing: one user-key window, O(1) frame state
-      "q_ewma"               -> Seq("Window"))
+      "q_ewma"               -> Seq("Window"),
+      // anomaly: dense spine Generate + exact-integer-sum trailing window
+      "q_anomaly"            -> Seq("Window", "Generate", "HashAggregate"),
+      // winsorize: 5-row bounds frame rides a broadcast; clip is map-side
+      "q_winsorize"          -> Seq("BroadcastHashJoin"))
 
     // the curate pipeline's whole cost at scale is corpus scans: quality,
     // content key, and split must share ONE projection, so `documents`

@@ -138,13 +138,114 @@ object TimeSeriesOps {
        |ORDER BY user_id, ts, event_id""".stripMargin
   }
 
+  /** Hourly-volume anomaly detection per event type: z-score of each
+    * hour's count against the trailing 24 dense-spine hours. The
+    * trailing mean/variance come from EXACT integer window sums (count,
+    * sum, sum-of-squares over longs) cast to double only at the final
+    * formula — the one expression-tree shape both engines fold
+    * bit-identically, where a streaming stddev implementation would
+    * diverge in the last ulp. Warm-up (<12 trailing hours) rows are
+    * dropped; zero-variance windows score 0. */
+  def anomaly(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.events(s, dir)
+      .groupBy(col("event_type"), window(col("ts"), "1 hour").getField("start").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val spine = b.groupBy(col("event_type"))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("bucket"))
+    val g = spine.join(b, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
+    val tw = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(-24, -1)
+    val m = count(lit(1)).over(tw)
+    val sm = sum(col("n")).over(tw).cast("double")
+    val ss = sum(col("n") * col("n")).over(tw).cast("double")
+    val md = m.cast("double")
+    g.select(col("event_type"), col("bucket"), col("n"), m.as("m"),
+        (sm / md).as("mean0"),
+        ((ss - sm * sm / md) / (md - lit(1.0))).as("var0"))
+      .filter(col("m") >= 12)
+      .select(col("event_type"), col("bucket"), col("n"),
+        when(col("var0") > 0.0,
+          round((col("n").cast("double") - col("mean0")) / sqrt(col("var0")), 6))
+          .otherwise(lit(0.0)).as("zscore"))
+      .withColumn("anomaly", abs(col("zscore")) > lit(3.0))
+      .orderBy("event_type", "bucket")
+  }
+
+  val anomalySql: String =
+    """WITH b AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY 1),
+      |spine AS (
+      |  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      |  FROM r),
+      |g AS (
+      |  SELECT s.event_type, s.bucket, coalesce(b.n, 0) AS n
+      |  FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.bucket = b.bucket),
+      |w AS (
+      |  SELECT event_type, bucket, n,
+      |    count(*) OVER tw AS m,
+      |    CAST(sum(n) OVER tw AS DOUBLE) AS s,
+      |    CAST(sum(n*n) OVER tw AS DOUBLE) AS ss
+      |  FROM g
+      |  WINDOW tw AS (PARTITION BY event_type ORDER BY bucket
+      |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      |v AS (
+      |  SELECT event_type, bucket, n, m,
+      |    s / CAST(m AS DOUBLE) AS mean0,
+      |    (ss - s * s / CAST(m AS DOUBLE)) / (CAST(m AS DOUBLE) - 1e0) AS var0
+      |  FROM w WHERE m >= 12)
+      |SELECT event_type, bucket, n,
+      |  CASE WHEN var0 > 0e0
+      |       THEN round((CAST(n AS DOUBLE) - mean0) / sqrt(var0), 6)
+      |       ELSE 0e0 END AS zscore,
+      |  abs(CASE WHEN var0 > 0e0
+      |       THEN round((CAST(n AS DOUBLE) - mean0) / sqrt(var0), 6)
+      |       ELSE 0e0 END) > 3e0 AS anomaly
+      |FROM v ORDER BY event_type, bucket""".stripMargin
+
+  /** Winsorization: clip event values to each type's [p1, p99] band —
+    * the standard outlier guard before loss-weighted training. Bounds
+    * are rounded to 6 decimals on BOTH sides so the clip thresholds are
+    * exactly equal across engines; the 5-row bounds frame rides an
+    * explicit broadcast, so clipping runs map-side at scan speed. */
+  def winsorize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val bounds = ev.groupBy(col("event_type")).agg(
+      round(expr("percentile(value, 0.01)"), 6).as("lo"),
+      round(expr("percentile(value, 0.99)"), 6).as("hi"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        least(greatest(col("value"), col("lo")), col("hi")).as("v_clip"),
+        (col("value") < col("lo") || col("value") > col("hi")).as("clipped"))
+      .orderBy("event_id")
+  }
+
+  val winsorizeSql: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    round(quantile_cont(value, 0.01), 6) AS lo,
+      |    round(quantile_cont(value, 0.99), 6) AS hi
+      |  FROM events GROUP BY 1)
+      |SELECT event_id, e.event_type, value,
+      |  least(greatest(value, lo), hi) AS v_clip,
+      |  (value < lo OR value > hi) AS clipped
+      |FROM events e JOIN b ON e.event_type = b.event_type
+      |ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_gap_fill" -> (gapFill _),
-    "q_locf"     -> (locf _),
-    "q_ewma"     -> (ewma _))
+    "q_gap_fill"  -> (gapFill _),
+    "q_locf"      -> (locf _),
+    "q_ewma"      -> (ewma _),
+    "q_anomaly"   -> (anomaly _),
+    "q_winsorize" -> (winsorize _))
 
   def oracles: Map[String, String] = Map(
-    "q_gap_fill" -> gapFillSql,
-    "q_locf"     -> locfSql,
-    "q_ewma"     -> ewmaSql)
+    "q_gap_fill"  -> gapFillSql,
+    "q_locf"      -> locfSql,
+    "q_ewma"      -> ewmaSql,
+    "q_anomaly"   -> anomalySql,
+    "q_winsorize" -> winsorizeSql)
 }

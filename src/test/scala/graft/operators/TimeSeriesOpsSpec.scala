@@ -79,4 +79,54 @@ class TimeSeriesOpsSpec extends SparkSpec {
     val m = xs.sum / xs.length
     xs.map(x => (x - m) * (x - m)).sum / xs.length
   }
+
+  test("anomaly z-scores match a hand-rolled trailing-24h computation") {
+    import spark.implicits._
+    val out = TimeSeriesOps.anomaly(spark, sfDir)
+      .select("event_type", "bucket", "zscore").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime) -> r.getDouble(2)).toMap
+    // rebuild the dense per-type hourly series from gap-fill logic
+    val series = graft.Tables.events(spark, sfDir)
+      .groupBy($"event_type", org.apache.spark.sql.functions.window($"ts", "1 hour")
+        .getField("start").as("bucket"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+      .groupBy(_._1)
+    var checked = 0
+    series.foreach { case (et, rs) =>
+      val byHour = rs.map(r => r._2 -> r._3).toMap
+      val hours = (byHour.keys.min to byHour.keys.max by 3600000L).toArray
+      val dense = hours.map(h => byHour.getOrElse(h, 0L))
+      hours.indices.foreach { i =>
+        val w = dense.slice(math.max(0, i - 24), i)
+        if (w.length >= 12) {
+          val m = w.length.toDouble
+          val s = w.sum.toDouble
+          val ss = w.map(x => x * x).sum.toDouble
+          val v = (ss - s * s / m) / (m - 1.0)
+          val exp = if (v > 0.0)
+            BigDecimal((dense(i) - s / m) / math.sqrt(v))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          else 0.0
+          assert(math.abs(out((et, hours(i))) - exp) <= 1e-9, s"$et @ ${hours(i)}")
+          checked += 1
+        } else assert(!out.contains((et, hours(i))), "warm-up rows must be dropped")
+      }
+    }
+    assert(checked > 500)
+  }
+
+  test("winsorize clips exactly the values outside each type's [p1, p99] band") {
+    val rows = TimeSeriesOps.winsorize(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.exists(_._4), "sf0.001 must have at least one clipped outlier")
+    rows.foreach { case (_, v, c, clipped) =>
+      if (clipped) assert(c != v) else assert(c == v)
+    }
+    // per type, clip fraction is ~2% (p1 + p99 tails)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val frac = rs.count(_._4).toDouble / rs.length
+      assert(frac > 0.0 && frac < 0.05, s"clip fraction $frac out of band")
+    }
+  }
 }
