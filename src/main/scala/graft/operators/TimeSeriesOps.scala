@@ -146,8 +146,13 @@ object TimeSeriesOps {
     * bit-identically, where a streaming stddev implementation would
     * diverge in the last ulp. Warm-up (<12 trailing hours) rows are
     * dropped; zero-variance windows score 0. */
-  def anomaly(s: SparkSession, dir: String): DataFrame = {
-    val b = Tables.events(s, dir)
+  def anomaly(s: SparkSession, dir: String): DataFrame =
+    anomalyOf(Tables.events(s, dir))
+
+  /** Generic API over any (event_type, ts) frame — the batch twin of
+    * [[graft.streaming.EventStream.anomalyScoreStream]]. */
+  def anomalyOf(events: DataFrame): DataFrame = {
+    val b = events
       .groupBy(col("event_type"), window(col("ts"), "1 hour").getField("start").as("bucket"))
       .agg(count(lit(1)).as("n"))
     val spine = b.groupBy(col("event_type"))

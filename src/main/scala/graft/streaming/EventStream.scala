@@ -304,4 +304,83 @@ object EventStream {
           6).as("log_weight"))
       .withColumn("target_like", col("log_weight") > 0.0)
   }
+
+  final case class HourScore(event_type: String, bucket: Timestamp, n: Long,
+      zscore: Double, anomaly: Boolean)
+  final case class AnomalyState(firstHour: Long, lastEmitted: Long,
+      counts: Map[Long, Long])
+
+  /** Streaming hourly-volume anomaly detection — the streaming twin of
+    * [[graft.operators.TimeSeriesOps.anomalyOf]]. Keyed on event_type
+    * (a handful of groups, so state is tiny no matter the stream rate):
+    * each group accumulates per-hour counts, and once the watermark
+    * passes an hour's end that hour is FINAL — it is scored against the
+    * trailing 24 dense hours (gap hours count 0, exactly like the batch
+    * spine), emitted, and the window slides. State is bounded at ~24
+    * retained hours + pending hours inside the watermark; an event-time
+    * timeout finalizes the tail when a type goes quiet. Warm-up hours
+    * (<12 trailing) are dropped and zero-variance windows score 0, both
+    * matching batch; scores are spec-pinned to batch at 1e-9 with
+    * identical anomaly flags (the integer trailing sums are exact in
+    * both engines, so the double formula folds the same way).
+    *
+    * `events` needs (event_type, ts); emits [[HourScore]] in append
+    * mode, one row per finalized spine hour per type. */
+  def anomalyScoreStream(events: DataFrame): Dataset[HourScore] = {
+    import events.sparkSession.implicits._
+    val hourMs = 3600000L
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("event_type"), col("ts")).as[(String, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (et: String, rows: Iterator[(String, Timestamp)], state: GroupState[AnomalyState]) =>
+          val prev = state.getOption
+            .getOrElse(AnomalyState(Long.MaxValue, Long.MinValue, Map.empty))
+          var counts = prev.counts
+          var first = prev.firstHour
+          rows.foreach { case (_, ts) =>
+            val h = math.floorDiv(ts.getTime, hourMs) * hourMs
+            counts = counts.updated(h, counts.getOrElse(h, 0L) + 1L)
+            if (h < first) first = h
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val ready = counts.keysIterator
+            .filter(h => h + hourMs <= wm && h > prev.lastEmitted).toSeq
+          val out = Seq.newBuilder[HourScore]
+          var lastEmitted = prev.lastEmitted
+          if (ready.nonEmpty && first != Long.MaxValue) {
+            // walk the DENSE spine from the emit frontier to the newest
+            // final hour — gap hours get scored (n = 0) like in batch
+            var h = if (lastEmitted == Long.MinValue) first else lastEmitted + hourMs
+            val hi = ready.max
+            while (h <= hi) {
+              val m = math.min(24L, (h - first) / hourMs).toInt
+              if (m >= 12) {
+                val trail = (1 to m).map(k => counts.getOrElse(h - k * hourMs, 0L))
+                val md = m.toDouble
+                val s = trail.sum.toDouble
+                val ss = trail.map(x => x * x).sum.toDouble
+                val mean = s / md
+                val v = (ss - s * s / md) / (md - 1.0)
+                val n = counts.getOrElse(h, 0L)
+                val z =
+                  if (v > 0.0)
+                    BigDecimal((n.toDouble - mean) / math.sqrt(v))
+                      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                  else 0.0
+                out += HourScore(et, new Timestamp(h), n, z, math.abs(z) > 3.0)
+              }
+              lastEmitted = h
+              h += hourMs
+            }
+            // retain the 24 trailing hours behind the frontier + pending
+            counts = counts.filter { case (hh, _) => hh > lastEmitted - 24 * hourMs }
+          }
+          state.update(AnomalyState(first, lastEmitted, counts))
+          val pending = counts.keysIterator.filter(_ > lastEmitted)
+          if (pending.nonEmpty) state.setTimeoutTimestamp(pending.min + hourMs)
+          out.result().iterator
+      }
+  }
 }
