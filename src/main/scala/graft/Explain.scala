@@ -31,6 +31,8 @@ object Explain {
       "q_asof_join"          -> Seq("Window"),
       // custom operator tier: the planner strategy must pick AsOfJoinExec
       "q_asof_native"        -> Seq("AsOfJoin"),
+      // nearest = backward + forward passes, both windows on the user key
+      "q_asof_nearest"       -> Seq("Window"),
       // banded interval join: bucket explode (Generate) + equi join, no nested loop
       "q_interval_join"      -> Seq("Generate", "HashAggregate"),
       "q_org_rules_full"     -> Seq("BroadcastHashJoin"),

@@ -301,9 +301,80 @@ object JoinOps {
       |FROM s GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  /** Generic NEAREST as-of join: for each left row, the right row of
+    * the same `key` closest in event time (either direction) within
+    * `toleranceUs` microseconds — the remaining member of the as-of
+    * family (backward = latest ≤, forward = earliest ≥, nearest =
+    * min |Δt|). Composed from [[asofJoinOf]] + [[asofForwardJoinOf]]:
+    * the per-side winners are the global distance minima, so comparing
+    * the two is exact, and both passes shuffle on the same `key` so the
+    * second exchange reuses the first's partitioning. Ties: equal
+    * distance → the earlier (backward) row; equal-ts ties inherit each
+    * side's deterministic pick (backward: max `rightTie`; forward:
+    * min `rightTie`). Output columns come back prefixed `near_`, plus
+    * a `direction` column ('backward'/'forward'/null). */
+  def asofNearestJoinOf(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+      leftTie: String, rightTie: String, toleranceUs: Long): DataFrame = {
+    val payload = tsCol +: rightTie +: right.columns
+      .filter(c => c != key && c != tsCol && c != rightTie).toSeq
+    val back = asofJoinOf(left, right, key, tsCol, leftTie, rightTie)
+    val fwd = asofForwardJoinOf(left, right, key, tsCol, leftTie, rightTie)
+      .select(col(leftTie) +: payload.map(c => col(s"asof_$c").as(s"__fwd_$c")): _*)
+    val joined = back.join(fwd, Seq(leftTie))
+    val db = unix_micros(col(tsCol)) - unix_micros(col(s"asof_$tsCol"))
+    val df = unix_micros(col(s"__fwd_$tsCol")) - unix_micros(col(tsCol))
+    val bOk = col(s"asof_$tsCol").isNotNull && db <= toleranceUs
+    val fOk = col(s"__fwd_$tsCol").isNotNull && df <= toleranceUs
+    val useB = bOk && (!fOk || db <= df)
+    val useF = !useB && fOk
+    val nearCols = payload.map(c =>
+      when(useB, col(s"asof_$c")).when(useF, col(s"__fwd_$c")).as(s"near_$c"))
+    val direction = when(useB, lit("backward")).when(useF, lit("forward"))
+      .otherwise(lit(null).cast("string")).as("direction")
+    joined.select(left.columns.map(col).toSeq ++ nearCols :+ direction: _*)
+  }
+
+  /** For each click: the purchase of the same user NEAREST in time,
+    * looking both directions, within a 6-hour tolerance. */
+  def asofNearest(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"), col("value"))
+    asofNearestJoinOf(clicks, purchases, "user_id", "ts", "click_id", "purchase_id",
+        6L * 3600 * 1000000)
+      .orderBy("click_id")
+  }
+
+  /** Oracle: global nearest within tolerance via one windowed rank.
+    * The ORDER BY pins the engine's exact tie chain: min distance →
+    * earlier ts (backward beats forward on equal distance) → each
+    * side's deterministic id pick (backward max id, forward min id). */
+  val asofNearestSql: String =
+    """WITH c AS (SELECT user_id, ts, event_id AS click_id
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts, event_id AS purchase_id, value
+      |      FROM events WHERE event_type = 'purchase'),
+      |m AS (SELECT c.click_id, p.ts AS near_ts, p.purchase_id AS near_purchase_id,
+      |        p.value AS near_value,
+      |        CASE WHEN p.ts <= c.ts THEN 'backward' ELSE 'forward' END AS direction,
+      |        row_number() OVER (PARTITION BY c.click_id
+      |          ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)),
+      |                   p.ts,
+      |                   CASE WHEN p.ts <= c.ts THEN -p.purchase_id
+      |                        ELSE p.purchase_id END) AS rn
+      |      FROM c JOIN p ON c.user_id = p.user_id
+      |        AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 21600000000)
+      |SELECT c.user_id, c.ts, c.click_id, m.near_ts, m.near_purchase_id,
+      |  m.near_value, m.direction
+      |FROM c LEFT JOIN m ON c.click_id = m.click_id AND m.rn = 1
+      |ORDER BY c.click_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join"     -> (asofJoin _),
     "q_asof_forward"  -> (asofForward _),
+    "q_asof_nearest"  -> (asofNearest _),
     "q_asof_native"   -> (asofJoinNative _),
     "q_range_join"    -> (rangeJoin _),
     "q_interval_join" -> (intervalJoin _),
@@ -312,6 +383,7 @@ object JoinOps {
   def oracles: Map[String, String] = Map(
     "q_asof_join"     -> asofJoinSql,
     "q_asof_forward"  -> asofForwardSql,
+    "q_asof_nearest"  -> asofNearestSql,
     "q_asof_native"   -> asofJoinSql,
     "q_range_join"    -> rangeJoinSql,
     "q_interval_join" -> intervalJoinSql,

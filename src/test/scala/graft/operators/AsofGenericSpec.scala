@@ -25,4 +25,36 @@ class AsofGenericSpec extends SparkSpec {
 
     assert(generic == reference)
   }
+
+  test("nearest asof: distance, tolerance, and the full tie chain") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val left = Seq(
+      (1L, ts(100), 10L), // equidistant purchases → backward wins
+      (1L, ts(200), 11L), // only a forward match in tolerance
+      (1L, ts(300), 12L), // distance-0 tie on equal ts → backward side, max id
+      (1L, ts(400), 13L), // nothing within tolerance → null row
+      (2L, ts(500), 14L)  // other key: its own series
+    ).toDF("user_id", "ts", "click_id")
+    val right = Seq(
+      (1L, ts(90), 1L, 1.0), (1L, ts(110), 2L, 2.0),
+      (1L, ts(205), 3L, 3.0),
+      (1L, ts(300), 4L, 4.0), (1L, ts(300), 5L, 5.0),
+      (1L, ts(480), 6L, 6.0), // 80s from click 13 — outside 50s tolerance
+      (2L, ts(520), 7L, 7.0)
+    ).toDF("user_id", "ts", "purchase_id", "value")
+
+    val out = JoinOps.asofNearestJoinOf(left, right, "user_id", "ts",
+        "click_id", "purchase_id", toleranceUs = 50L * 1000000)
+      .select("click_id", "near_purchase_id", "direction").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))),
+          (if (r.isNullAt(2)) None else Some(r.getString(2))))).toMap
+
+    assert(out(10L) == ((Some(1L), Some("backward"))), "equal distance → earlier row")
+    assert(out(11L) == ((Some(3L), Some("forward"))))
+    assert(out(12L) == ((Some(5L), Some("backward"))), "equal-ts tie → backward max id")
+    assert(out(13L) == ((None, None)), "outside tolerance")
+    assert(out(14L) == ((Some(7L), Some("forward"))), "keys never cross")
+  }
 }
