@@ -110,7 +110,10 @@ object Explain {
       // anomaly: dense spine Generate + exact-integer-sum trailing window
       "q_anomaly"            -> Seq("Window", "Generate", "HashAggregate"),
       // winsorize: 5-row bounds frame rides a broadcast; clip is map-side
-      "q_winsorize"          -> Seq("BroadcastHashJoin"))
+      "q_winsorize"          -> Seq("BroadcastHashJoin"),
+      // hopping: the 4-way window replication stays inside codegen
+      // (Expand), one shuffle on (window, type)
+      "q_hopping_window"     -> Seq("Expand", "HashAggregate"))
 
     // the curate pipeline's whole cost at scale is corpus scans: quality,
     // content key, and split must share ONE projection, so `documents`

@@ -302,6 +302,32 @@ object AnalyticsOps {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
 
+  // ------------------------------------------------- hopping window
+  /** Sliding (hopping) windowed agg: 1-hour windows advancing every
+    * 15 minutes — each event lands in 4 overlapping windows. Spark's
+    * `window(ts, len, slide)` does the 4-way replication inside the
+    * codegen'd Expand, still one shuffle on (window, type); the oracle
+    * replicates explicitly via a 4-offset unnest. */
+  def hoppingWindow(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").getField("start").as("w_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy("w_start", "event_type")
+  }
+
+  val hoppingWindowSql: String =
+    """WITH r AS (
+      |  SELECT ts, event_type, value,
+      |    make_timestamp(CAST((floor(epoch(ts) / 900) - k) * 900 AS BIGINT) * 1000000) AS w_start
+      |  FROM events, unnest([0, 1, 2, 3]) AS t(k)),
+      |w AS (SELECT * FROM r
+      |      WHERE ts >= w_start AND ts < w_start + INTERVAL 1 HOUR)
+      |SELECT w_start, event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
   // ------------------------------------------------- sketch quantiles
   /** Approximate percentiles (mergeable sketch — the scale path where the
     * exact percentile's full sort per group is not affordable). Accuracy
@@ -432,6 +458,7 @@ object AnalyticsOps {
     "q_hll_union"         -> (hllUnion _),
     "q_json_extract"      -> (jsonExtract _),
     "q_tumbling_window"   -> (tumblingWindow _),
+    "q_hopping_window"    -> (hoppingWindow _),
     "q_semi_join"         -> (semiJoin _),
     "q_anti_join"         -> (antiJoin _),
     "q_approx_quantiles"  -> (approxQuantiles _))
@@ -450,6 +477,7 @@ object AnalyticsOps {
     "q_hll_union"         -> hllUnionSql,
     "q_json_extract"      -> jsonExtractSql,
     "q_tumbling_window"   -> tumblingWindowSql,
+    "q_hopping_window"    -> hoppingWindowSql,
     "q_semi_join"         -> semiJoinSql,
     "q_anti_join"         -> antiJoinSql)
 }
