@@ -64,7 +64,8 @@ object Stress {
       "q_dedup_clusters", "q_dedup_simhash", "q_dedup_minhash_lsh",
       "q_dedup_embedding_lsh", "q_ann_ivf", "q_ann_pq", "q_semdedup",
       "q_lm_perplexity", "q_dsir_weights", "q_dedup_keep",
-      "q_gap_fill", "q_locf", "q_ewma",
+      "q_gap_fill", "q_locf", "q_ewma", "q_anomaly", "q_winsorize",
+      "q_asof_nearest", "q_hopping_window",
       "q_dedup_incremental", "q_corpus_report", "q_curate_pipeline")
     val heavies: Seq[String] =
       if (args.length > 2) args.drop(2).toSeq else defaults
