@@ -57,4 +57,34 @@ class AsofGenericSpec extends SparkSpec {
     assert(out(13L) == ((None, None)), "outside tolerance")
     assert(out(14L) == ((Some(7L), Some("forward"))), "keys never cross")
   }
+
+  test("nearest asof matches a brute-force reference on dense random ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // timestamps drawn from a tiny range so equal-ts and equal-distance
+    // ties happen constantly
+    val left = (1L to 60L).map(i => (rnd.nextInt(3).toLong, ts(rnd.nextInt(40).toLong), i))
+    val right = (101L to 160L).map(i =>
+      (rnd.nextInt(3).toLong, ts(rnd.nextInt(40).toLong), i, i.toDouble))
+    val tolUs = 8L * 1000000
+
+    val got = JoinOps.asofNearestJoinOf(
+        left.toDF("user_id", "ts", "click_id"),
+        right.toDF("user_id", "ts", "purchase_id", "value"),
+        "user_id", "ts", "click_id", "purchase_id", tolUs)
+      .select("click_id", "near_purchase_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+    left.foreach { case (k, lts, cid) =>
+      val best = right.filter(r => r._1 == k &&
+          math.abs(r._2.getTime - lts.getTime) * 1000 <= tolUs)
+        .sortBy { case (_, rts, rid, _) =>
+          val dist = math.abs(rts.getTime - lts.getTime)
+          val tie = if (rts.getTime <= lts.getTime) -rid else rid
+          (dist, rts.getTime, tie)
+        }.headOption.map(_._3)
+      assert(got(cid) == best, s"click $cid (key $k ts ${lts.getTime})")
+    }
+  }
 }
