@@ -29,6 +29,20 @@ object EventStream {
       .select(col("window").getField("start").as("bucket"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Watermarked hopping-window counts: 1-hour windows sliding every
+    * 15 minutes (each event lands in 4 windows — the replication runs
+    * map-side inside the codegen'd Expand, same as batch
+    * [[graft.operators.AnalyticsOps.hoppingWindow]]); watermark closes
+    * a window 1 hour after its end. */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window").getField("start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Streaming exact dedup: at-least-once sources redeliver, so the
     * pipeline drops duplicate event ids; the watermark bounds the dedup
     * state to one window of ids instead of all-time history. */

@@ -35,6 +35,33 @@ class EventStreamSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("streaming hopping counts match the batch hopping aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.Tables.events(spark, sfDir)
+      .select(col("ts"), col("event_type"), col("value"))
+    val rows = batch.as[(Timestamp, String, Double)].collect().toSeq
+
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    stream.addData(rows)
+    val q = EventStream.hoppingCounts(
+        stream.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("hopping")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("hopping").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val expected = batch
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").getField("start").as("w_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected)
+  }
+
   test("streaming dedup drops redelivered events within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
