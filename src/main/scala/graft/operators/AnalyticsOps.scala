@@ -21,7 +21,9 @@ import graft.Tables
   */
 object AnalyticsOps {
 
-  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** DECIMAL(18,2) money/measure cast — the FP-discipline workhorse
+    * (exact partial aggregation; shared across the operator modules). */
+  private[operators] def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
   // ---------------------------------------------------------------- q1
   def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {

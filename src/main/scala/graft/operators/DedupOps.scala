@@ -524,19 +524,25 @@ object DedupOps {
     * cluster_id; near-dup cluster sizes are bounded (they are copy
     * groups, not Zipfian keys), so no cluster dominates a partition.
     * The text itself never shuffles — only its length rides the join. */
-  def dedupKeep(s: SparkSession, dir: String): DataFrame = {
+  /** Generic API: the keep rule over any (doc_id, cluster_id) frame +
+    * (doc_id, text_len) quality frame. */
+  def dedupKeepOf(clusters: DataFrame, lens: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("cluster_id")
     val rank = row_number().over(w.orderBy(col("text_len").desc, col("doc_id").asc))
-    dedupClusters(s, dir)
-      .join(Tables.documents(s, dir)
-        .select(col("doc_id"), length(col("text")).cast("long").as("text_len")),
-        Seq("doc_id"))
+    clusters
+      .join(lens, Seq("doc_id"))
       .select(col("doc_id"), col("cluster_id"), col("text_len"),
         count(lit(1)).over(w).as("n_members"),
         (rank === 1).as("keep"))
-      .orderBy("doc_id")
   }
+
+  def dedupKeep(s: SparkSession, dir: String): DataFrame =
+    dedupKeepOf(
+      dedupClusters(s, dir),
+      Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("text_len")))
+      .orderBy("doc_id")
 
   /** Keep-rule oracle: the same window rule over the recursive-CTE
     * cluster reachability (the clusters oracle's final SELECT becomes

@@ -311,16 +311,20 @@ object JoinOps {
     * second exchange reuses the first's partitioning. Ties: equal
     * distance → the earlier (backward) row; equal-ts ties inherit each
     * side's deterministic pick (backward: max `rightTie`; forward:
-    * min `rightTie`). Output columns come back prefixed `near_`, plus
-    * a `direction` column ('backward'/'forward'/null). */
+    * min `rightTie`). `leftTie` must be unique per (key, ts) — the same
+    * determinism contract the sibling APIs rely on — since the two
+    * passes re-join on (key, ts, leftTie). Output columns come back
+    * prefixed `near_`, plus a `direction` column
+    * ('backward'/'forward'/null). */
   def asofNearestJoinOf(left: DataFrame, right: DataFrame, key: String, tsCol: String,
       leftTie: String, rightTie: String, toleranceUs: Long): DataFrame = {
     val payload = tsCol +: rightTie +: right.columns
       .filter(c => c != key && c != tsCol && c != rightTie).toSeq
     val back = asofJoinOf(left, right, key, tsCol, leftTie, rightTie)
     val fwd = asofForwardJoinOf(left, right, key, tsCol, leftTie, rightTie)
-      .select(col(leftTie) +: payload.map(c => col(s"asof_$c").as(s"__fwd_$c")): _*)
-    val joined = back.join(fwd, Seq(leftTie))
+      .select(Seq(col(key), col(tsCol), col(leftTie)) ++
+        payload.map(c => col(s"asof_$c").as(s"__fwd_$c")): _*)
+    val joined = back.join(fwd, Seq(key, tsCol, leftTie))
     val db = unix_micros(col(tsCol)) - unix_micros(col(s"asof_$tsCol"))
     val df = unix_micros(col(s"__fwd_$tsCol")) - unix_micros(col(tsCol))
     val bOk = col(s"asof_$tsCol").isNotNull && db <= toleranceUs

@@ -36,11 +36,27 @@ object QualityModelOps {
   private def wordsCol = split(trim(col("text")), "\\s+")
 
   /** word-bigram list via one shared split (let-bound as a lambda
-    * variable so the split computes once per row — see SURVEY §5). */
+    * variable so the split computes once per row — see SURVEY §5).
+    * Guarded for <2-word documents: `sequence(0, -1)` counts DOWN
+    * ([0, -1]) and the -1 index would throw at element_at, so a short
+    * doc yields an empty bigram list (matching DuckDB's `range`,
+    * which is empty for non-positive bounds). */
   private def bigramsCol = element_at(
-    transform(array(wordsCol), ws =>
+    transform(array(wordsCol), ws => bigramsOf(ws)), 1)
+
+  private def bigramsOf(ws: org.apache.spark.sql.Column) =
+    when(size(ws) >= 2,
       transform(sequence(lit(0), size(ws) - 2),
-        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2)))), 1)
+        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Hashed unigram+bigram DSIR feature list via ONE split per row —
+    * shared by the batch scorer, the model trainer, and the streaming
+    * scorer ([[graft.streaming.EventStream.dsirScoreStream]]), so the
+    * feature contract their 1e-9 equivalence rests on has exactly one
+    * definition. */
+  private[graft] def featuresCol = element_at(
+    transform(array(wordsCol), ws => concat(ws, bigramsOf(ws))), 1)
 
   // ------------------------------------------- CCNet-style bigram LM
 
@@ -162,8 +178,7 @@ object QualityModelOps {
     val docs = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
     val fb = docs
-      .select(col("source"), col("doc_id"),
-        explode(concat(wordsCol, bigramsCol)).as("f"))
+      .select(col("source"), col("doc_id"), explode(featuresCol).as("f"))
       .select(col("source"), col("doc_id"), substring(md5(col("f")), 1, 2).as("bucket"))
       .groupBy(col("doc_id"), col("source"), col("bucket"))
       .agg(count(lit(1)).as("m"))
@@ -236,7 +251,7 @@ object QualityModelOps {
     * needs (source, text); the target slice is [[refSources]]. */
   def dsirModelOf(docs: DataFrame): DataFrame = {
     val fb = docs
-      .select(col("source"), explode(concat(wordsCol, bigramsCol)).as("f"))
+      .select(col("source"), explode(featuresCol).as("f"))
       .select(col("source"), substring(md5(col("f")), 1, 2).as("bucket"))
       .groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("m"))
@@ -245,11 +260,21 @@ object QualityModelOps {
       .groupBy(col("bucket")).agg(sum(col("m")).as("ct"))
     val totals = cr.agg(sum(col("cr")).as("nr"))
       .crossJoin(ct.agg(sum(col("ct")).as("nt")))
-    cr.join(ct, Seq("bucket"), "left")
+    // ALL 256 buckets, not just those the training corpus populated: a
+    // scored document may hash into a bucket the training never saw,
+    // and add-one smoothing gives that bucket the log ratio
+    // ln(nr+256) − ln(nt+256), not 0 — without the spine the streaming
+    // scorer's map lookup would miss and silently contribute 0.
+    val spine = docs.sparkSession.range(dsirBuckets)
+      .select(format_string("%02x", col("id")).as("bucket"))
+    spine
+      .join(cr, Seq("bucket"), "left")
+      .join(ct, Seq("bucket"), "left")
       .crossJoin(broadcast(totals))
       .select(col("bucket"),
         ((log(coalesce(col("ct"), lit(0L)) + lit(1)) - log(col("nt") + lit(dsirBuckets))) -
-          (log(col("cr") + lit(1)) - log(col("nr") + lit(dsirBuckets)))).as("log_ratio"))
+          (log(coalesce(col("cr"), lit(0L)) + lit(1)) - log(col("nr") + lit(dsirBuckets))))
+          .as("log_ratio"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,9 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -25,7 +24,17 @@ import graft.Tables
   */
 object TimeSeriesOps {
 
-  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  import AnalyticsOps.dec
+
+  /** Dense hourly spine per key: one row for every hour from the key's
+    * first to last populated bucket (the shared scaffold of gap-fill,
+    * LOCF, and the anomaly window — one definition so the three
+    * resamplers can't drift). `b` needs (keyCol, bucket). */
+  private def denseSpine(b: DataFrame, keyCol: String): DataFrame =
+    b.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col(keyCol),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("bucket"))
 
   /** Per-(user, hour) rollup: event count + exact decimal value sum
     * (reassociation-safe, so the hash matches the oracle at any
@@ -55,11 +64,7 @@ object TimeSeriesOps {
     * detector needs. */
   def gapFill(s: SparkSession, dir: String): DataFrame = {
     val b = hourly(s, dir)
-    val spine = b.groupBy(col("user_id"))
-      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
-      .select(col("user_id"),
-        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("bucket"))
-    spine.join(b, Seq("user_id", "bucket"), "left")
+    denseSpine(b, "user_id").join(b, Seq("user_id", "bucket"), "left")
       .select(col("user_id"), col("bucket"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
@@ -76,13 +81,9 @@ object TimeSeriesOps {
     * over a running frame is O(1) window state. */
   def locf(s: SparkSession, dir: String): DataFrame = {
     val b = hourly(s, dir)
-    val spine = b.groupBy(col("user_id"))
-      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
-      .select(col("user_id"),
-        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("bucket"))
     val w = Window.partitionBy("user_id").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(b, Seq("user_id", "bucket"), "left")
+    denseSpine(b, "user_id").join(b, Seq("user_id", "bucket"), "left")
       .select(col("user_id"), col("bucket"),
         last(col("sum_value"), ignoreNulls = true).over(w).as("filled_value"))
       .orderBy("user_id", "bucket")
@@ -155,11 +156,7 @@ object TimeSeriesOps {
     val b = events
       .groupBy(col("event_type"), window(col("ts"), "1 hour").getField("start").as("bucket"))
       .agg(count(lit(1)).as("n"))
-    val spine = b.groupBy(col("event_type"))
-      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
-      .select(col("event_type"),
-        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("bucket"))
-    val g = spine.join(b, Seq("event_type", "bucket"), "left")
+    val g = denseSpine(b, "event_type").join(b, Seq("event_type", "bucket"), "left")
       .select(col("event_type"), col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
     val tw = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(-24, -1)
     val m = count(lit(1)).over(tw)
@@ -215,7 +212,14 @@ object TimeSeriesOps {
     * the standard outlier guard before loss-weighted training. Bounds
     * are rounded to 6 decimals on BOTH sides so the clip thresholds are
     * exactly equal across engines; the 5-row bounds frame rides an
-    * explicit broadcast, so clipping runs map-side at scan speed. */
+    * explicit broadcast, so the CLIP runs map-side at scan speed. The
+    * bounds aggregation itself uses the exact `percentile` (an
+    * ObjectHashAggregate buffering each type's values — the
+    * oracle-exact form, affordable while a type's values fit an
+    * executor); at full corpus scale swap it for `approx_percentile`
+    * (mergeable sketch, same clip plumbing), the same exact→sketch
+    * trade [[graft.operators.AnalyticsOps.approxQuantiles]] documents
+    * for percentiles. */
   def winsorize(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val bounds = ev.groupBy(col("event_type")).agg(

@@ -19,15 +19,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
-  /** Watermarked tumbling-window counts per event type. */
-  def tumblingCounts(events: DataFrame): DataFrame =
+  /** Shared watermark + windowed count/sum pipeline behind the
+    * tumbling and hopping variants — one definition of the watermark
+    * and the decimal-exact sum discipline. */
+  private def windowedCounts(events: DataFrame, slide: Option[String],
+      startName: String): DataFrame =
     events
       .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .groupBy(slide.fold(window(col("ts"), "1 hour"))(sl =>
+        window(col("ts"), "1 hour", sl)), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
-      .select(col("window").getField("start").as("bucket"), col("event_type"),
+      .select(col("window").getField("start").as(startName), col("event_type"),
         col("n"), col("sum_value"))
+
+  /** Watermarked tumbling-window counts per event type. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    windowedCounts(events, None, "bucket")
 
   /** Watermarked hopping-window counts: 1-hour windows sliding every
     * 15 minutes (each event lands in 4 windows — the replication runs
@@ -35,13 +43,7 @@ object EventStream {
     * [[graft.operators.AnalyticsOps.hoppingWindow]]); watermark closes
     * a window 1 hour after its end. */
   def hoppingCounts(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
-      .select(col("window").getField("start").as("w_start"), col("event_type"),
-        col("n"), col("sum_value"))
+    windowedCounts(events, Some("15 minutes"), "w_start")
 
   /** Streaming exact dedup: at-least-once sources redeliver, so the
     * pipeline drops duplicate event ids; the watermark bounds the dedup
@@ -304,13 +306,10 @@ object EventStream {
     val m = bucketModel.agg(
       map_from_entries(collect_list(struct(col("bucket"), col("log_ratio"))))
         .as("lr"))
-    val ws = split(trim(col("text")), "\\s+")
-    val feats = element_at(transform(array(ws), w =>
-      concat(w, transform(sequence(lit(0), size(w) - 2),
-        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))), 1)
     docs
       .crossJoin(broadcast(m))
-      .select(col("doc_id"), feats.as("fs"), col("lr"))
+      .select(col("doc_id"),
+        graft.operators.QualityModelOps.featuresCol.as("fs"), col("lr"))
       .select(col("doc_id"),
         size(col("fs")).cast("long").as("n_features"),
         round(aggregate(col("fs"), lit(0.0), (acc, f) =>

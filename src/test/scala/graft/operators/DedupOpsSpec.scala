@@ -110,8 +110,20 @@ class DedupOpsSpec extends SparkSpec {
       val best = cs.maxBy(c => (c._3, -c._1))
       assert(kept._1 == best._1, "keep = longest text, tie to min doc_id")
     }
-    // clusters with >1 member must exist at this SF, and some survivor
-    // must NOT be the min-id canonical (the quality rule really differs)
+    // clusters with >1 member must exist at this SF
     assert(rows.exists(_._4 > 1))
+  }
+
+  test("keep rule picks quality over the min-id canonical when they differ") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val lens = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L))
+      .toDF("doc_id", "text_len")
+    val out = DedupOps.dedupKeepOf(clusters, lens).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    // doc 2 (longest, tie with 3 → min id among longest) beats the
+    // cluster's min-id canonical doc 1
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true))
   }
 }

@@ -61,4 +61,21 @@ class QualityModelOpsSpec extends SparkSpec {
     assert(digest(QualityModelOps.dsirWeights(spark, sfDir)) ==
       digest(QualityModelOps.dsirWeights(spark, sfDir)))
   }
+
+  test("feature extraction survives one-word and empty documents") {
+    import spark.implicits._
+    val docs = Seq((1L, "solo"), (2L, ""), (3L, "  two  words  "))
+      .toDF("doc_id", "text")
+    val feats = docs.select(col("doc_id"), QualityModelOps.featuresCol.as("fs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(feats(1L) == Seq("solo"), "one word → one unigram, no bigrams")
+    assert(feats(2L) == Seq(""), "empty text → the single empty token")
+    assert(feats(3L) == Seq("two", "words", "two words"))
+    // and the full scoring path survives them (model + stream scorer)
+    val model = QualityModelOps.dsirModelOf(docs.withColumn("source", lit("src0")))
+    assert(model.count() == QualityModelOps.dsirBuckets.toLong,
+      "model must carry all 256 buckets, seen or not")
+    val scored = graft.streaming.EventStream.dsirScoreStream(docs, model).collect()
+    assert(scored.length == 3 && scored.forall(!_.isNullAt(2)))
+  }
 }
