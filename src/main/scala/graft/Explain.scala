@@ -111,6 +111,7 @@ object Explain {
       "q_anomaly"            -> Seq("Window", "Generate", "HashAggregate"),
       // winsorize: 5-row bounds frame rides a broadcast; clip is map-side
       "q_winsorize"          -> Seq("BroadcastHashJoin"),
+      "q_winsorize_approx"   -> Seq("BroadcastHashJoin"),
       // hopping: the 4-way window replication stays inside codegen
       // (Expand), one shuffle on (window, type)
       "q_hopping_window"     -> Seq("Expand", "HashAggregate"))

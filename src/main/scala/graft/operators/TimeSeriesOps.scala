@@ -232,6 +232,24 @@ object TimeSeriesOps {
       .orderBy("event_id")
   }
 
+  /** The scale path for [[winsorize]]: bounds from the mergeable
+    * `approx_percentile` sketch (map-side partials, no per-type value
+    * buffer) — the form that survives a 100 TB event stream. Clip
+    * plumbing is identical; agreement with the exact bounds is pinned
+    * in spec (sketch accuracy 1e4), and the driver records a rows-only
+    * check since the sketch is engine-specific. */
+  def winsorizeApprox(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val bounds = ev.groupBy(col("event_type")).agg(
+      round(expr("approx_percentile(value, 0.01, 10000)"), 6).as("lo"),
+      round(expr("approx_percentile(value, 0.99, 10000)"), 6).as("hi"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        least(greatest(col("value"), col("lo")), col("hi")).as("v_clip"),
+        (col("value") < col("lo") || col("value") > col("hi")).as("clipped"))
+      .orderBy("event_id")
+  }
+
   val winsorizeSql: String =
     """WITH b AS (
       |  SELECT event_type,
@@ -249,7 +267,8 @@ object TimeSeriesOps {
     "q_locf"      -> (locf _),
     "q_ewma"      -> (ewma _),
     "q_anomaly"   -> (anomaly _),
-    "q_winsorize" -> (winsorize _))
+    "q_winsorize" -> (winsorize _),
+    "q_winsorize_approx" -> (winsorizeApprox _))
 
   def oracles: Map[String, String] = Map(
     "q_gap_fill"  -> gapFillSql,

@@ -116,6 +116,20 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(checked > 500)
   }
 
+  test("approx winsorize agrees with the exact operator on nearly every verdict") {
+    val exact = TimeSeriesOps.winsorize(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val approx = TimeSeriesOps.winsorizeApprox(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(approx.keySet == exact.keySet)
+    val agree = exact.count { case (id, f) => approx(id) == f }
+    // boundary-adjacent rows can flip under sketch error — at this tiny
+    // SF each type has ~200 values, so the p1/p99 estimates wobble by a
+    // rank or two; ≥99% verdict agreement pins the semantics
+    assert(agree.toDouble / exact.size >= 0.99,
+      s"sketch bounds flipped ${exact.size - agree} of ${exact.size} verdicts")
+  }
+
   test("winsorize clips exactly the values outside each type's [p1, p99] band") {
     val rows = TimeSeriesOps.winsorize(spark, sfDir).collect()
       .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
