@@ -43,13 +43,12 @@ object Stress {
     }
     scale("documents", "doc_id")
     scale("embeddings", "vec_id")
-    // events: keep ts as the raw nanos long (Tables.events converts on
-    // read); shift user_id too — the scaled corpus is "MULT× the user
-    // base", not longer per-user series, matching how an event stream
-    // actually grows
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // events: keep ts in whatever physical encoding the source has
+    // (Tables.events adapts on read); shift user_id too — the scaled
+    // corpus is "MULT× the user base", not longer per-user series,
+    // matching how an event stream actually grows
     locally {
-      val base = Tables.table(spark, srcDir, "events")
+      val base = Tables.eventsRaw(spark, srcDir)
       (0 until mult).map { i =>
         base.withColumn("event_id", col("event_id") + lit(i * shift))
           .withColumn("user_id", col("user_id") + lit(i * shift))

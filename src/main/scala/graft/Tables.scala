@@ -23,18 +23,50 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read it as nanos-since-epoch (legacy conf) and truncate to
-    * microseconds — the same truncation DuckDB applies when it loads the
-    * column into its micro-resolution TIMESTAMP, so oracles line up. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    // one-time session setup (the conf is session-wide, not a per-read
-    // datasource option); skip the mutation once it's in place
-    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** events.ts has drifted across testdata generations: parquet
+    * TIMESTAMP(NANOS) (rejected by Spark's vectorized reader unless read as
+    * raw nanos), then timestamp[us] without timezone (read as TIMESTAMP_NTZ).
+    * A production lakehouse sees exactly this — the same logical column
+    * written by different writers — so the loader adapts to the physical
+    * encoding it finds instead of pinning one. All branches land on
+    * session-zoned TIMESTAMP (UTC session), which is what the micro-resolution
+    * DuckDB oracle computes on. */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(eventsRaw(s, d))
+
+  /** Raw events read, tolerant of the TIMESTAMP(NANOS) encoding that Spark's
+    * scan planner rejects unless the legacy raw-nanos conf is on. The conf is
+    * session-wide by design — it only affects NANOS columns, which nothing
+    * else in the corpus has. */
+  def eventsRaw(s: SparkSession, d: String): DataFrame =
+    try table(s, d, "events")
+    catch {
+      case e: Exception if e.getMessage != null && e.getMessage.contains("NANOS") =>
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        table(s, d, "events")
+    }
+
+  /** Map whatever physical encoding `ts` arrived in onto session-zoned
+    * TIMESTAMP — the logical type every operator (and the micro-resolution
+    * DuckDB oracle, under the UTC session) computes on. */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case TimestampType    => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other            => sys.error(s"events.ts: unsupported physical type $other")
+    }
+  }
+
+  /** Streaming events ingest: readStream needs an explicit schema, so peek at
+    * the files with a batch read (adapting to the physical encoding exactly
+    * like `events`), then stream with that schema and the same ts
+    * normalization. `d` may be any directory events-parquet files land in. */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val raw = eventsRaw(s, d) // side effect: sets nanosAsLong if needed
+    normalizeEventTs(s.readStream.schema(raw.schema).parquet(d))
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

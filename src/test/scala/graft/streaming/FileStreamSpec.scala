@@ -5,24 +5,18 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Streaming ingest from files — the readStream path a production deploy
-  * uses (events landing as files in a bucket), including the nanos
-  * timestamp handling the batch loader does.
+  * uses (events landing as files in a bucket), with the same
+  * physical-encoding adaptation the batch loader does (Tables.eventsStream).
   */
 class FileStreamSpec extends SparkSpec {
 
   test("file-source streaming tumbling counts match batch") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tmp = java.nio.file.Files.createTempDirectory("events-stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       tmp.resolve("events.parquet"))
 
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = spark.readStream.schema(rawSchema).parquet(tmp.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.Tables.eventsStream(spark, tmp.toString)
 
     val q = EventStream.tumblingCounts(stream)
       .writeStream.format("memory").queryName("file_tumbling")
