@@ -24,4 +24,37 @@ class AnnOpsSpec extends SparkSpec {
       assert(ranks == (1 to ranks.length), s"query $q ranks $ranks")
     }
   }
+
+  test("a persisted index searches identically to the inline-trained one") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("ann-index").toString
+    val e = AnnOps.embeddingsWithNorm(spark, sfDir)
+    val q = e.filter(col("vec_id") < AnnOps.nQueries)
+    val inline = AnnOps.buildIndex(e)
+    AnnOps.writeIndex(inline, tmp)
+    val loaded = AnnOps.loadIndex(spark, tmp)
+
+    val ivfInline = AnnOps.annIvfSearch(q, inline.centroids, inline.assigned)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val ivfLoaded = AnnOps.annIvfSearch(q, loaded.centroids, loaded.assigned)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(ivfInline.nonEmpty && ivfInline == ivfLoaded)
+
+    val pqInline = AnnOps.annPqSearch(e, inline.codebook, inline.encoded)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val pqLoaded = AnnOps.annPqSearch(e, loaded.codebook, loaded.encoded)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(pqInline.nonEmpty && pqInline == pqLoaded)
+  }
+
+  test("repeated driver queries reuse the session-cached index (no retrain)") {
+    // Two calls must return identical rows; the second must be served
+    // from the cache (same AnnIndex instance).
+    val first = AnnOps.annIvf(spark, sfDir).collect().toSeq
+    val idx1 = AnnOps.indexFor(spark, sfDir)
+    val second = AnnOps.annIvf(spark, sfDir).collect().toSeq
+    val idx2 = AnnOps.indexFor(spark, sfDir)
+    assert(first == second)
+    assert(idx1 eq idx2)
+  }
 }
