@@ -52,9 +52,14 @@ object Bench {
     val errs = failed.map { case (k, e) =>
       "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // The headline value sums ONLY successful queries — wall time of a
+    // query that failed at analysis is not a benchmark number — and the
+    // artifact carries rc/valid so a consumer never has to cross-check
+    // the errors map to know whether value is trustworthy.
+    val total = results.collect { case (_, v, None) => v }.sum
+    val valid = failed.isEmpty
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"rc":${if (valid) 0 else 1},"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // Belt-and-braces against captured-stdout truncation: the same JSON
     // goes to a file next to the working dir.

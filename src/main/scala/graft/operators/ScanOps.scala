@@ -162,6 +162,61 @@ object ScanOps {
       |WHERE nullif(o_orderstatus, 'O') IS NOT NULL AND o_orderkey < 2000
       |ORDER BY o_orderkey""".stripMargin
 
+  // ----------------------------------------------------------------------
+  // Pagination: the reference's scan_table pages DynamoDB with a
+  // LastEvaluatedKey continuation loop (aws/dynamo_manager.py:216-230).
+  // The Spark analog is KEYSET pagination over a deterministic sort key —
+  // WHERE key > resume ORDER BY key LIMIT n — not OFFSET pagination:
+  // offset k re-reads k rows on every page, while the keyset predicate
+  // pushes into the parquet scan (PushedFilters: GreaterThan) so each
+  // page is O(page) whatever the table size. The resume token is simply
+  // the last key of the page, carried by the client exactly like
+  // LastEvaluatedKey.
+  // ----------------------------------------------------------------------
+
+  /** One page of a sorted scan: filters + projection + keyset resume.
+    * `keyCol` must be unique (a primary key) for gapless tiling. */
+  def scanPage(df: DataFrame, keyCol: String, pageSize: Int,
+      resumeAfter: Option[Any] = None, fields: Seq[String] = Nil,
+      filters: Seq[ScanFilter] = Nil): DataFrame = {
+    val base = scan(df, fields, filters)
+    val from = resumeAfter.map(k => base.filter(col(keyCol) > lit(k))).getOrElse(base)
+    from.orderBy(col(keyCol).asc).limit(pageSize)
+  }
+
+  /** The resume token of a page — its greatest key (None for an empty
+    * page = scan exhausted, the loop's termination signal). */
+  def resumeToken(page: DataFrame, keyCol: String): Option[Any] = {
+    val r = page.agg(max(col(keyCol))).head()
+    if (r.isNullAt(0)) None else Some(r.get(0))
+  }
+
+  val pageSize = 200
+
+  /** Driver query: the SECOND page of a filtered orders scan — page 1's
+    * token is read back driver-side and fed into page 2, exercising the
+    * actual continuation handoff (the one scalar driver round-trip a
+    * pagination protocol inherently has, mirroring the reference loop). */
+  def scanPaged(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val fields = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val filters = Seq(ScanFilter("o_orderpriority", "in", Seq("1-URGENT", "2-HIGH")))
+    val p1 = scanPage(orders, "o_orderkey", pageSize, None, fields, filters)
+    val token = resumeToken(p1, "o_orderkey")
+    scanPage(orders, "o_orderkey", pageSize, token, fields, filters)
+      .orderBy("o_orderkey")
+  }
+
+  val scanPagedSql: String =
+    s"""WITH p1 AS (
+       |  SELECT o_orderkey FROM orders
+       |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |  ORDER BY o_orderkey LIMIT $pageSize)
+       |SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |  AND o_orderkey > (SELECT max(o_orderkey) FROM p1)
+       |ORDER BY o_orderkey LIMIT $pageSize""".stripMargin
+
   def scanFilterProject(s: SparkSession, dir: String): DataFrame =
     scan(Tables.events(s, dir),
       fields = Seq("event_id", "user_id", "event_type", "value"),
@@ -184,9 +239,11 @@ object ScanOps {
     "q_filter_cmp"            -> (filterCmp _),
     "q_filter_between_in"     -> (filterBetweenIn _),
     "q_filter_null_semantics" -> (filterNullSemantics _),
-    "q_scan_filter_project"   -> (scanFilterProject _))
+    "q_scan_filter_project"   -> (scanFilterProject _),
+    "q_scan_page"             -> (scanPaged _))
 
   def oracles: Map[String, String] = Map(
+    "q_scan_page"             -> scanPagedSql,
     "q_scan_project"          -> scanProjectSql,
     "q_filter_begins_with"    -> filterBeginsWithSql,
     "q_filter_contains"       -> filterContainsSql,

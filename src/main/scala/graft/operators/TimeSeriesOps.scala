@@ -232,13 +232,44 @@ object TimeSeriesOps {
       .orderBy("event_id")
   }
 
-  /** The scale path for [[winsorize]]: bounds from the mergeable
-    * `approx_percentile` sketch (map-side partials, no per-type value
-    * buffer) — the form that survives a 100 TB event stream. Clip
-    * plumbing is identical; agreement with the exact bounds is pinned
-    * in spec (sketch accuracy 1e4), and the driver records a rows-only
-    * check since the sketch is engine-specific. */
+  /** The corpus-scale path for [[winsorize]]: bounds from a mergeable
+    * VALUE-HISTOGRAM sketch instead of a per-type value buffer. Event
+    * values are fixed-precision telemetry (2 decimals), so grouping by
+    * (type, value) gives a bounded-cardinality histogram that map-side
+    * combines; the p1/p99 bound is then the smallest value whose
+    * cumulative count reaches the discrete rank ceil(p·n) — computed
+    * with pure integer arithmetic ((n+99) div 100), so the bounds are
+    * ACTUAL data values and identical across engines: the whole clip
+    * output is hash-exact against the SQL oracle, unlike an
+    * `approx_percentile` sketch whose rank interpolation is
+    * engine-specific. For arbitrary-precision values, swap the
+    * histogram for `approx_percentile` — [[winsorizeSketch]] is that
+    * form, verdict-agreement pinned in spec. */
   def winsorizeApprox(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val hist = ev.groupBy(col("event_type"), col("value").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy(col("event_type")).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(wcum))
+      .withColumn("n", sum(col("c")).over(wall))
+    val bounds = cum.groupBy(col("event_type")).agg(
+      min(when(expr("cum >= (n + 99) div 100"), col("v"))).as("lo"),
+      min(when(expr("cum >= (n * 99 + 99) div 100"), col("v"))).as("hi"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        least(greatest(col("value"), col("lo")), col("hi")).as("v_clip"),
+        (col("value") < col("lo") || col("value") > col("hi")).as("clipped"))
+      .orderBy("event_id")
+  }
+
+  /** `approx_percentile` variant for arbitrary-precision values —
+    * engine-specific sketch, so not oracle-comparable; verdict
+    * agreement with [[winsorize]] is pinned in spec. */
+  def winsorizeSketch(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val bounds = ev.groupBy(col("event_type")).agg(
       round(expr("approx_percentile(value, 0.01, 10000)"), 6).as("lo"),
@@ -249,6 +280,30 @@ object TimeSeriesOps {
         (col("value") < col("lo") || col("value") > col("hi")).as("clipped"))
       .orderBy("event_id")
   }
+
+  /** Discrete-rank winsorize oracle: same integer rank arithmetic as
+    * the histogram sketch, so bounds (and every clip verdict) match
+    * exactly. */
+  val winsorizeApproxSql: String =
+    """WITH h AS (
+      |  SELECT event_type, value AS v, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, v,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY v
+      |                 ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(c) OVER (PARTITION BY event_type) AS n
+      |  FROM h),
+      |b AS (
+      |  SELECT event_type,
+      |    min(CASE WHEN cum >= (n + 99) // 100 THEN v END) AS lo,
+      |    min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN v END) AS hi
+      |  FROM cum GROUP BY 1)
+      |SELECT event_id, e.event_type, value,
+      |  least(greatest(value, lo), hi) AS v_clip,
+      |  (value < lo OR value > hi) AS clipped
+      |FROM events e JOIN b ON e.event_type = b.event_type
+      |ORDER BY event_id""".stripMargin
 
   val winsorizeSql: String =
     """WITH b AS (
@@ -275,5 +330,6 @@ object TimeSeriesOps {
     "q_locf"      -> locfSql,
     "q_ewma"      -> ewmaSql,
     "q_anomaly"   -> anomalySql,
-    "q_winsorize" -> winsorizeSql)
+    "q_winsorize" -> winsorizeSql,
+    "q_winsorize_approx" -> winsorizeApproxSql)
 }

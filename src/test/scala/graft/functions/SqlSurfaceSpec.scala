@@ -31,6 +31,31 @@ class SqlSurfaceSpec extends SparkSpec {
     viaSql.zip(viaApi).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("integral literal widths are accepted; bad k args raise AnalysisException") {
+    GraftFunctions.register(spark)
+    graft.Tables.documents(spark, sfDir).createOrReplaceTempView("docs_sql")
+    // a parser or generator may widen the shingle width to BIGINT —
+    // 3L must behave exactly like 3
+    val viaInt = spark.sql(
+      "SELECT doc_id, graft_shingles(text, 3) AS hs FROM docs_sql ORDER BY doc_id")
+      .collect()
+    val viaLong = spark.sql(
+      "SELECT doc_id, graft_shingles(text, 3L) AS hs FROM docs_sql ORDER BY doc_id")
+      .collect()
+    assert(viaInt.length > 0 && viaInt.sameElements(viaLong))
+    val viaCast = spark.sql(
+      "SELECT graft_minhash(graft_shingles(text, CAST(3 AS BIGINT)), 8L) AS sig " +
+        "FROM docs_sql LIMIT 1").collect()
+    assert(viaCast.nonEmpty)
+    // non-foldable and non-integral k must fail at analysis, not eval
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_shingles(text, doc_id) FROM docs_sql").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_shingles(text, 'three') FROM docs_sql").collect()
+    }
+  }
+
   test("a SURVEY query's semantics run as one SQL statement") {
     graft.Tables.documents(spark, sfDir).createOrReplaceTempView("docs_sql")
     GraftFunctions.register(spark)

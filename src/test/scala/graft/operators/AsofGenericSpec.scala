@@ -26,6 +26,41 @@ class AsofGenericSpec extends SparkSpec {
     assert(generic == reference)
   }
 
+  test("backward/forward asof: same-ts ties are deterministic and mirror the oracle's ORDER BY") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // right rows deliberately collide on ts — both at the left row's own
+    // ts (the <= / >= boundary) and at a shared earlier/later instant
+    val left = Seq((1L, ts(100), 50L)).toDF("user_id", "ts", "click_id")
+    val right = Seq(
+      (1L, ts(90), 1L, 1.0), (1L, ts(90), 2L, 2.0),   // earlier tie pair
+      (1L, ts(100), 3L, 3.0), (1L, ts(100), 4L, 4.0), // boundary tie pair
+      (1L, ts(110), 5L, 5.0), (1L, ts(110), 6L, 6.0)  // later tie pair
+    ).toDF("user_id", "ts", "purchase_id", "value")
+
+    // Backward (<=): boundary rows are eligible; the oracle's
+    // ORDER BY ts DESC, id DESC picks ts=100, id=4. The window
+    // formulation must agree: last() over (ts, side, tie ASC).
+    val back = JoinOps.asofJoinOf(left, right, "user_id", "ts", "click_id", "purchase_id")
+      .select("click_id", "asof_purchase_id").head()
+    assert(back.getLong(1) == 4L,
+      s"backward tie must resolve to max id at max ts, got ${back.getLong(1)}")
+
+    // Forward (>=): boundary rows are eligible; the oracle's
+    // ORDER BY ts ASC, id ASC picks ts=100, id=3.
+    val fwd = JoinOps.asofForwardJoinOf(left, right, "user_id", "ts", "click_id", "purchase_id")
+      .select("click_id", "asof_purchase_id").head()
+    assert(fwd.getLong(1) == 3L,
+      s"forward tie must resolve to min id at min ts, got ${fwd.getLong(1)}")
+
+    // Left rows tying with each other must each get their own verdict.
+    val left2 = Seq((1L, ts(100), 50L), (1L, ts(100), 51L)).toDF("user_id", "ts", "click_id")
+    val both = JoinOps.asofJoinOf(left2, right, "user_id", "ts", "click_id", "purchase_id")
+      .select("click_id", "asof_purchase_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(both == Map(50L -> 4L, 51L -> 4L))
+  }
+
   test("nearest asof: distance, tolerance, and the full tie chain") {
     import spark.implicits._
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)

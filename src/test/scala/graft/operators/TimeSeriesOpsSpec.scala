@@ -116,10 +116,10 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(checked > 500)
   }
 
-  test("approx winsorize agrees with the exact operator on nearly every verdict") {
+  test("approx_percentile winsorize agrees with the exact operator on nearly every verdict") {
     val exact = TimeSeriesOps.winsorize(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
-    val approx = TimeSeriesOps.winsorizeApprox(spark, sfDir).collect()
+    val approx = TimeSeriesOps.winsorizeSketch(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
     assert(approx.keySet == exact.keySet)
     val agree = exact.count { case (id, f) => approx(id) == f }
@@ -128,6 +128,28 @@ class TimeSeriesOpsSpec extends SparkSpec {
     // rank or two; ≥99% verdict agreement pins the semantics
     assert(agree.toDouble / exact.size >= 0.99,
       s"sketch bounds flipped ${exact.size - agree} of ${exact.size} verdicts")
+  }
+
+  test("histogram winsorize bounds are exact discrete quantiles") {
+    // the histogram-sketch bound must equal the brute-force sorted
+    // element at rank ceil(p*n) for every type
+    val ev = graft.Tables.events(spark, sfDir)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val byType = ev.groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).sorted }
+    val got = TimeSeriesOps.winsorizeApprox(spark, sfDir)
+      .select("event_type", "value", "v_clip", "clipped").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got.nonEmpty && got.exists(_._4), "some rows must clip")
+    got.groupBy(_._1).foreach { case (t, rows) =>
+      val vs = byType(t); val n = vs.length
+      val lo = vs((n + 99) / 100 - 1)        // rank ceil(n/100), 1-based
+      val hi = vs((n * 99 + 99) / 100 - 1)   // rank ceil(99n/100)
+      rows.foreach { case (_, v, clip, clipped) =>
+        assert(clip == math.min(math.max(v, lo), hi), s"$t: clip($v) -> $clip != [$lo,$hi]")
+        assert(clipped == (v < lo || v > hi))
+      }
+    }
   }
 
   test("winsorize clips exactly the values outside each type's [p1, p99] band") {
