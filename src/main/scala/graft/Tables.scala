@@ -71,6 +71,17 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Rebalance a frame ONLY when its layout is narrower than the session
+    * parallelism — the single-split test parquet would otherwise
+    * serialize per-row heavy work (shingling, vector math). On a
+    * production layout with >= cluster-parallelism splits this is a
+    * no-op, so the heavy paths never inherit a gratuitous full-corpus
+    * exchange from a test-data workaround. */
+  def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val p = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Runtime tuning applied by every entry point. AQE re-plans shuffles at
     * runtime (skew joins, partition coalescing) — essential at cluster scale,
     * harmless locally. */

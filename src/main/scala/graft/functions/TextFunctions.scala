@@ -177,8 +177,7 @@ object TextFunctions {
     * ranks that are tied-broken by word. */
   def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    val docs = Tables.spread(s, Tables.documents(s, dir))
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     // One scan + one explode feed both statistics: per-(word, doc)
     // counts first (doc_id determines source, so source rides along in
@@ -293,8 +292,7 @@ object TextFunctions {
     * corpus scale — and the final flag mirrors the reference-style
     * quality gate (drop if either signal crosses its threshold). */
   def repetitionScore(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    val docs = Tables.spread(s, Tables.documents(s, dir))
     val stats = docs.select(
       col("doc_id"),
       element_at(transform(array(split(trim(col("text")), "\\s+")), ws =>
@@ -359,8 +357,7 @@ object TextFunctions {
     * Spark and the DuckDB oracle add the same doubles in the same
     * sequence, making the score bit-identical. */
   def tokenRarity(s: SparkSession, dir: String): DataFrame = {
-    val wd = Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    val wd = Tables.spread(s, Tables.documents(s, dir))
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
       .groupBy(col("word"), col("doc_id"))
       .agg(count(lit(1)).as("m"))

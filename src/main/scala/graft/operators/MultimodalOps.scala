@@ -77,8 +77,7 @@ object MultimodalOps {
     * library call per batch, bounded memory, no per-row overhead). */
   def multimodalBatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ds = mediaCorpus(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    val ds = graft.Tables.spread(s, mediaCorpus(s, dir))
       .as[MediaRecord]
     ds.mapPartitions { it =>
       it.grouped(decodeBatchSize).flatMap(b => decodeBatch(b.toSeq))

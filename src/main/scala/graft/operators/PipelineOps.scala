@@ -378,8 +378,7 @@ object PipelineOps {
     * benchmark side, which at production scale is a separate
     * (broadcast) eval table anyway. */
   def curatePipeline(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    val docs = Tables.spread(s, Tables.documents(s, dir))
     // one projection: tokenize once (materialized via the single-element
     // array trick — see [[DedupOps.shinglesOf]] on HOF inlining), emit
     // quality verdict + content key + split + shingle hashes, drop the text
@@ -482,8 +481,7 @@ object PipelineOps {
     * partitioning (a plain double avg would drift in the last ulp with
     * partition order). */
   def corpusReport(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    val docs = Tables.spread(s, Tables.documents(s, dir))
     val perDoc = docs.select(
       col("doc_id"), col("source"), col("lang"),
       length(col("text")).cast("long").as("n_chars"),

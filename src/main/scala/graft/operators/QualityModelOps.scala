@@ -80,8 +80,7 @@ object QualityModelOps {
     * broadcasts it when the reference slice is actually small), and V
     * rides as a 1-row aggregate cross-join, never a driver count(). */
   def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    val docs = Tables.spread(s, Tables.documents(s, dir))
     val bg = docs
       .select(col("source"), col("doc_id"), explode(bigramsCol).as("bg"))
       .groupBy(col("doc_id"), col("source"), col("bg"))
@@ -175,8 +174,7 @@ object QualityModelOps {
     * the final per-document rollup. Corpus totals ride as a 1-row
     * aggregate cross-join, never a driver count(). */
   def dsirWeights(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    val docs = Tables.spread(s, Tables.documents(s, dir))
     val fb = docs
       .select(col("source"), col("doc_id"), explode(featuresCol).as("f"))
       .select(col("source"), col("doc_id"), substring(md5(col("f")), 1, 2).as("bucket"))
