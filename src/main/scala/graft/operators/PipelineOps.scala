@@ -244,6 +244,90 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------- contamination, bloom probe
+
+  /** Bits per eval shingle for the decontamination Bloom prefilter.
+    * The bloom only PRE-FILTERS — an exact equi-join verifies every
+    * surviving shingle, so its fpp costs verify-join volume, never
+    * correctness. 64 bits/item measures ~6e-5 fpp on this domain
+    * (Spark's double-hashing scheme floors well above the textbook
+    * formula, which is exactly why the verify pass exists); production
+    * would trade down to 10-20 bits/item when the eval set is huge. */
+  val bloomBitsPerItem = 64L
+
+  /** Build the eval set's shingle-hash Bloom filter and return its
+    * serialized bytes — the compact artifact a decontamination pass
+    * ships to every executor. Uses Spark's native mergeable
+    * [[BloomFilterAggregate]] (map-side partial sketches, bit-OR
+    * merge — commutative, so the bits are partition-order
+    * deterministic). Two actions by design: sizing count + build —
+    * this is index construction, not query-path work. */
+  def evalBloomOf(bench: DataFrame): Array[Byte] = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val h = bench.select(explode(col("hs")).as("h")).distinct()
+    val items = math.max(h.count(), 1L)
+    val agg = new BloomFilterAggregate(
+      GraftBridge.expression(col("h")),
+      Literal(items), Literal(items * bloomBitsPerItem))
+      .toAggregateExpression()
+    h.select(GraftBridge.column(agg).as("bf")).head().getAs[Array[Byte]](0)
+  }
+
+  /** Corpus-scale decontamination: bloom prefilter + exact verify —
+    * the runtime-filter pattern Spark itself uses for row-group
+    * pruning. The bloom rides the plan as a binary literal (it IS the
+    * broadcast: kilobytes however large the eval set) and
+    * [[BloomFilterMightContain]] kills ~all non-overlapping shingles
+    * map-side at scan speed; only the surviving sliver meets the exact
+    * eval shingle set in an equi-join, so the output is exactly
+    * [[contaminationHashedOf]]'s (bloom FPs die at the verify join,
+    * never in the result — driver hash-checks against the exact
+    * oracle). At 100 TB the win is that the expensive join's probe
+    * side has already shrunk from the whole corpus's shingles to
+    * roughly the true overlap. */
+  def contaminationBloomHashedOf(corpus: DataFrame, bench: DataFrame,
+      bloom: Array[Byte], frac: Double): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    val mightHit = GraftBridge.column(BloomFilterMightContain(
+      Literal(bloom, BinaryType), GraftBridge.expression(col("h"))))
+    val benchH = bench.select(explode(col("hs")).as("h")).distinct()
+    val verified = corpus
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .filter(mightHit)               // map-side: the bloom gate
+      .join(benchH, Seq("h"))         // exact verify of survivors only
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap")) // hs and benchH both distinct
+    corpus.select(col("doc_id"), size(col("hs")).as("n_shingles"))
+      .join(verified, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_shingles")).as("overlap_frac"),
+        (col("n_overlap").cast("double") / col("n_shingles") > frac)
+          .as("contaminated"))
+  }
+
+  /** One bloom per (session, corpus): built on first use, reused by
+    * every later gate run — the artifact shape of a standing
+    * decontamination service. */
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
+  def contaminationBloom(s: SparkSession, dir: String): DataFrame = {
+    val hs = DedupOps.shingleHashes(s, dir)
+    val bench = hs.filter(col("doc_id") % 97 === 0)
+    val bloom = bloomCache.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => evalBloomOf(bench))
+    contaminationBloomHashedOf(hs.filter(col("doc_id") % 97 =!= 0),
+      bench, bloom, contaminationFrac)
+      .orderBy("doc_id")
+  }
+
   /** Oracle intersects the shingle *strings* — identical to the hashed
     * plan up to 64-bit collisions (~1e-9 at test vocabulary sizes). */
   val contaminationSql: String = DedupOps.shinglesSql +
@@ -534,6 +618,7 @@ object PipelineOps {
     "q_domain_cap"     -> (domainCapped _),
     "q_pack_sequences" -> (packSequences _),
     "q_contamination"  -> (contamination _),
+    "q_contamination_bloom" -> (contaminationBloom _),
     "q_url_canonical"  -> (urlCanonical _),
     "q_corpus_report"  -> (corpusReport _),
     "q_curate_pipeline" -> (curatePipeline _))
@@ -544,6 +629,7 @@ object PipelineOps {
     "q_domain_cap"     -> domainCapSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_contamination"  -> contaminationSql,
+    "q_contamination_bloom" -> contaminationSql,
     "q_url_canonical"  -> urlCanonicalSql,
     "q_corpus_report"  -> corpusReportSql,
     "q_curate_pipeline" -> curatePipelineSql)

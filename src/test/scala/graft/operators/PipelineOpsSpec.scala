@@ -70,4 +70,34 @@ class PipelineOpsSpec extends SparkSpec {
       (col("overlap_frac") > PipelineOps.contaminationFrac)).isEmpty)
     c.unpersist()
   }
+
+  test("bloom-prefiltered contamination equals the exact gate on every row") {
+    val exact = PipelineOps.contamination(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(4))).toSet
+    val bloom = PipelineOps.contaminationBloom(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(4))).toSet
+    assert(exact.nonEmpty && bloom == exact,
+      "the exact verify join must absorb every bloom false positive")
+  }
+
+  test("bloom prefilter kills ~all non-overlap shingles map-side") {
+    val hs = graft.operators.DedupOps.shingleHashes(spark, sfDir)
+    val bench = hs.filter(col("doc_id") % 97 === 0)
+    val bloom = PipelineOps.evalBloomOf(bench)
+    assert(bloom.length > 0 && bloom.length < (1 << 20),
+      s"bloom should be compact, got ${bloom.length} bytes")
+    val gated = PipelineOps.contaminationBloomHashedOf(
+      hs.filter(col("doc_id") % 97 =!= 0), bench, bloom,
+      PipelineOps.contaminationFrac)
+    // the bloom gate appears as a plain Filter on the scan side —
+    // a binary literal, not a broadcast-joined frame
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom gate missing from plan:\n$plan")
+    // selectivity: survivors ≈ true overlap, a sliver of all shingles
+    val total = hs.filter(col("doc_id") % 97 =!= 0)
+      .select(explode(col("hs"))).count()
+    val survivors = gated.agg(sum(col("n_overlap"))).head().getLong(0)
+    assert(survivors * 10 < total,
+      s"prefilter should kill the bulk: $survivors survivors of $total shingles")
+  }
 }
