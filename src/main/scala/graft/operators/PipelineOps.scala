@@ -295,16 +295,21 @@ object PipelineOps {
     val mightHit = GraftBridge.column(BloomFilterMightContain(
       Literal(bloom, BinaryType), GraftBridge.expression(col("h"))))
     val benchH = bench.select(explode(col("hs")).as("h")).distinct()
-    val verified = corpus
-      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val hits = corpus
+      .select(col("doc_id"), size(col("hs")).as("n_shingles"),
+        explode(col("hs")).as("h"))
       .filter(mightHit)               // map-side: the bloom gate
       .join(benchH, Seq("h"))         // exact verify of survivors only
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_overlap")) // hs and benchH both distinct
-    corpus.select(col("doc_id"), size(col("hs")).as("n_shingles"))
-      .join(verified, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .select(col("doc_id"), col("n_shingles"), lit(1L).as("hit"))
+    // one zero row per doc keeps zero-overlap docs in the rollup —
+    // a union instead of a post-aggregation left join, so the SAME
+    // plan runs as a stream-static gate (joins after a streaming
+    // aggregation are unsupported; a pre-agg union is fine)
+    val zeros = corpus
+      .select(col("doc_id"), size(col("hs")).as("n_shingles"), lit(0L).as("hit"))
+    zeros.unionByName(hits)
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(sum(col("hit")).as("n_overlap")) // hs and benchH both distinct
       .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
         (col("n_overlap").cast("double") / col("n_shingles")).as("overlap_frac"),
         (col("n_overlap").cast("double") / col("n_shingles") > frac)

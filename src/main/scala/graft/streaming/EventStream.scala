@@ -318,6 +318,28 @@ object EventStream {
       .withColumn("target_like", col("log_weight") > 0.0)
   }
 
+  /** Stateless streaming decontamination gate — the streaming twin of
+    * [[graft.operators.PipelineOps.contaminationBloom]]. The eval set's
+    * shingle Bloom filter and exact shingle table are both standing
+    * artifacts (built once per eval-set release); the bloom rides the
+    * stream plan as a binary literal, the prefilter kills ~all shingles
+    * map-side at ingest speed, and the exact stream-static equi-join
+    * verifies only the surviving sliver — no streaming state, no
+    * watermark, output rows match the batch gate per micro-batch.
+    *
+    * `docs` needs (doc_id, text); emits the batch gate's
+    * (doc_id, n_shingles, n_overlap, overlap_frac, contaminated) in
+    * append mode. */
+  def contaminationStream(docs: DataFrame, benchShingles: DataFrame,
+      bloom: Array[Byte], frac: Double): DataFrame = {
+    import graft.operators.PipelineOps
+    val hs = docs
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.shingles(col("text"), 3).as("hs"))
+      .filter(size(col("hs")) >= 1)
+    PipelineOps.contaminationBloomHashedOf(hs, benchShingles, bloom, frac)
+  }
+
   final case class HourScore(event_type: String, bucket: Timestamp, n: Long,
       zscore: Double, anomaly: Boolean)
   final case class AnomalyState(firstHour: Long, lastEmitted: Long,
