@@ -28,6 +28,8 @@ object Explain {
       // top-k before the window sort, essential for top-k over a fact table
       "q_topk_per_group"     -> Seq("BroadcastHashJoin", "WindowGroupLimit"),
       "q_scan_filter_project" -> Seq("PushedFilters"),
+      // keyset pagination: the resume predicate reaches the scan
+      "q_scan_page"          -> Seq("PushedFilters", "GreaterThan(o_orderkey"),
       "q_asof_join"          -> Seq("Window"),
       // custom operator tier: the planner strategy must pick AsOfJoinExec
       "q_asof_native"        -> Seq("AsOfJoin"),
@@ -62,6 +64,8 @@ object Explain {
       "q_hash_split"         -> Seq("ReadSchema: struct<doc_id:bigint,source:string>"),
       "q_domain_cap"         -> Seq("WindowGroupLimit"),
       "q_contamination"      -> Seq("BroadcastHashJoin"),
+      // bloom gate: literal-bloom prefilter before the verify join
+      "q_contamination_bloom" -> Seq("might_contain"),
       "q_pack_sequences"     -> Seq("Window"),
       "q_transfer_items"     -> Seq("Window", "Generate"),
       "q_url_canonical"      -> Seq("Window"),
