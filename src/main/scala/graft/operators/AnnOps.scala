@@ -164,9 +164,9 @@ object AnnOps {
     * production deployment trains/persists the index once and every
     * query reads it, instead of re-running Lloyd per search. */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
-    val idx = indexFor(s, dir)
+    val (cents, assigned) = ivfFor(s, dir)
     annIvfSearch(embeddingsWithNorm(s, dir).filter(col("vec_id") < nQueries),
-      idx.centroids, idx.assigned)
+      cents, assigned)
   }
 
   /** IVF search against an already-trained index: `q` is any
@@ -357,8 +357,8 @@ object AnnOps {
     * shortlist rows alone — the plan that holds when the corpus no
     * longer fits in aggregate executor memory as floats. */
   def annPq(s: SparkSession, dir: String): DataFrame = {
-    val idx = indexFor(s, dir)
-    annPqSearch(embeddingsWithNorm(s, dir), idx.codebook, idx.encoded)
+    val (cb, encoded) = pqFor(s, dir)
+    annPqSearch(embeddingsWithNorm(s, dir), cb, encoded)
   }
 
   /** PQ-ADC search against an already-trained codebook and encoded
@@ -436,21 +436,41 @@ object AnnOps {
     s.read.parquet(s"$path/pq_codebook"),
     s.read.parquet(s"$path/pq_encoded"))
 
-  /** One trained index per (session, corpus dir), materialized via
-    * localCheckpoint: the first search trains it, every later search —
-    * including bench repetitions — reuses it, mirroring the persisted-
-    * table deployment without retraining Lloyd per query. Training is
-    * deterministic, so cached and freshly-trained results are
-    * identical (spec-pinned). */
-  private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, AnnIndex]()
+  /** Trained artifacts cached per (session, corpus dir), materialized
+    * via localCheckpoint: the first search trains, every later search —
+    * including bench repetitions — reuses, mirroring the persisted-
+    * table deployment without retraining Lloyd per query. The IVF and
+    * PQ families train LAZILY and separately — an IVF-only workload
+    * never pays the 8-way subvector explode of PQ training, and vice
+    * versa. Training is deterministic, so cached and freshly-trained
+    * results are identical (spec-pinned). */
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
 
-  def indexFor(s: SparkSession, dir: String): AnnIndex =
-    indexCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
-      val idx = buildIndex(embeddingsWithNorm(s, dir))
-      AnnIndex(idx.centroids.localCheckpoint(), idx.assigned.localCheckpoint(),
-        idx.codebook.localCheckpoint(), idx.encoded.localCheckpoint())
+  /** (centroids, inverted file) for the corpus, training on first use. */
+  def ivfFor(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    ivfCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+      val e = embeddingsWithNorm(s, dir)
+      val cents = centroidsOf(e) // localCheckpoint-materialized per round
+      (cents, assignmentsOf(e, cents).localCheckpoint())
     })
+
+  /** (codebook, encoded corpus) for the corpus, training on first use. */
+  def pqFor(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    pqCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+      val sub = subvectors(embeddingsWithNorm(s, dir)).localCheckpoint()
+      val cb = pqCodebookOf(sub)
+      (cb, pqEncodeOf(sub, cb).localCheckpoint())
+    })
+
+  /** The full trained bundle (both families) — the persistence path. */
+  def indexFor(s: SparkSession, dir: String): AnnIndex = {
+    val (cents, assigned) = ivfFor(s, dir)
+    val (cb, encoded) = pqFor(s, dir)
+    AnnIndex(cents, assigned, cb, encoded)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_topk"       -> (annTopk _),

@@ -47,14 +47,17 @@ class AnnOpsSpec extends SparkSpec {
     assert(pqInline.nonEmpty && pqInline == pqLoaded)
   }
 
-  test("repeated driver queries reuse the session-cached index (no retrain)") {
+  test("repeated driver queries reuse the session-cached artifacts (no retrain)") {
     // Two calls must return identical rows; the second must be served
-    // from the cache (same AnnIndex instance).
+    // from the cache (same trained-frame instances).
     val first = AnnOps.annIvf(spark, sfDir).collect().toSeq
-    val idx1 = AnnOps.indexFor(spark, sfDir)
+    val ivf1 = AnnOps.ivfFor(spark, sfDir)
     val second = AnnOps.annIvf(spark, sfDir).collect().toSeq
-    val idx2 = AnnOps.indexFor(spark, sfDir)
+    val ivf2 = AnnOps.ivfFor(spark, sfDir)
     assert(first == second)
-    assert(idx1 eq idx2)
+    assert((ivf1._1 eq ivf2._1) && (ivf1._2 eq ivf2._2))
+    val pq1 = AnnOps.pqFor(spark, sfDir)
+    val pq2 = AnnOps.pqFor(spark, sfDir)
+    assert((pq1._1 eq pq2._1) && (pq1._2 eq pq2._2))
   }
 }
