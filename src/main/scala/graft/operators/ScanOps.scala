@@ -191,6 +191,33 @@ object ScanOps {
     if (r.isNullAt(0)) None else Some(r.get(0))
   }
 
+  /** Composite-key page: DynamoDB's LastEvaluatedKey is (partition key,
+    * sort key), so the faithful resume predicate is the row-value
+    * comparison (k1, k2) > (a, b) ⇔ k1 > a OR (k1 = a AND k2 > b).
+    * The k1 half (`k1 >= a`) still pushes to the scan as a range
+    * predicate, so a resumed page reads only row groups at or past the
+    * token's first component — the tail predicate filters the one
+    * boundary group. Keys must be jointly unique for gapless tiling. */
+  def scanPageComposite(df: DataFrame, k1: String, k2: String, pageSize: Int,
+      resumeAfter: Option[(Any, Any)] = None, fields: Seq[String] = Nil,
+      filters: Seq[ScanFilter] = Nil): DataFrame = {
+    val base = scan(df, fields, filters)
+    val from = resumeAfter.map { case (a, b) =>
+      base.filter(col(k1) >= lit(a) &&
+        (col(k1) > lit(a) || col(k2) > lit(b)))
+    }.getOrElse(base)
+    from.orderBy(col(k1).asc, col(k2).asc).limit(pageSize)
+  }
+
+  /** Composite resume token: the page's greatest (k1, k2) in scan
+    * order. */
+  def resumeTokenComposite(page: DataFrame, k1: String, k2: String): Option[(Any, Any)] = {
+    val r = page.agg(max_by(struct(col(k1), col(k2)),
+      struct(col(k1), col(k2))).as("t")).head()
+    if (r.isNullAt(0)) None
+    else { val s = r.getStruct(0); Some((s.get(0), s.get(1))) }
+  }
+
   val pageSize = 200
 
   /** Driver query: the SECOND page of a filtered orders scan — page 1's
