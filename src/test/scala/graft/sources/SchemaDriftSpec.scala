@@ -72,6 +72,35 @@ class SchemaDriftSpec extends SparkSpec {
     }
   }
 
+  test("normalizeEventTs adapts every physical ts encoding to TIMESTAMP") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import java.sql.Timestamp
+    // TIMESTAMP (session-zoned): pass-through
+    val tzed = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:01")))
+      .toDF("event_id", "ts")
+    assert(Tables.normalizeEventTs(tzed).schema("ts").dataType == TimestampType)
+
+    // TIMESTAMP_NTZ: cast in the UTC session
+    val ntz = tzed.select(col("event_id"),
+      col("ts").cast(TimestampNTZType).as("ts"))
+    val ntzOut = Tables.normalizeEventTs(ntz)
+    assert(ntzOut.schema("ts").dataType == TimestampType)
+    assert(ntzOut.head().getTimestamp(1) == tzed.head().getTimestamp(1))
+
+    // raw epoch-nanos LongType (the legacy nanosAsLong read): truncate
+    // to micros
+    val nanos = Seq((1L, 1704067201123456789L)).toDF("event_id", "ts")
+    val nanosOut = Tables.normalizeEventTs(nanos)
+    assert(nanosOut.schema("ts").dataType == TimestampType)
+    assert(nanosOut.selectExpr("unix_micros(ts)").head().getLong(0)
+      == 1704067201123456L)
+
+    // anything else is a loud error, not silent miscasting
+    val bad = Seq((1L, "2024-01-01")).toDF("event_id", "ts")
+    intercept[RuntimeException] { Tables.normalizeEventTs(bad) }
+  }
+
   test("events loader yields readable non-empty timestamps") {
     val row = Tables.events(spark, sfDirs.head)
       .selectExpr("min(ts) as lo", "max(ts) as hi", "count(*) as n").head()
