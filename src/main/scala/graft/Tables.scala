@@ -76,7 +76,13 @@ object Tables {
     * serialize per-row heavy work (shingling, vector math). On a
     * production layout with >= cluster-parallelism splits this is a
     * no-op, so the heavy paths never inherit a gratuitous full-corpus
-    * exchange from a test-data workaround. */
+    * exchange from a test-data workaround.
+    *
+    * ONLY pass raw table scans: the layout probe (`df.rdd`) forces the
+    * physical plan, and under AQE a frame with upstream shuffles would
+    * EXECUTE those stages eagerly right here (and again when the result
+    * is consumed). Every call site in this library passes a fresh
+    * `Tables.*` read, where the probe is pure file-layout metadata. */
   def spread(s: SparkSession, df: DataFrame): DataFrame = {
     val p = s.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df

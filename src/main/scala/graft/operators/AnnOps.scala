@@ -24,20 +24,10 @@ object AnnOps {
 
   private def dot(a: Column, b: Column): Column = graft.functions.GraftFunctions.dot(a, b)
 
-  private[operators] def embeddingsWithNorm(s: SparkSession, dir: String): DataFrame = {
-    val raw = Tables.embeddings(s, dir)
-    // The test parquet is a single split, which would serialize the per-pair
-    // similarity work; spread it. At production scale the input already has
-    // >= cluster parallelism splits and a blanket repartition would be a
-    // gratuitous full-corpus exchange — so only rebalance when the layout is
-    // genuinely narrower than the session's parallelism.
-    val p = s.sparkContext.defaultParallelism
-    val spread =
-      if (raw.rdd.getNumPartitions < p) raw.repartition(p) else raw
-    spread
+  private[operators] def embeddingsWithNorm(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(s, Tables.embeddings(s, dir))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-  }
 
   // ------------------------------------------------ brute-force top-k
 
@@ -444,26 +434,24 @@ object AnnOps {
     * never pays the 8-way subvector explode of PQ training, and vice
     * versa. Training is deterministic, so cached and freshly-trained
     * results are identical (spec-pinned). */
-  private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
-  private val pqCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+  private val ivfCache = new graft.SessionCache[(DataFrame, DataFrame)]()
+  private val pqCache = new graft.SessionCache[(DataFrame, DataFrame)]()
 
   /** (centroids, inverted file) for the corpus, training on first use. */
   def ivfFor(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    ivfCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+    ivfCache.getOrCompute(s, dir) {
       val e = embeddingsWithNorm(s, dir)
       val cents = centroidsOf(e) // localCheckpoint-materialized per round
       (cents, assignmentsOf(e, cents).localCheckpoint())
-    })
+    }
 
   /** (codebook, encoded corpus) for the corpus, training on first use. */
   def pqFor(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    pqCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+    pqCache.getOrCompute(s, dir) {
       val sub = subvectors(embeddingsWithNorm(s, dir)).localCheckpoint()
       val cb = pqCodebookOf(sub)
       (cb, pqEncodeOf(sub, cb).localCheckpoint())
-    })
+    }
 
   /** The full trained bundle (both families) — the persistence path. */
   def indexFor(s: SparkSession, dir: String): AnnIndex = {

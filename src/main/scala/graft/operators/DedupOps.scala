@@ -486,11 +486,10 @@ object DedupOps {
     * including bench repetitions — reads the result, exactly like a
     * persisted cluster table. Deterministic, so cached and fresh runs
     * are identical. */
-  private val clusterCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val clusterCache = new graft.SessionCache[DataFrame]()
 
   def clusterMapFor(s: SparkSession, dir: String): DataFrame =
-    clusterCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+    clusterCache.getOrCompute(s, dir) {
       val grouped = ngramCollapseOf(shingleHashes(s, dir))
       val repPairs = repPairsOf(
         grouped.select(col("rep_id").as("doc_id"), col("hs")),
@@ -502,7 +501,7 @@ object DedupOps {
         Tables.documents(s, dir).select(col("doc_id")),
         repPairs.select("doc_a", "doc_b").unionByName(groupEdges))
         .localCheckpoint()
-    })
+    }
 
   /** WITH RECURSIVE reachability oracle: cluster = min reachable id.
     * (RECURSIVE must annotate the whole CTE chain, so the shared shingle

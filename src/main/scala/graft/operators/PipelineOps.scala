@@ -279,55 +279,80 @@ object PipelineOps {
     * the runtime-filter pattern Spark itself uses for row-group
     * pruning. The bloom rides the plan as a binary literal (it IS the
     * broadcast: kilobytes however large the eval set) and
-    * [[BloomFilterMightContain]] kills ~all non-overlapping shingles
-    * map-side at scan speed; only the surviving sliver meets the exact
-    * eval shingle set in an equi-join, so the output is exactly
-    * [[contaminationHashedOf]]'s (bloom FPs die at the verify join,
-    * never in the result — driver hash-checks against the exact
-    * oracle). At 100 TB the win is that the expensive join's probe
-    * side has already shrunk from the whole corpus's shingles to
-    * roughly the true overlap. */
+    * [[BloomFilterMightContain]] gates every exploded shingle map-side;
+    * only the surviving sliver meets the exact eval shingle set, so the
+    * output is exactly [[contaminationHashedOf]]'s (bloom FPs die at
+    * the verify, never in the result — driver hash-checks against the
+    * exact oracle).
+    *
+    * ONE corpus scan: the bloom verdict becomes the join KEY — a row
+    * failing the bloom gets a null key, which can never match, so the
+    * row survives the left join (keeping zero-overlap docs in the
+    * rollup) without being probed. Shingling — the dominant per-row
+    * cost — runs once; the exact-gate twin differs only in probing
+    * every row. In the regime where the eval set is too large to
+    * broadcast (where this gate earns its keep), use the
+    * [[bloomGateRows]] filter+shuffle-join shape the streaming twin is
+    * built on: there the bloom cuts SHUFFLE volume to ~the true
+    * overlap, which is the 100 TB win. */
   def contaminationBloomHashedOf(corpus: DataFrame, bench: DataFrame,
       bloom: Array[Byte], frac: Double): DataFrame = {
-    import org.apache.spark.sql.GraftBridge
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.types.BinaryType
-    val mightHit = GraftBridge.column(BloomFilterMightContain(
-      Literal(bloom, BinaryType), GraftBridge.expression(col("h"))))
-    val benchH = bench.select(explode(col("hs")).as("h")).distinct()
-    val hits = corpus
+    val benchH = bench.select(explode(col("hs")).as("jk"))
+      .distinct().withColumn("hit", lit(1L))
+    corpus
       .select(col("doc_id"), size(col("hs")).as("n_shingles"),
         explode(col("hs")).as("h"))
-      .filter(mightHit)               // map-side: the bloom gate
-      .join(benchH, Seq("h"))         // exact verify of survivors only
-      .select(col("doc_id"), col("n_shingles"), lit(1L).as("hit"))
-    // one zero row per doc keeps zero-overlap docs in the rollup —
-    // a union instead of a post-aggregation left join, so the SAME
-    // plan runs as a stream-static gate (joins after a streaming
-    // aggregation are unsupported; a pre-agg union is fine)
-    val zeros = corpus
-      .select(col("doc_id"), size(col("hs")).as("n_shingles"), lit(0L).as("hit"))
-    zeros.unionByName(hits)
+      .withColumn("jk", when(mightContain(bloom, col("h")), col("h")))
+      .join(broadcast(benchH), Seq("jk"), "left")
       .groupBy(col("doc_id"), col("n_shingles"))
-      .agg(sum(col("hit")).as("n_overlap")) // hs and benchH both distinct
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
       .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
         (col("n_overlap").cast("double") / col("n_shingles")).as("overlap_frac"),
         (col("n_overlap").cast("double") / col("n_shingles") > frac)
           .as("contaminated"))
   }
 
+  /** The bloom verdict as a Column: `might_contain(<literal bloom>, h)`. */
+  def mightContain(bloom: Array[Byte], h: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    GraftBridge.column(BloomFilterMightContain(
+      Literal(bloom, BinaryType), GraftBridge.expression(h)))
+  }
+
+  /** Filter+verify building block for the huge-eval-set / streaming
+    * regime: per-(doc, shingle) rows gated by the bloom BEFORE the
+    * exact join, so a shuffle-join's exchange carries ~only the true
+    * overlap. Emits one 0-hit row per doc plus one 1-hit row per
+    * verified shingle — aggregate `sum(hit)` by (doc_id, n_shingles)
+    * to recover the gate output (the streaming twin adds a watermark
+    * first). */
+  def bloomGateRows(corpus: DataFrame, bench: DataFrame,
+      bloom: Array[Byte], carry: Seq[String] = Nil): DataFrame = {
+    val extra = carry.map(col)
+    val benchH = bench.select(explode(col("hs")).as("h")).distinct()
+    val hits = corpus
+      .select(col("doc_id") +: size(col("hs")).as("n_shingles") +:
+        explode(col("hs")).as("h") +: extra: _*)
+      .filter(mightContain(bloom, col("h")))
+      .join(benchH, Seq("h"))
+      .select(col("doc_id") +: col("n_shingles") +: lit(1L).as("hit") +: extra: _*)
+    corpus
+      .select(col("doc_id") +: size(col("hs")).as("n_shingles") +:
+        lit(0L).as("hit") +: extra: _*)
+      .unionByName(hits)
+  }
+
   /** One bloom per (session, corpus): built on first use, reused by
     * every later gate run — the artifact shape of a standing
     * decontamination service. */
-  private val bloomCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+  private val bloomCache = new graft.SessionCache[Array[Byte]]()
 
   def contaminationBloom(s: SparkSession, dir: String): DataFrame = {
     val hs = DedupOps.shingleHashes(s, dir)
     val bench = hs.filter(col("doc_id") % 97 === 0)
-    val bloom = bloomCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}:$dir",
-      _ => evalBloomOf(bench))
+    val bloom = bloomCache.getOrCompute(s, dir)(evalBloomOf(bench))
     contaminationBloomHashedOf(hs.filter(col("doc_id") % 97 =!= 0),
       bench, bloom, contaminationFrac)
       .orderBy("doc_id")

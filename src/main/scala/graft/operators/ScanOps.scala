@@ -175,7 +175,13 @@ object ScanOps {
   // ----------------------------------------------------------------------
 
   /** One page of a sorted scan: filters + projection + keyset resume.
-    * `keyCol` must be unique (a primary key) for gapless tiling. */
+    * `keyCol` must be unique (a primary key) for gapless tiling.
+    *
+    * LOOP CONTRACT: `resumeAfter = None` means "first page", while
+    * [[resumeToken]] returns None for "scan exhausted" — so a
+    * continuation loop must terminate on an EMPTY PAGE (or a None
+    * token) and never feed that None back in, which would silently
+    * restart from page 1. ScanPageSpec shows the correct loop. */
   def scanPage(df: DataFrame, keyCol: String, pageSize: Int,
       resumeAfter: Option[Any] = None, fields: Seq[String] = Nil,
       filters: Seq[ScanFilter] = Nil): DataFrame = {
@@ -184,8 +190,10 @@ object ScanOps {
     from.orderBy(col(keyCol).asc).limit(pageSize)
   }
 
-  /** The resume token of a page — its greatest key (None for an empty
-    * page = scan exhausted, the loop's termination signal). */
+  /** The resume token of a page — its greatest key. None means the
+    * scan is EXHAUSTED: terminate the loop; do not pass it back to
+    * [[scanPage]], where None means "start over" (see loop contract
+    * there). */
   def resumeToken(page: DataFrame, keyCol: String): Option[Any] = {
     val r = page.agg(max(col(keyCol))).head()
     if (r.isNullAt(0)) None else Some(r.get(0))

@@ -55,17 +55,16 @@ object SemDedupOps {
     semDedupWithCentroids(grouped, cents, semThreshold)
   }
 
-  private val modelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+  private val modelCache = new graft.SessionCache[(DataFrame, DataFrame)]()
 
   private def modelFor(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    modelCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+    modelCache.getOrCompute(s, dir) {
       val grouped = collapseOf(
         Tables.spread(s, Tables.embeddings(s, dir)), "vec_id", "embedding")
       val e = grouped.select(col("rep_id").as("vec_id"), col("v"))
         .withColumn("norm", sqrt(dot(col("v"), col("v"))))
       (grouped, AnnOps.centroidsOf(e)) // both localCheckpoint-materialized
-    })
+    }
 
   /** Collapse groups: one row per distinct vector value (md5 of the
     * exact double strings — Double.toString round-trips), members

@@ -318,26 +318,43 @@ object EventStream {
       .withColumn("target_like", col("log_weight") > 0.0)
   }
 
-  /** Stateless streaming decontamination gate — the streaming twin of
+  /** Streaming decontamination gate — the streaming twin of
     * [[graft.operators.PipelineOps.contaminationBloom]]. The eval set's
     * shingle Bloom filter and exact shingle table are both standing
     * artifacts (built once per eval-set release); the bloom rides the
-    * stream plan as a binary literal, the prefilter kills ~all shingles
-    * map-side at ingest speed, and the exact stream-static equi-join
-    * verifies only the surviving sliver — no streaming state, no
-    * watermark, output rows match the batch gate per micro-batch.
+    * stream plan as a binary literal and kills ~all shingles map-side
+    * at ingest speed BEFORE the exact stream-static verify join, so
+    * the per-doc rollup's exchange carries ~only the true overlap.
+    *
+    * The per-doc rollup is a streaming aggregation, so it needs a
+    * watermark to bound state: rows are stamped with the micro-batch
+    * timestamp (constant within a batch, so a doc's rows always agree)
+    * and grouped under a 1-minute window that the 10-second watermark
+    * expires — state is bounded to ~the watermark horizon of batches,
+    * never the stream's lifetime. Run in `update` mode for immediate
+    * per-batch verdicts (each doc appears once, when its batch lands)
+    * or `append` for watermark-finalized rows.
     *
     * `docs` needs (doc_id, text); emits the batch gate's
-    * (doc_id, n_shingles, n_overlap, overlap_frac, contaminated) in
-    * append mode. */
+    * (doc_id, n_shingles, n_overlap, overlap_frac, contaminated). */
   def contaminationStream(docs: DataFrame, benchShingles: DataFrame,
       bloom: Array[Byte], frac: Double): DataFrame = {
     import graft.operators.PipelineOps
     val hs = docs
       .select(col("doc_id"),
-        graft.functions.GraftFunctions.shingles(col("text"), 3).as("hs"))
+        graft.functions.GraftFunctions.shingles(col("text"), 3).as("hs"),
+        current_timestamp().as("ingest_ts"))
       .filter(size(col("hs")) >= 1)
-    PipelineOps.contaminationBloomHashedOf(hs, benchShingles, bloom, frac)
+      .withWatermark("ingest_ts", "10 seconds")
+    PipelineOps.bloomGateRows(hs, benchShingles, bloom, carry = Seq("ingest_ts"))
+      .groupBy(window(col("ingest_ts"), "1 minute"),
+        col("doc_id"), col("n_shingles"))
+      .agg(sum(col("hit")).as("n_overlap"))
+      .drop("window")
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_shingles")).as("overlap_frac"),
+        (col("n_overlap").cast("double") / col("n_shingles") > frac)
+          .as("contaminated"))
   }
 
   final case class HourScore(event_type: String, bucket: Timestamp, n: Long,
