@@ -252,6 +252,32 @@ object ScanOps {
        |  AND o_orderkey > (SELECT max(o_orderkey) FROM p1)
        |ORDER BY o_orderkey LIMIT $pageSize""".stripMargin
 
+  /** Driver query: the second page of a (o_custkey, o_orderkey)-keyed
+    * composite scan — o_custkey repeats, so the token's tie-break half
+    * is exercised at the gate, not just in spec. */
+  def scanPagedComposite(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val fields = Seq("o_custkey", "o_orderkey", "o_totalprice")
+    val p1 = scanPageComposite(orders, "o_custkey", "o_orderkey", pageSize,
+      None, fields)
+    val token = resumeTokenComposite(p1, "o_custkey", "o_orderkey")
+    scanPageComposite(orders, "o_custkey", "o_orderkey", pageSize, token, fields)
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Row-value comparison oracle: DuckDB's (a, b) > (x, y) is exactly
+    * the composite resume predicate. */
+  val scanPagedCompositeSql: String =
+    s"""WITH p1 AS (
+       |  SELECT o_custkey, o_orderkey FROM orders
+       |  ORDER BY o_custkey, o_orderkey LIMIT $pageSize),
+       |tok AS (
+       |  SELECT o_custkey AS a, o_orderkey AS b FROM p1
+       |  ORDER BY o_custkey DESC, o_orderkey DESC LIMIT 1)
+       |SELECT o_custkey, o_orderkey, o_totalprice FROM orders, tok
+       |WHERE (o_custkey, o_orderkey) > (a, b)
+       |ORDER BY o_custkey, o_orderkey LIMIT $pageSize""".stripMargin
+
   def scanFilterProject(s: SparkSession, dir: String): DataFrame =
     scan(Tables.events(s, dir),
       fields = Seq("event_id", "user_id", "event_type", "value"),
@@ -275,10 +301,12 @@ object ScanOps {
     "q_filter_between_in"     -> (filterBetweenIn _),
     "q_filter_null_semantics" -> (filterNullSemantics _),
     "q_scan_filter_project"   -> (scanFilterProject _),
-    "q_scan_page"             -> (scanPaged _))
+    "q_scan_page"             -> (scanPaged _),
+    "q_scan_page_composite"   -> (scanPagedComposite _))
 
   def oracles: Map[String, String] = Map(
     "q_scan_page"             -> scanPagedSql,
+    "q_scan_page_composite"   -> scanPagedCompositeSql,
     "q_scan_project"          -> scanProjectSql,
     "q_filter_begins_with"    -> filterBeginsWithSql,
     "q_filter_contains"       -> filterContainsSql,
