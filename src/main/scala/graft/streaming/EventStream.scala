@@ -338,16 +338,18 @@ object EventStream {
     * `docs` needs (doc_id, text); emits the batch gate's
     * (doc_id, n_shingles, n_overlap, overlap_frac, contaminated). */
   def contaminationStream(docs: DataFrame, benchShingles: DataFrame,
-      bloom: Array[Byte], frac: Double): DataFrame = {
+      bloom: Array[Byte], frac: Double,
+      windowDur: String = "1 minute",
+      watermarkDelay: String = "10 seconds"): DataFrame = {
     import graft.operators.PipelineOps
     val hs = docs
       .select(col("doc_id"),
         graft.functions.GraftFunctions.shingles(col("text"), 3).as("hs"),
         current_timestamp().as("ingest_ts"))
       .filter(size(col("hs")) >= 1)
-      .withWatermark("ingest_ts", "10 seconds")
+      .withWatermark("ingest_ts", watermarkDelay)
     PipelineOps.bloomGateRows(hs, benchShingles, bloom, carry = Seq("ingest_ts"))
-      .groupBy(window(col("ingest_ts"), "1 minute"),
+      .groupBy(window(col("ingest_ts"), windowDur),
         col("doc_id"), col("n_shingles"))
       .agg(sum(col("hit")).as("n_overlap"))
       .drop("window")
