@@ -62,10 +62,10 @@ class ContaminationStreamSpec extends SparkSpec {
       val emptyBefore = spark.table("contam_append").count()
       // a later batch's timestamp advances the watermark past batch-1's
       // 1-second window, finalizing it for append
-      Thread.sleep(1500)
+      Thread.sleep(3000)
       stream.addData(Seq((docs.head._1 + 1000000L, "closing batch doc text words")))
       q.processAllAvailable()
-      Thread.sleep(1500)
+      Thread.sleep(3000)
       stream.addData(Seq((docs.head._1 + 1000001L, "one more to advance again")))
       q.processAllAvailable()
       val emitted = spark.table("contam_append")
