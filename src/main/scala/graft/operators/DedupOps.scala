@@ -418,6 +418,98 @@ object DedupOps {
        |FROM ch JOIN freq USING (chunk)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------- duplicated-substring removal
+
+  /** Window width (tokens) for exact duplicated-span removal. Lee et
+    * al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499 §3.1) remove 50-BPE-token spans at web
+    * scale; 6 words here so the synthetic corpus exercises covered,
+    * partially-covered, and untouched documents. */
+  val substringW = 6
+
+  def substringDedup(s: SparkSession, dir: String): DataFrame =
+    substringDedupOf(Tables.spread(s, Tables.documents(s, dir)),
+      "doc_id", "text", substringW)
+
+  /** Generic API: exact duplicated-substring removal — the ExactSubstr
+    * pass of Lee et al. 2022, shaped for Spark. Their suffix array
+    * finds every ≥ W-token span occurring twice in the corpus; the
+    * equivalent declarative formulation slides a W-token window over
+    * every position, counts each window's corpus-wide occurrences, and
+    * removes every token covered by a window that occurs ≥ 2 times
+    * (any duplicated span of length ≥ W is exactly a run of duplicated
+    * W-windows, so token coverage is identical to the suffix-array
+    * formulation — no one-copy-survives exception here: boilerplate is
+    * cut from every occurrence, the CCNet convention). A document that
+    * is entirely duplicated spans yields null `clean_text`.
+    *
+    * Scale shape: windows travel as 64-bit hashes, never strings
+    * (xxhash64 map-side), so the frequency groupBy shuffles 16-byte
+    * rows; map-side partial aggregation collapses a viral window to
+    * one row per task, and the join back on the hash is an equi-join
+    * AQE skew-splits — there is no c² pair blowup anywhere, window
+    * frequency is a count, not a pairing. Coverage expansion is ×W
+    * on *duplicated* starts only, then one per-doc rollup reassembles
+    * surviving tokens by position. The word array is let-bound as a
+    * lambda variable (see [[shinglesOf]]) so each document splits
+    * once, not once per window. */
+  def substringDedupOf(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    val ws = split(trim(col(textCol)), "\\s+")
+    val mkWins = (v: Column) =>
+      transform(sequence(lit(0), size(v) - w),
+        i => xxhash64(array_join(slice(v, i + 1, lit(w)), " ")))
+    val winsCol = element_at(transform(array(ws), mkWins), 1)
+    val toks = docs.filter(size(ws) >= 1)
+      .select(col(idCol).as("doc_id"), posexplode(ws).as(Seq("p", "tok")))
+    val wins = docs.filter(size(ws) >= w)
+      .select(col(idCol).as("doc_id"), posexplode(winsCol).as(Seq("i", "h")))
+    val freq = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val covered = wins.join(freq.filter(col("c") >= 2), Seq("h"))
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + lit(w - 1))).as("p"))
+      .distinct()
+    toks
+      .join(covered.withColumn("covered", lit(true)), Seq("doc_id", "p"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("covered"), 1L).otherwise(0L)).as("n_removed"),
+        sort_array(collect_list(when(col("covered").isNull,
+          struct(col("p"), col("tok"))))).as("kept"))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        when(size(col("kept")) === 0, lit(null))
+          .otherwise(array_join(transform(col("kept"), k => k.getField("tok")), " "))
+          .as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle counts window *strings* — identical to the hashed plan up
+    * to 64-bit collisions, like [[dupSpanFracSql]]. */
+  val substringDedupSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents
+       |  WHERE len(string_split_regex(trim(text), '\\s+')) >= 1),
+       |wins AS (
+       |  SELECT doc_id, i,
+       |    array_to_string(ws[CAST(i+1 AS BIGINT):CAST(i+$substringW AS BIGINT)], ' ') AS win
+       |  FROM (SELECT doc_id, ws, unnest(range(len(ws) - $substringW + 1)) AS i
+       |        FROM w WHERE len(ws) >= $substringW)),
+       |freq AS (SELECT win, count(*) AS c FROM wins GROUP BY 1),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, i + u AS p
+       |  FROM (SELECT doc_id, i FROM wins JOIN freq USING (win) WHERE c >= 2)
+       |  CROSS JOIN (SELECT unnest(range($substringW)) AS u) o),
+       |toks AS (
+       |  SELECT doc_id, i AS p, ws[CAST(i+1 AS BIGINT)] AS tok
+       |  FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS i FROM w))
+       |SELECT t.doc_id,
+       |  count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN c.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  string_agg(CASE WHEN c.p IS NULL THEN t.tok END, ' ' ORDER BY t.p) AS clean_text
+       |FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   // ----------------------------------------------- dup clusters
 
   /** Generic API: connected components over an undirected near-dup pair
@@ -988,6 +1080,7 @@ object DedupOps {
     "q_dedup_ngram_jaccard" -> (ngramJaccard _),
     "q_dup_span_frac"       -> (dupSpanFrac _),
     "q_chunk_dedup"         -> (chunkDedup _),
+    "q_substring_dedup"     -> (substringDedup _),
     "q_dedup_clusters"      -> (dedupClusters _),
     "q_dedup_keep"          -> (dedupKeep _),
     "q_dedup_minhash_lsh"   -> (minhashLsh _),
@@ -1005,6 +1098,7 @@ object DedupOps {
     "q_dedup_ngram_jaccard" -> ngramJaccardSql,
     "q_dup_span_frac"       -> dupSpanFracSql,
     "q_chunk_dedup"         -> chunkDedupSql,
+    "q_substring_dedup"     -> substringDedupSql,
     "q_dedup_clusters"      -> dedupClustersSql,
     "q_dedup_keep"          -> dedupKeepSql,
     "q_embed_pairs_exact"   -> embeddingPairsExactSql)

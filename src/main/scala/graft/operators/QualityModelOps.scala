@@ -114,7 +114,11 @@ object QualityModelOps {
       .orderBy("doc_id")
   }
 
-  val lmPerplexitySql: String =
+  /** Shared CTE chain of the bigram-LM oracle up to the per-doc sorted
+    * term lists — [[lmPerplexitySql]] selects the scores from it and
+    * [[pplBucketsSql]] layers the CCNet head/middle/tail cut on top, so
+    * the model definition the two oracles share has exactly one text. */
+  private val lmModelCtes: String =
     s"""WITH w AS (
        |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ws
        |  FROM documents),
@@ -141,14 +145,77 @@ object QualityModelOps {
        |    LEFT JOIN cb USING (bg)
        |    LEFT JOIN cw ON cw.w1 = split_part(bg.bg, ' ', 1)
        |    CROSS JOIN v)
-       |  GROUP BY 1)
+       |  GROUP BY 1)""".stripMargin
+
+  /** The per-doc mean-log-prob select both LM oracles share. */
+  private val lmScoreSelect: String =
+    """  round(list_reduce(list_prepend(0.0, list_transform(per.terms, t ->
+      |    CAST(t.m AS DOUBLE) * (ln(CAST(t.cb0 AS DOUBLE) + 1)
+      |      - ln(CAST(t.cw0 AS DOUBLE) + t.v)))),
+      |    (acc, x) -> acc + x) / per.n_bigrams, 6) AS mean_log_prob""".stripMargin
+
+  val lmPerplexitySql: String =
+    s"""$lmModelCtes
        |SELECT d.doc_id, per.n_bigrams,
-       |  round(list_reduce(list_prepend(0.0, list_transform(per.terms, t ->
-       |    CAST(t.m AS DOUBLE) * (ln(CAST(t.cb0 AS DOUBLE) + 1)
-       |      - ln(CAST(t.cw0 AS DOUBLE) + t.v)))),
-       |    (acc, x) -> acc + x) / per.n_bigrams, 6) AS mean_log_prob
+       |$lmScoreSelect
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  // --------------------------------------- CCNet perplexity buckets
+
+  /** CCNet's head/middle/tail split (arXiv:1911.00359 §4.3): documents
+    * are bucketed per language by where their LM score falls against
+    * the language's score terciles — `head` is the cleanest third the
+    * pipeline keeps unconditionally, `tail` the third it drops or
+    * re-filters. Documents too short to score (< 2 words) land in
+    * `unscored`.
+    *
+    * Bucketing is CUTOFF-based, not rank-based: the per-language
+    * tercile cutoffs are a 2-value aggregate (one row per language,
+    * broadcast back), so assignment is a map-side comparison — no
+    * whole-corpus `ntile` window sort on a per-language partition a
+    * dominant language would turn into one giant task. Cutoffs are
+    * rounded to 6 dp on both engines (the [[TimeSeriesOps.winsorize]]
+    * discipline) so the boundary compares identical values; scores are
+    * already 6 dp-rounded by [[lmPerplexity]]. At 100 TB the exact
+    * per-language percentile becomes `approx_percentile` over a sample
+    * — CCNet itself computes the cut on a corpus sample — with the
+    * same broadcast-cutoff plan shape (see [[TimeSeriesOps
+    * .winsorizeSketch]] for that twin pattern). */
+  def pplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val scored = lmPerplexity(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val cuts = scored.filter(col("mean_log_prob").isNotNull)
+      .groupBy(col("lang"))
+      .agg(round(expr("percentile(mean_log_prob, 1.0/3)"), 6).as("c_low"),
+        round(expr("percentile(mean_log_prob, 2.0/3)"), 6).as("c_high"))
+    scored.join(broadcast(cuts), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("mean_log_prob"),
+        when(col("mean_log_prob").isNull, lit("unscored"))
+          .when(col("mean_log_prob") >= col("c_high"), lit("head"))
+          .when(col("mean_log_prob") >= col("c_low"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
+  val pplBucketsSql: String =
+    s"""$lmModelCtes,
+       |scored AS (
+       |  SELECT d.doc_id, d.lang,
+       |$lmScoreSelect
+       |  FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id),
+       |cuts AS (
+       |  SELECT lang,
+       |    round(quantile_cont(mean_log_prob, 1.0/3), 6) AS c_low,
+       |    round(quantile_cont(mean_log_prob, 2.0/3), 6) AS c_high
+       |  FROM scored WHERE mean_log_prob IS NOT NULL GROUP BY 1)
+       |SELECT s.doc_id, s.lang, s.mean_log_prob,
+       |  CASE WHEN s.mean_log_prob IS NULL THEN 'unscored'
+       |       WHEN s.mean_log_prob >= c.c_high THEN 'head'
+       |       WHEN s.mean_log_prob >= c.c_low THEN 'middle'
+       |       ELSE 'tail' END AS ppl_bucket
+       |FROM scored s LEFT JOIN cuts c USING (lang)
+       |ORDER BY s.doc_id""".stripMargin
 
   // ------------------------------------------------- DSIR weights
 
@@ -277,9 +344,11 @@ object QualityModelOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lm_perplexity" -> (lmPerplexity _),
+    "q_ppl_buckets"   -> (pplBuckets _),
     "q_dsir_weights"  -> (dsirWeights _))
 
   def oracles: Map[String, String] = Map(
     "q_lm_perplexity" -> lmPerplexitySql,
+    "q_ppl_buckets"   -> pplBucketsSql,
     "q_dsir_weights"  -> dsirWeightsSql)
 }
