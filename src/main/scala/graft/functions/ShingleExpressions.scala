@@ -179,3 +179,95 @@ object MinHashSignature {
     ArrayData.toArrayData(sig)
   }
 }
+
+/** Positional xxhash64 of every sliding w-word window, as one native
+  * pass — the hot loop of exact duplicated-substring removal
+  * ([[graft.operators.DedupOps.substringDedupOf]]).
+  *
+  * Semantics are value-identical to the declarative chain
+  * `transform(sequence(0, size(ws)-w), i -> xxhash64(array_join(
+  * slice(ws, i+1, w), " ")))` over `ws = split(trim(text), "\\s+")`
+  * for documents with at least w words (spec-pinned): tokens are the
+  * Java-regex `\s+` splits of the space-trimmed text (a leading
+  * non-space separator yields the same empty first token `split`
+  * produces), each window hash is the xxhash64 (seed 42) of the
+  * window's tokens joined by single spaces, and windows come back in
+  * position order WITH duplicates — unlike [[ShingleHashes]], which
+  * sort-dedupes, position is the payload here. Documents with fewer
+  * than w words yield an empty array (the declarative chain's
+  * `sequence` is undefined there; the operator filters those rows on
+  * both engines).
+  *
+  * The interpreted HOF form re-walks an expression tree and
+  * materializes a concat string per window; this is one token split,
+  * one normalized byte buffer, and m span hashes per document, inside
+  * whole-stage codegen. */
+case class WindowHashes(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, "window width must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_window_hashes needs a string column, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    WindowHashes.compute(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WindowHashes.compute($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_window_hashes"
+}
+
+object WindowHashes {
+  def compute(s: UTF8String, w: Int): ArrayData = {
+    // replicate split(trim(text), "\s+") exactly: Spark's trim strips
+    // the space character only, then Java-regex split (limit -1)
+    val str = s.toString
+    var b0 = 0
+    var e0 = str.length
+    while (b0 < e0 && str.charAt(b0) == ' ') b0 += 1
+    while (e0 > b0 && str.charAt(e0 - 1) == ' ') e0 -= 1
+    val toks = str.substring(b0, e0).split("\\s+", -1)
+    if (toks.length < w) return ArrayData.toArrayData(Array.emptyLongArray)
+    // one normalized buffer: tokens joined by single spaces, word
+    // boundaries recorded — every window hash is a span of this buffer
+    val tb = new Array[Array[Byte]](toks.length)
+    var total = toks.length - 1
+    var j = 0
+    while (j < toks.length) {
+      tb(j) = toks(j).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      total += tb(j).length
+      j += 1
+    }
+    val buf = new Array[Byte](total)
+    val starts = new Array[Int](toks.length)
+    val ends = new Array[Int](toks.length)
+    var pos = 0
+    j = 0
+    while (j < toks.length) {
+      if (j > 0) { buf(pos) = ' '.toByte; pos += 1 }
+      starts(j) = pos
+      System.arraycopy(tb(j), 0, buf, pos, tb(j).length)
+      pos += tb(j).length
+      ends(j) = pos
+      j += 1
+    }
+    val m = toks.length - w + 1
+    val hs = new Array[Long](m)
+    j = 0
+    while (j < m) {
+      val a = starts(j)
+      val b = ends(j + w - 1)
+      hs(j) = XXH64.hashUnsafeBytes(buf,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + a, b - a, ShingleHashes.Seed)
+      j += 1
+    }
+    ArrayData.toArrayData(hs)
+  }
+}

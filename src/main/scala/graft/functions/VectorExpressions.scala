@@ -85,11 +85,18 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash", exprs => MinHashSignature(exprs(0),
         intArg("graft_minhash", exprs(1))), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_window_hashes", exprs => WindowHashes(exprs(0),
+        intArg("graft_window_hashes", exprs(1))), "scala_udf")
   }
 
   /** Distinct xxhash64 word-n-gram shingle hashes — see [[ShingleHashes]]. */
   def shingles(text: Column, n: Int): Column =
     GraftBridge.column(ShingleHashes(GraftBridge.expression(text), n))
+
+  /** Positional sliding w-word window hashes — see [[WindowHashes]]. */
+  def windowHashes(text: Column, w: Int): Column =
+    GraftBridge.column(WindowHashes(GraftBridge.expression(text), w))
 
   /** k-permutation MinHash signature over shingle hashes — see
     * [[MinHashSignature]]. */

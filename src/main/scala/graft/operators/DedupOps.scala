@@ -450,20 +450,20 @@ object DedupOps {
     * AQE skew-splits — there is no c² pair blowup anywhere, window
     * frequency is a count, not a pairing. Coverage expansion is ×W
     * on *duplicated* starts only, then one per-doc rollup reassembles
-    * surviving tokens by position. The word array is let-bound as a
-    * lambda variable (see [[shinglesOf]]) so each document splits
-    * once, not once per window. */
+    * surviving tokens by position. Window hashing is the native
+    * codegen [[graft.functions.WindowHashes]] — one token split, one
+    * normalized buffer, m span hashes per document, value-identical
+    * to the interpreted `transform`/`slice`/`xxhash64` chain
+    * (spec-pinned in WindowHashesSpec). */
   def substringDedupOf(docs: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
     val ws = split(trim(col(textCol)), "\\s+")
-    val mkWins = (v: Column) =>
-      transform(sequence(lit(0), size(v) - w),
-        i => xxhash64(array_join(slice(v, i + 1, lit(w)), " ")))
-    val winsCol = element_at(transform(array(ws), mkWins), 1)
     val toks = docs.filter(size(ws) >= 1)
       .select(col(idCol).as("doc_id"), posexplode(ws).as(Seq("p", "tok")))
     val wins = docs.filter(size(ws) >= w)
-      .select(col(idCol).as("doc_id"), posexplode(winsCol).as(Seq("i", "h")))
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.GraftFunctions.windowHashes(col(textCol), w))
+          .as(Seq("i", "h")))
     val freq = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
     val covered = wins.join(freq.filter(col("c") >= 2), Seq("h"))
       .select(col("doc_id"),
