@@ -65,7 +65,8 @@ object Stress {
       "q_lm_perplexity", "q_dsir_weights", "q_dedup_keep",
       "q_gap_fill", "q_locf", "q_ewma", "q_anomaly", "q_winsorize",
       "q_asof_nearest", "q_hopping_window",
-      "q_dedup_incremental", "q_corpus_report", "q_curate_pipeline")
+      "q_dedup_incremental", "q_corpus_report", "q_curate_pipeline",
+      "q_substring_dedup", "q_ppl_buckets", "q_contamination_bloom")
     val heavies: Seq[String] =
       if (args.length > 2) args.drop(2).toSeq else defaults
 

@@ -64,6 +64,100 @@ object AnnOps {
        |WHERE rank <= $topK
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------- corpus kNN graph
+
+  /** Exact corpus k-NN graph: every vector's topK cosine neighbors —
+    * the building block of graph-shaped embedding pipelines (SemDeDup
+    * groups, kNN clustering, connectivity-based outlier pruning).
+    * Like [[annTopk]] this is the deliberate exact twin the oracle
+    * can hash-check — a corpus×corpus broadcast nested loop is
+    * correctness baseline only; [[knnGraphIvf]] is the 100 TB path
+    * (probe the trained IVF index with every vector, so the candidate
+    * scan is |N|·nprobe/K instead of |N|², with the identical output
+    * shape and a spec-pinned recall floor). */
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddingsWithNorm(s, dir)
+    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val cand = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("norm").as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
+  val knnGraphSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(q.v, c.v) / (q.norm * c.norm) AS cosine
+       |  FROM e q JOIN e c ON q.vec_id <> c.vec_id)
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM scored)
+       |WHERE rank <= $topK
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** The scale path for [[knnGraph]]: probe the trained IVF index with
+    * EVERY corpus vector. Same output shape; recall vs the exact graph
+    * is pinned in spec (rows-only at the driver gate, like q_ann_ivf).
+    * Uses the session-cached index — at production scale the index is
+    * trained once, persisted, and every graph build reads it. */
+  def knnGraphIvf(s: SparkSession, dir: String): DataFrame = {
+    val (cents, assigned) = ivfFor(s, dir)
+    annIvfSearch(embeddingsWithNorm(s, dir), cents, assigned)
+  }
+
+  // ---------------------------------------------- per-label centroids
+
+  /** Per-label embedding centroid (element-wise mean) — the summary a
+    * curation pipeline uses for topic balance checks, per-class drift,
+    * and seeding k-means. One explode to (label, idx, x), one hash agg
+    * per (label, idx) with a sorted fold (deterministic FP — see
+    * SURVEY §6), one per-label rollup reassembling the array in index
+    * order. At scale this is two shuffles of narrow rows and never a
+    * whole-vector groupBy; the fold order is pinned by (x, vec_id) on
+    * both engines so the unrounded double sums hash-match. */
+  def embedCentroids(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.spread(s, Tables.embeddings(s, dir))
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("idx", "x")))
+    ex.groupBy(col("label"), col("idx"))
+      .agg(count(lit(1)).as("n"),
+        aggregate(array_sort(collect_list(struct(col("x"), col("vec_id")))),
+          lit(0.0), (acc, t) => acc + t.getField("x")).as("sx"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vectors"),
+        sort_array(collect_list(struct(col("idx"), (col("sx") / col("n")).as("m"))))
+          .as("c0"))
+      .select(col("label"), col("n_vectors"),
+        transform(col("c0"), t => t.getField("m")).as("centroid"))
+      .orderBy("label")
+  }
+
+  val embedCentroidsSql: String =
+    """WITH ex AS (
+      |  SELECT label, vec_id, i AS idx, v[CAST(i+1 AS BIGINT)] AS x
+      |  FROM (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |        unnest(range(len(embedding))) AS i FROM embeddings)),
+      |s AS (
+      |  SELECT label, idx, count(*) AS n,
+      |    list_reduce(list_prepend(0.0, list_transform(
+      |      list(struct_pack(x := x, vid := vec_id) ORDER BY x, vec_id), t -> t.x)),
+      |      (a, b) -> a + b) AS sx
+      |  FROM ex GROUP BY 1, 2)
+      |SELECT label, max(n) AS n_vectors,
+      |  list(sx / n ORDER BY idx) AS centroid
+      |FROM s GROUP BY label ORDER BY label""".stripMargin
+
   // ------------------------------------------------ IVF
 
   val kClusters = 10
@@ -461,13 +555,18 @@ object AnnOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_ann_topk"       -> (annTopk _),
-    "q_ann_ivf"        -> (annIvf _),
-    "q_ann_pq"         -> (annPq _),
-    "q_embed_quantize" -> (quantizeEmbeddings _))
+    "q_ann_topk"        -> (annTopk _),
+    "q_ann_ivf"         -> (annIvf _),
+    "q_ann_pq"          -> (annPq _),
+    "q_knn_graph"       -> (knnGraph _),
+    "q_knn_graph_ivf"   -> (knnGraphIvf _),
+    "q_embed_centroids" -> (embedCentroids _),
+    "q_embed_quantize"  -> (quantizeEmbeddings _))
 
   /** IVF is approximate by construction — spec-pinned, rows-only check. */
   def oracles: Map[String, String] = Map(
-    "q_ann_topk"       -> annTopkSql,
-    "q_embed_quantize" -> quantizeEmbeddingsSql)
+    "q_ann_topk"        -> annTopkSql,
+    "q_knn_graph"       -> knnGraphSql,
+    "q_embed_centroids" -> embedCentroidsSql,
+    "q_embed_quantize"  -> quantizeEmbeddingsSql)
 }
