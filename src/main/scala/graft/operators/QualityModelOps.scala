@@ -41,7 +41,7 @@ object QualityModelOps {
     * ([0, -1]) and the -1 index would throw at element_at, so a short
     * doc yields an empty bigram list (matching DuckDB's `range`,
     * which is empty for non-positive bounds). */
-  private def bigramsCol = element_at(
+  private[graft] def bigramsCol = element_at(
     transform(array(wordsCol), ws => bigramsOf(ws)), 1)
 
   private def bigramsOf(ws: org.apache.spark.sql.Column) =
@@ -160,6 +160,21 @@ object QualityModelOps {
        |$lmScoreSelect
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Trained bigram-LM artifacts for the streaming scorer
+    * ([[graft.streaming.EventStream.lmScoreStream]]): reference-slice
+    * bigram counts (bg, cb) and context counts (w1, cw); V is the cw
+    * row count by construction. At production scale these are trained
+    * once per reference release and persisted (CCNet ships a KenLM
+    * binary; here the model IS two count tables). */
+  def lmModelOf(docs: DataFrame): (DataFrame, DataFrame) = {
+    val refBg = docs.filter(col("source").isin(refSources: _*))
+      .select(explode(bigramsCol).as("bg"))
+    val cb = refBg.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val cw = refBg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(count(lit(1)).as("cw"))
+    (cb, cw)
+  }
 
   // --------------------------------------- CCNet perplexity buckets
 

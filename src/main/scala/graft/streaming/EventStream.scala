@@ -318,6 +318,40 @@ object EventStream {
       .withColumn("target_like", col("log_weight") > 0.0)
   }
 
+  /** Streaming CCNet-style LM quality scoring — the streaming twin of
+    * [[graft.operators.QualityModelOps.lmPerplexity]]. The trained
+    * bigram/context count tables (from
+    * [[graft.operators.QualityModelOps.lmModelOf]], standing artifacts
+    * at production scale) collapse to two broadcast maps plus the
+    * scalar V, so a document scores with one map-side array fold —
+    * stateless, zero shuffles, ingest-speed, exactly like the DSIR
+    * scorer. The map broadcast assumes a bounded vocabulary (true for
+    * any trained-model deployment — CCNet's KenLM binary is likewise a
+    * shipped artifact); an unbounded-vocabulary stream would switch to
+    * a stream-static equi-join on the bigram at the cost of a shuffle.
+    * Scores match the batch operator to 1e-9 (different fold order
+    * over the same add-one-smoothed log terms; spec-pinned). */
+  def lmScoreStream(docs: DataFrame, cb: DataFrame, cw: DataFrame): DataFrame = {
+    val cbM = cb.agg(
+      map_from_entries(collect_list(struct(col("bg"), col("cb")))).as("cbm"))
+    val cwM = cw.agg(
+      map_from_entries(collect_list(struct(col("w1"), col("cw")))).as("cwm"),
+      count(lit(1)).as("v"))
+    docs
+      .crossJoin(broadcast(cbM)).crossJoin(broadcast(cwM))
+      .select(col("doc_id"),
+        graft.operators.QualityModelOps.bigramsCol.as("bgs"),
+        col("cbm"), col("cwm"), col("v"))
+      .select(col("doc_id"),
+        when(size(col("bgs")) >= 1, size(col("bgs")).cast("long")).as("n_bigrams"),
+        when(size(col("bgs")) >= 1,
+          round(aggregate(col("bgs"), lit(0.0), (acc, bg) =>
+            acc + (log(coalesce(element_at(col("cbm"), bg), lit(0L)) + lit(1)) -
+              log(coalesce(element_at(col("cwm"), substring_index(bg, " ", 1)),
+                lit(0L)) + col("v"))))
+            / size(col("bgs")), 6)).as("mean_log_prob"))
+  }
+
   /** Streaming decontamination gate — the streaming twin of
     * [[graft.operators.PipelineOps.contaminationBloom]]. The eval set's
     * shingle Bloom filter and exact shingle table are both standing
