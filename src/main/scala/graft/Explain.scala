@@ -118,7 +118,21 @@ object Explain {
       "q_winsorize_approx"   -> Seq("BroadcastHashJoin"),
       // hopping: the 4-way window replication stays inside codegen
       // (Expand), one shuffle on (window, type)
-      "q_hopping_window"     -> Seq("Expand", "HashAggregate"))
+      "q_hopping_window"     -> Seq("Expand", "HashAggregate"),
+      // substring dedup: native window hashing inside the scan-side
+      // projection, window frequency as a hash aggregation (map-side
+      // partials collapse viral windows), coverage explode, one per-doc
+      // reassembly — never a pair join
+      "q_substring_dedup"    -> Seq("graft_window_hashes", "HashAggregate",
+        "Generate", "ObjectHashAggregate"),
+      // tercile cutoffs are a tiny per-language aggregate broadcast
+      // back — assignment is map-side, no per-language window sort
+      "q_ppl_buckets"        -> Seq("BroadcastHashJoin", "ObjectHashAggregate"),
+      // exact kNN graph: the deliberate broadcast nested loop baseline
+      "q_knn_graph"          -> Seq("BroadcastNestedLoopJoin"),
+      // per-label centroids: narrow explode + two hash aggregations,
+      // never a whole-vector groupBy
+      "q_embed_centroids"    -> Seq("Generate", "ObjectHashAggregate"))
 
     // the curate pipeline's whole cost at scale is corpus scans: quality,
     // content key, and split must share ONE projection, so `documents`
