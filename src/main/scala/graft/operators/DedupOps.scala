@@ -665,6 +665,30 @@ object DedupOps {
         |    ORDER BY text_len DESC, doc_id ASC) = 1 AS keep
         |FROM sized ORDER BY doc_id""".stripMargin)
 
+  // ----------------------------------------------- fuzzy dedup e2e
+
+  /** End-to-end fuzzy dedup — the full pass a production pipeline runs
+    * (the BigCode/NeMo-Curator recipe): MinHash-banded LSH candidates,
+    * exact-Jaccard verify, connected components over the verified
+    * pairs, quality-ranked keep rule (longest text, tie → min id).
+    * `keep` rows ARE the deduplicated corpus; the rest of the row is
+    * the audit trail (cluster id, member count).
+    *
+    * Every stage reuses its individually-verified operator, so the
+    * composition inherits their scale shapes: banded candidate keys
+    * (never all-pairs), duplicate-collapse before banding, CC over
+    * edge endpoints only, and only text LENGTH rides the keep join.
+    * Rows-only at the driver gate (LSH banding is engine-specific);
+    * the spec pins the structural invariants instead. */
+  def fuzzyDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = minhashLsh(s, dir).select("doc_a", "doc_b")
+    val clusters = dupClustersOf(docs.select(col("doc_id")), pairs)
+    dedupKeepOf(clusters.select("doc_id", "cluster_id"),
+      docs.select(col("doc_id"), length(col("text")).cast("long").as("text_len")))
+      .orderBy("doc_id")
+  }
+
   // ----------------------------------------------- MinHash + LSH
 
   val minhashK = 32
@@ -1084,6 +1108,7 @@ object DedupOps {
     "q_dedup_clusters"      -> (dedupClusters _),
     "q_dedup_keep"          -> (dedupKeep _),
     "q_dedup_minhash_lsh"   -> (minhashLsh _),
+    "q_fuzzy_dedup"         -> (fuzzyDedup _),
     "q_dedup_incremental"   -> (incrementalDedup _),
     "q_dedup_simhash"       -> (simhashPairs _),
     "q_dedup_embedding"     -> (embeddingDedup _),
