@@ -271,3 +271,61 @@ object WindowHashes {
     ArrayData.toArrayData(hs)
   }
 }
+
+/** Intersection size of two sorted-distinct `array<bigint>` columns —
+  * the exact-Jaccard verify kernel of every LSH candidate pair
+  * (batch MinHash-LSH, the incremental index probe, and the streaming
+  * probe all call it per candidate).
+  *
+  * Contract: both inputs are ascending-sorted distinct arrays, which
+  * is what [[ShingleHashes]] emits by construction (sort-dedup). On
+  * such inputs the result equals `size(array_intersect(a, b))`
+  * (spec-pinned); the two-pointer merge walk replaces
+  * `array_intersect`'s hash-set build + intersection-array
+  * materialization with zero allocation per pair — the verify step
+  * runs over millions of candidate pairs on a crawl, so the per-pair
+  * constant is the cost that matters. */
+case class IntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_intersect_count needs two array<bigint> columns, got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    IntersectCount.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.IntersectCount.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectCount =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_intersect_count"
+}
+
+object IntersectCount {
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}

@@ -88,7 +88,15 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_window_hashes", exprs => WindowHashes(exprs(0),
         intArg("graft_window_hashes", exprs(1))), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_intersect_count",
+      exprs => IntersectCount(exprs(0), exprs(1)), "scala_udf")
   }
+
+  /** Sorted-distinct array intersection size — see [[IntersectCount]]. */
+  def intersectCount(a: Column, b: Column): Column =
+    GraftBridge.column(IntersectCount(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** Distinct xxhash64 word-n-gram shingle hashes — see [[ShingleHashes]]. */
   def shingles(text: Column, n: Int): Column =

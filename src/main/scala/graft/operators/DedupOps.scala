@@ -682,12 +682,23 @@ object DedupOps {
     * the spec pins the structural invariants instead. */
   def fuzzyDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val pairs = minhashLsh(s, dir).select("doc_a", "doc_b")
-    val clusters = dupClustersOf(docs.select(col("doc_id")), pairs)
-    dedupKeepOf(clusters.select("doc_id", "cluster_id"),
+    dedupKeepOf(fuzzyClusterMapFor(s, dir).select("doc_id", "cluster_id"),
       docs.select(col("doc_id"), length(col("text")).cast("long").as("text_len")))
       .orderBy("doc_id")
   }
+
+  /** The fuzzy pass's cluster map is a persistent artifact exactly like
+    * the n-gram one ([[clusterMapFor]]): mine LSH pairs + run CC once
+    * per (session, corpus), every consumer reads the materialized map. */
+  private val fuzzyClusterCache = new graft.SessionCache[DataFrame]()
+
+  def fuzzyClusterMapFor(s: SparkSession, dir: String): DataFrame =
+    fuzzyClusterCache.getOrCompute(s, dir) {
+      dupClustersOf(
+        Tables.documents(s, dir).select(col("doc_id")),
+        minhashLsh(s, dir).select("doc_a", "doc_b"))
+        .localCheckpoint()
+    }
 
   // ----------------------------------------------- MinHash + LSH
 
@@ -751,7 +762,8 @@ object DedupOps {
     val left = sig.select(col("doc_id").as("doc_a"), col("hs").as("sh_a"), col("sh_size").as("size_a"))
     val right = sig.select(col("doc_id").as("doc_b"), col("hs").as("sh_b"), col("sh_size").as("size_b"))
     val repPairs = cands.join(left, "doc_a").join(right, "doc_b")
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("common",
+        graft.functions.GraftFunctions.intersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("common").cast("double") / (col("size_a") + col("size_b") - col("common")))
       .filter(col("jaccard") >= threshold)
@@ -811,7 +823,8 @@ object DedupOps {
         col("sh_size").as("size_a")), "new_id")
       .join(index.shingles.select(col("doc_id").as("corpus_id"), col("hs").as("sh_b"),
         col("sh_size").as("size_b")), "corpus_id")
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("common",
+        graft.functions.GraftFunctions.intersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("common").cast("double") / (col("size_a") + col("size_b") - col("common")))
       .filter(col("jaccard") >= threshold)

@@ -231,7 +231,8 @@ object EventStream {
         col("band_id"), col("band_key")), Seq("band_id", "band_key"))
       .join(index.shingles.select(col("doc_id").as("corpus_id"),
         col("hs").as("sh_b"), col("sh_size").as("size_b")), Seq("corpus_id"))
-      .withColumn("common", size(array_intersect(col("hs"), col("sh_b"))))
+      .withColumn("common",
+        graft.functions.GraftFunctions.intersectCount(col("hs"), col("sh_b")))
       .withColumn("jaccard", col("common").cast("double") /
         (size(col("hs")) + col("size_b") - col("common")))
       .filter(col("jaccard") >= threshold)
