@@ -225,6 +225,10 @@ case class WindowHashes(child: Expression, w: Int) extends UnaryExpression {
 }
 
 object WindowHashes {
+  // compiled once — String.split("\\s+") would recompile the pattern
+  // per document, a real setup cost in the corpus-scan hot loop
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
   def compute(s: UTF8String, w: Int): ArrayData = {
     // replicate split(trim(text), "\s+") exactly: Spark's trim strips
     // the space character only, then Java-regex split (limit -1)
@@ -233,7 +237,7 @@ object WindowHashes {
     var e0 = str.length
     while (b0 < e0 && str.charAt(b0) == ' ') b0 += 1
     while (e0 > b0 && str.charAt(e0 - 1) == ' ') e0 -= 1
-    val toks = str.substring(b0, e0).split("\\s+", -1)
+    val toks = Whitespace.split(str.substring(b0, e0), -1)
     if (toks.length < w) return ArrayData.toArrayData(Array.emptyLongArray)
     // one normalized buffer: tokens joined by single spaces, word
     // boundaries recorded — every window hash is a span of this buffer

@@ -31,12 +31,11 @@ object AnnOps {
 
   // ------------------------------------------------ brute-force top-k
 
-  /** Exact cosine top-5 for query vectors (vec_id < 10), self excluded. */
-  def annTopk(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddingsWithNorm(s, dir)
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
-    val cand = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("norm").as("cn"))
+  /** Shared brute-force cosine top-k: broadcast the query frame against
+    * the candidate corpus, rank per query (ties → smaller neighbor id).
+    * [[annTopk]] and [[knnGraph]] are both this plan with different
+    * query sets. */
+  private def cosineTopkOf(q: DataFrame, cand: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     cand.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
@@ -47,7 +46,22 @@ object AnnOps {
       .orderBy("query_id", "rank")
   }
 
-  val annTopkSql: String =
+  private def asQueries(e: DataFrame): DataFrame =
+    e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+
+  private def asCandidates(e: DataFrame): DataFrame =
+    e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("norm").as("cn"))
+
+  /** Exact cosine top-5 for query vectors (vec_id < 10), self excluded. */
+  def annTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddingsWithNorm(s, dir)
+    cosineTopkOf(asQueries(e.filter(col("vec_id") < nQueries)), asCandidates(e))
+  }
+
+  /** Shared oracle template: brute-force cosine top-k with a pluggable
+    * query-set predicate — one text for [[annTopkSql]] and
+    * [[knnGraphSql]], like the Scala side's cosineTopkOf. */
+  private def cosineTopkSql(queryPred: String): String =
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
@@ -55,7 +69,7 @@ object AnnOps {
        |scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |    list_dot_product(q.v, c.v) / (q.norm * c.norm) AS cosine
-       |  FROM e q JOIN e c ON q.vec_id < $nQueries AND q.vec_id <> c.vec_id)
+       |  FROM e q JOIN e c ON $queryPred q.vec_id <> c.vec_id)
        |SELECT query_id, rank, neighbor_id FROM (
        |  SELECT query_id, neighbor_id,
        |    CAST(row_number() OVER (PARTITION BY query_id
@@ -63,6 +77,8 @@ object AnnOps {
        |  FROM scored)
        |WHERE rank <= $topK
        |ORDER BY query_id, rank""".stripMargin
+
+  val annTopkSql: String = cosineTopkSql(s"q.vec_id < $nQueries AND")
 
   // ---------------------------------------------- corpus kNN graph
 
@@ -77,34 +93,10 @@ object AnnOps {
     * shape and a spec-pinned recall floor). */
   def knnGraph(s: SparkSession, dir: String): DataFrame = {
     val e = embeddingsWithNorm(s, dir)
-    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
-    val cand = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("norm").as("cn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cand.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select("query_id", "rank", "neighbor_id")
-      .orderBy("query_id", "rank")
+    cosineTopkOf(asQueries(e), asCandidates(e))
   }
 
-  val knnGraphSql: String =
-    s"""WITH e AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
-       |  FROM embeddings),
-       |scored AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    list_dot_product(q.v, c.v) / (q.norm * c.norm) AS cosine
-       |  FROM e q JOIN e c ON q.vec_id <> c.vec_id)
-       |SELECT query_id, rank, neighbor_id FROM (
-       |  SELECT query_id, neighbor_id,
-       |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
-       |  FROM scored)
-       |WHERE rank <= $topK
-       |ORDER BY query_id, rank""".stripMargin
+  val knnGraphSql: String = cosineTopkSql("")
 
   /** The scale path for [[knnGraph]]: probe the trained IVF index with
     * EVERY corpus vector. Same output shape; recall vs the exact graph

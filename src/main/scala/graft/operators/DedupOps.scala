@@ -460,10 +460,15 @@ object DedupOps {
     val ws = split(trim(col(textCol)), "\\s+")
     val toks = docs.filter(size(ws) >= 1)
       .select(col(idCol).as("doc_id"), posexplode(ws).as(Seq("p", "tok")))
+    // materialized: the frequency aggregation and the coverage probe
+    // shuffle DIFFERENT children of this frame (partial-agg rows vs raw
+    // rows), so ReusedExchange cannot deduplicate them — without the
+    // checkpoint the corpus would pay the parse+hash pass twice
     val wins = docs.filter(size(ws) >= w)
       .select(col(idCol).as("doc_id"),
         posexplode(graft.functions.GraftFunctions.windowHashes(col(textCol), w))
           .as(Seq("i", "h")))
+      .localCheckpoint()
     val freq = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
     val covered = wins.join(freq.filter(col("c") >= 2), Seq("h"))
       .select(col("doc_id"),
@@ -719,8 +724,12 @@ object DedupOps {
     * frame. Output (doc_id, hs, sig). */
   def minhashSignaturesOf(shingleSets: DataFrame): DataFrame =
     minhashSignaturesHashedOf(
+      // sorted to honor the sorted-distinct `hs` contract of the
+      // two-pointer verify kernel (graft_intersect_count) — the native
+      // ShingleHashes path sort-dedupes by construction, this generic
+      // string-shingle path must match it
       shingleSets.select(col("doc_id"),
-        transform(col("sh"), x => xxhash64(x)).as("hs")))
+        array_sort(transform(col("sh"), x => xxhash64(x))).as("hs")))
 
   /** Hash-domain core: signatures over a (doc_id, hs) frame. */
   def minhashSignaturesHashedOf(hashSets: DataFrame): DataFrame =
@@ -733,9 +742,12 @@ object DedupOps {
     minhashLshOf(minhashSignatures(s, dir), jaccardThreshold)
 
   /** Generic API: banded-LSH near-dup pairs over any (doc_id, hs, sig)
-    * signature frame (e.g. from [[minhashSignatures]]). Verification
-    * intersects the 64-bit shingle-hash sets — long compares, not string
-    * compares, on every candidate pair. Duplicate-collapse prepass like
+    * signature frame (e.g. from [[minhashSignatures]]). CONTRACT: `hs`
+    * must be sorted-distinct (what [[shingleHashesOf]] and
+    * [[minhashSignaturesOf]] both emit) — verification counts common
+    * hashes with the two-pointer [[graft.functions.IntersectCount]]
+    * kernel, long compares not string compares on every candidate
+    * pair, and the merge walk undercounts on unsorted input. Duplicate-collapse prepass like
     * [[ngramJaccardHashedOf]]: identical shingle sets have identical
     * signatures, so copies would multiply every band bucket; banding and
     * verification run per distinct set and the pairs expand afterward
