@@ -456,7 +456,60 @@ object DedupOps {
     * to the interpreted `transform`/`slice`/`xxhash64` chain
     * (spec-pinned in WindowHashesSpec). */
   def substringDedupOf(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame =
+    substringDedupCore(docs, idCol, textCol, w, corpusFreq = None)
+
+  /** Corpus window-frequency table (h, c) — the persistent artifact of
+    * the substring-dedup pass, exactly the [[nearDupIndexOf]]
+    * lifecycle: build once over the standing corpus, persist, and cut
+    * each new crawl batch against it in O(batch)
+    * ([[substringDedupIncrementalOf]]). */
+  def windowFreqOf(docs: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
+    val ws = split(trim(col(textCol)), "\\s+")
+    docs.filter(size(ws) >= w)
+      .select(posexplode(graft.functions.GraftFunctions.windowHashes(col(textCol), w))
+        .as(Seq("i", "h")))
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+  }
+
+  /** Incremental duplicated-substring removal: cut a new batch against
+    * a standing corpus window-frequency table. A batch token is removed
+    * when a covering window's TOTAL count — its batch occurrences plus
+    * the corpus count — reaches 2, so the batch rows are exactly what a
+    * full rebuild over corpus ∪ batch would emit for them (spec-pinned;
+    * corpus documents are not re-cut, the same convention as the
+    * incremental near-dup probe). Cost is O(batch): the batch's own
+    * windows aggregate, then one equi-join against the index. */
+  def substringDedupIncrementalOf(corpusFreq: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, w: Int): DataFrame =
+    substringDedupCore(batch, idCol, textCol, w, Some(corpusFreq))
+
+  /** Driver row: cut the rolling tenth of the corpus (doc_id % 10 == 0)
+    * against the persisted window-frequency index of the rest — the
+    * same split convention as [[incrementalDedup]]. */
+  def substringIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(s, Tables.documents(s, dir))
+    val index = windowIndexCache.getOrCompute(s, dir) {
+      windowFreqOf(docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", substringW).localCheckpoint()
+    }
+    substringDedupIncrementalOf(index, docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", substringW)
+  }
+
+  private val windowIndexCache = new graft.SessionCache[DataFrame]()
+
+  /** Oracle: total window counts (batch occurrences + index counts)
+    * equal the full-corpus counts by construction, so the incremental
+    * batch rows are EXACTLY the full-corpus dedup restricted to the
+    * batch ids — a hash-checkable identity, not a rows-only check. */
+  lazy val substringIncrementalSql: String = substringDedupSql.replace(
+    "GROUP BY t.doc_id ORDER BY t.doc_id",
+    "WHERE t.doc_id % 10 = 0\nGROUP BY t.doc_id ORDER BY t.doc_id")
+
+  private def substringDedupCore(docs: DataFrame, idCol: String,
+      textCol: String, w: Int, corpusFreq: Option[DataFrame]): DataFrame = {
     val ws = split(trim(col(textCol)), "\\s+")
     val toks = docs.filter(size(ws) >= 1)
       .select(col(idCol).as("doc_id"), posexplode(ws).as(Seq("p", "tok")))
@@ -469,7 +522,13 @@ object DedupOps {
         posexplode(graft.functions.GraftFunctions.windowHashes(col(textCol), w))
           .as(Seq("i", "h")))
       .localCheckpoint()
-    val freq = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val ownFreq = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val freq = corpusFreq match {
+      case None => ownFreq
+      case Some(cf) => ownFreq
+        .join(cf.select(col("h"), col("c").as("c_corpus")), Seq("h"), "left")
+        .select(col("h"), (col("c") + coalesce(col("c_corpus"), lit(0L))).as("c"))
+    }
     val covered = wins.join(freq.filter(col("c") >= 2), Seq("h"))
       .select(col("doc_id"),
         explode(sequence(col("i"), col("i") + lit(w - 1))).as("p"))
@@ -1130,6 +1189,7 @@ object DedupOps {
     "q_dup_span_frac"       -> (dupSpanFrac _),
     "q_chunk_dedup"         -> (chunkDedup _),
     "q_substring_dedup"     -> (substringDedup _),
+    "q_substring_incremental" -> (substringIncremental _),
     "q_dedup_clusters"      -> (dedupClusters _),
     "q_dedup_keep"          -> (dedupKeep _),
     "q_dedup_minhash_lsh"   -> (minhashLsh _),
@@ -1149,6 +1209,7 @@ object DedupOps {
     "q_dup_span_frac"       -> dupSpanFracSql,
     "q_chunk_dedup"         -> chunkDedupSql,
     "q_substring_dedup"     -> substringDedupSql,
+    "q_substring_incremental" -> substringIncrementalSql,
     "q_dedup_clusters"      -> dedupClustersSql,
     "q_dedup_keep"          -> dedupKeepSql,
     "q_embed_pairs_exact"   -> embeddingPairsExactSql)
