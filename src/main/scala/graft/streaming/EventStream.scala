@@ -394,6 +394,58 @@ object EventStream {
           .as("contaminated"))
   }
 
+  /** Streaming duplicated-substring cut — the streaming twin of
+    * [[graft.operators.DedupOps.substringDedupIncrementalOf]], probing
+    * the persisted corpus window-frequency index. A token is cut when a
+    * covering window reaches total count 2 over the document's OWN
+    * occurrences plus the index count — i.e. exactly the incremental
+    * batch semantics with each document as its own batch (spec-pinned);
+    * cross-document duplication within one micro-batch rides the next
+    * index refresh, the same convention as [[indexProbe]].
+    *
+    * Shape: the native window hashes explode to narrow (doc_id, i, h)
+    * rows, the index lookup is a stateless stream-static equi-join,
+    * and the per-doc rollup is the one watermark-bounded aggregation —
+    * the document text rides it as a `first()` partial aggregate (one
+    * copy per doc map-side, never multiplied by the explode). The cut
+    * itself (own-duplicate detection, coverage expansion, ordered
+    * reassembly) is array math on the aggregated row. */
+  def substringCutStream(docs: DataFrame, windowFreq: DataFrame, w: Int,
+      windowDur: String = "1 minute",
+      watermarkDelay: String = "10 seconds"): DataFrame = {
+    val wins = docs
+      .select(col("doc_id"), col("text"),
+        current_timestamp().as("ingest_ts"),
+        // _outer: a doc shorter than w words has no windows but must
+        // still flow through (untouched), exactly like the batch cut
+        posexplode_outer(graft.functions.GraftFunctions.windowHashes(col("text"), w))
+          .as(Seq("i", "h")))
+      .withWatermark("ingest_ts", watermarkDelay)
+      .join(windowFreq.select(col("h"), col("c").as("c_idx")), Seq("h"), "left")
+    val agg = wins
+      .groupBy(window(col("ingest_ts"), windowDur), col("doc_id"))
+      .agg(first(col("text")).as("text"),
+        sort_array(collect_list(struct(col("i"),
+          col("h"), coalesce(col("c_idx"), lit(0L)).as("ci")))).as("ws_hits"))
+      .drop("window")
+    val ws = split(trim(col("text")), "\\s+")
+    agg
+      .withColumn("dup_starts",
+        transform(filter(col("ws_hits"), x =>
+          x.getField("ci") >= 1 ||
+            size(filter(col("ws_hits"), y =>
+              y.getField("h") === x.getField("h"))) >= 2),
+          x => x.getField("i")))
+      .withColumn("covered", array_distinct(flatten(
+        transform(col("dup_starts"), i => sequence(i, i + lit(w - 1))))))
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_tokens"),
+        size(col("covered")).cast("long").as("n_removed"),
+        when(size(col("covered")) === size(ws), lit(null))
+          .otherwise(array_join(filter(ws, (_, p) =>
+            !array_contains(col("covered"), p)), " ")).as("clean_text"))
+  }
+
   final case class HourScore(event_type: String, bucket: Timestamp, n: Long,
       zscore: Double, anomaly: Boolean)
   final case class AnomalyState(firstHour: Long, lastEmitted: Long,
