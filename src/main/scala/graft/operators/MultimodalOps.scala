@@ -130,11 +130,59 @@ object MultimodalOps {
       }.toDF()
   }
 
+  // ----------------------------------------- frame-signature dedup
+
+  /** Pair gate: share of the smaller video's distinct frames that the
+    * other video also contains. */
+  val mediaOverlapFrac = 0.5
+
+  /** A frame hash seen in more than this many videos is boilerplate
+    * (black frames, intros) and is dropped from pairing — the same
+    * viral-key discipline as the shingle DF cap. */
+  val frameDfCap = 1000L
+
+  def mediaDedup(s: SparkSession, dir: String): DataFrame =
+    mediaDedupOf(frameSampleOf(
+      Tables.spread(s, mediaCorpus(s, dir)), stride = 1), mediaOverlapFrac)
+
+  /** Generic API: near-dup video pairs over any (doc_id, frame_idx,
+    * frame_bytes) frame table — the media twin of n-gram dedup.
+    * Sampled frames hash to 64-bit content signatures; an inverted
+    * index on the frame hash pairs ONLY videos sharing a frame (never
+    * all-pairs), and the overlap fraction (shared distinct frames /
+    * smaller video's distinct frames) gates the pair. Frame frequency
+    * is a hash aggregation (map-side partials collapse a boilerplate
+    * frame per task) and the df cap keeps one viral frame from a
+    * quadratic candidate blowup; the denominators count pre-cap, so
+    * the cap only removes candidates, never inflates overlap. */
+  def mediaDedupOf(frames: DataFrame, frac: Double): DataFrame = {
+    val sigs = frames
+      .select(col("doc_id"), xxhash64(col("frame_bytes")).as("fh"))
+      .distinct()
+    val counts = sigs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
+    val kept = sigs.join(
+      sigs.groupBy(col("fh")).agg(count(lit(1)).as("dfc"))
+        .filter(col("dfc") <= frameDfCap).select("fh"),
+      Seq("fh"))
+    val a = kept.select(col("doc_id").as("doc_a"), col("fh"))
+    val b = kept.select(col("doc_id").as("doc_b"), col("fh"))
+    a.join(b, Seq("fh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_frames").as("na")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_frames").as("nb")), "doc_b")
+      .withColumn("overlap", col("shared").cast("double") / least(col("na"), col("nb")))
+      .filter(col("overlap") >= frac)
+      .select("doc_a", "doc_b", "shared", "overlap")
+      .orderBy("doc_a", "doc_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_binary_features"  -> (binaryFeatures _),
-    "q_multimodal_batch" -> (multimodalBatch _))
+    "q_multimodal_batch" -> (multimodalBatch _),
+    "q_media_dedup"      -> (mediaDedup _))
 
-  /** The decode stub is JVM-side logic — rows-only check + spec. */
+  /** The decode stub is JVM-side logic — rows-only check + spec
+    * (q_multimodal_batch, q_media_dedup). */
   def oracles: Map[String, String] = Map(
     "q_binary_features" -> binaryFeaturesSql)
 }
