@@ -66,7 +66,9 @@ object Stress {
       "q_gap_fill", "q_locf", "q_ewma", "q_anomaly", "q_winsorize",
       "q_asof_nearest", "q_hopping_window",
       "q_dedup_incremental", "q_corpus_report", "q_curate_pipeline",
-      "q_substring_dedup", "q_ppl_buckets", "q_contamination_bloom")
+      "q_substring_dedup", "q_ppl_buckets", "q_contamination_bloom",
+      "q_substring_incremental", "q_fuzzy_dedup", "q_media_dedup",
+      "q_knn_graph_ivf", "q_embed_centroids")
     val heavies: Seq[String] =
       if (args.length > 2) args.drop(2).toSeq else defaults
 
