@@ -503,10 +503,11 @@ object DedupOps {
   /** Oracle: total window counts (batch occurrences + index counts)
     * equal the full-corpus counts by construction, so the incremental
     * batch rows are EXACTLY the full-corpus dedup restricted to the
-    * batch ids — a hash-checkable identity, not a rows-only check. */
-  lazy val substringIncrementalSql: String = substringDedupSql.replace(
-    "GROUP BY t.doc_id ORDER BY t.doc_id",
-    "WHERE t.doc_id % 10 = 0\nGROUP BY t.doc_id ORDER BY t.doc_id")
+    * batch ids — a hash-checkable identity, not a rows-only check
+    * (both oracles come from one parameterized template, so the
+    * restriction cannot drift out of sync with the base text). */
+  lazy val substringIncrementalSql: String =
+    substringDedupSqlWhere("WHERE t.doc_id % 10 = 0\n")
 
   private def substringDedupCore(docs: DataFrame, idCol: String,
       textCol: String, w: Int, corpusFreq: Option[DataFrame]): DataFrame = {
@@ -549,7 +550,12 @@ object DedupOps {
 
   /** Oracle counts window *strings* — identical to the hashed plan up
     * to 64-bit collisions, like [[dupSpanFracSql]]. */
-  val substringDedupSql: String =
+  val substringDedupSql: String = substringDedupSqlWhere("")
+
+  /** Shared oracle template with a pluggable final-select restriction
+    * — [[substringDedupSql]] (no restriction) and
+    * [[substringIncrementalSql]] (batch ids only) are both instances. */
+  private def substringDedupSqlWhere(where: String): String =
     s"""WITH w AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
        |  FROM documents
@@ -572,7 +578,7 @@ object DedupOps {
        |  CAST(sum(CASE WHEN c.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
        |  string_agg(CASE WHEN c.p IS NULL THEN t.tok END, ' ' ORDER BY t.p) AS clean_text
        |FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
-       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+       |${where}GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
   // ----------------------------------------------- dup clusters
 

@@ -155,8 +155,15 @@ object MultimodalOps {
     * frame per task) and the df cap keeps one viral frame from a
     * quadratic candidate blowup; the denominators count pre-cap, so
     * the cap only removes candidates, never inflates overlap. */
+  /** Frames narrower than the stub's 16-byte width are clamped tail
+    * slices (an artifact of the fake decoder, not content) — a 1-byte
+    * "frame" shared by chance must not clear the overlap gate. A real
+    * decoder emits fixed-size frames and never hits this. */
+  val minFrameBytes = 16
+
   def mediaDedupOf(frames: DataFrame, frac: Double): DataFrame = {
     val sigs = frames
+      .filter(octet_length(col("frame_bytes")) >= minFrameBytes)
       .select(col("doc_id"), xxhash64(col("frame_bytes")).as("fh"))
       .distinct()
     val counts = sigs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))

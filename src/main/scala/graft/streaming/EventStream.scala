@@ -414,6 +414,8 @@ object EventStream {
       windowDur: String = "1 minute",
       watermarkDelay: String = "10 seconds"): DataFrame = {
     val wins = docs
+      // null text is dropped, matching the batch operators' filter
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"),
         current_timestamp().as("ingest_ts"),
         // _outer: a doc shorter than w words has no windows but must
@@ -429,12 +431,20 @@ object EventStream {
           col("h"), coalesce(col("c_idx"), lit(0L)).as("ci")))).as("ws_hits"))
       .drop("window")
     val ws = split(trim(col("text")), "\\s+")
+    // own-duplicate hashes in O(m log m): sort the hash list once
+    // (let-bound as a lambda variable so the sort runs once per row,
+    // not once per element) and keep values equal to their neighbor —
+    // never the O(m²) re-filter of the whole list per element
+    val dupHsCol = element_at(
+      transform(array(array_sort(transform(col("ws_hits"), x => x.getField("h")))),
+        sorted => array_distinct(filter(sorted, (v, k) =>
+          k > 0 && v === element_at(sorted, k)))), 1)
     agg
+      .withColumn("dup_hs", dupHsCol)
       .withColumn("dup_starts",
         transform(filter(col("ws_hits"), x =>
           x.getField("ci") >= 1 ||
-            size(filter(col("ws_hits"), y =>
-              y.getField("h") === x.getField("h"))) >= 2),
+            array_contains(col("dup_hs"), x.getField("h"))),
           x => x.getField("i")))
       .withColumn("covered", array_distinct(flatten(
         transform(col("dup_starts"), i => sequence(i, i + lit(w - 1))))))

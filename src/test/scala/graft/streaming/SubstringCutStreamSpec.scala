@@ -22,7 +22,7 @@ class SubstringCutStreamSpec extends SparkSpec {
       .localCheckpoint()
 
     val stream = MemoryStream[(Long, String)]
-    stream.addData(batch)
+    stream.addData(batch :+ (999999L -> null.asInstanceOf[String]))
     val q = EventStream.substringCutStream(
         stream.toDF().toDF("doc_id", "text"), index, w)
       .writeStream.format("memory").queryName("sub_cut")
@@ -42,6 +42,8 @@ class SubstringCutStreamSpec extends SparkSpec {
         .collect()).head
     }.toMap
 
+    // null-text records are dropped, matching the batch operators
+    assert(!streamed.contains(999999L))
     assert(streamed.keySet == expected.keySet)
     streamed.foreach { case (id, got) =>
       assert(got == expected(id), s"doc $id: $got vs ${expected(id)}")
