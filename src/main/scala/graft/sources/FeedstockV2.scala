@@ -155,22 +155,110 @@ object FeedstockDataWriter {
 }
 
 class FeedstockScanBuilder(path: String, full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new FeedstockScan(path, required,
+
+  /** Accept simple predicates on top-level leaf columns; they are
+    * evaluated against the parsed JSON node BEFORE row conversion, so
+    * a selective filter skips the Catalyst conversion for ~all lines
+    * (the JSON analog of parquet's PushedFilters). Accepted filters
+    * are removed from Spark's residual, so the reader's evaluation
+    * must be exact — hence the conservative supported set. Everything
+    * else (nested fields, null-matching, string ops beyond prefix)
+    * stays Spark-side. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    val (ok, residual) = filters.partition(FeedstockFilters.supports(_, full))
+    pushed = ok
+    residual
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  override def build(): Scan = new FeedstockScan(path, required, full, pushed,
     // driver-side: capture the session's Hadoop conf (spark.hadoop.*,
     // fs credentials) for both split listing and the executor readers
     new SerializableConfiguration(
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
 }
 
-class FeedstockScan(path: String, required: StructType,
+/** Pushed-filter support + evaluation over the raw JSON node. */
+object FeedstockFilters {
+  import org.apache.spark.sql.sources._
+
+  /** Resolve a (possibly dotted, nested) column path to its leaf type —
+    * V2 pushdown translates nested predicates with dotted names. */
+  private[sources] def leafType(name: String, schema: StructType): Option[DataType] = {
+    def walk(parts: List[String], dt: DataType): Option[DataType] = (parts, dt) match {
+      case (Nil, t @ (IntegerType | LongType | DoubleType | StringType | BooleanType)) =>
+        Some(t)
+      case (head :: rest, st: StructType) =>
+        st.fields.find(_.name == head).flatMap(f => walk(rest, f.dataType))
+      case _ => None
+    }
+    walk(name.split("\\.").toList, schema)
+  }
+
+  def supports(f: Filter, schema: StructType): Boolean = f match {
+    case EqualTo(a, v) => leafType(a, schema).isDefined && v != null
+    case GreaterThan(a, v) => leafType(a, schema).isDefined && v != null
+    case GreaterThanOrEqual(a, v) => leafType(a, schema).isDefined && v != null
+    case LessThan(a, v) => leafType(a, schema).isDefined && v != null
+    case LessThanOrEqual(a, v) => leafType(a, schema).isDefined && v != null
+    case IsNotNull(a) => leafType(a, schema).isDefined
+    case StringStartsWith(a, _) => leafType(a, schema).contains(StringType)
+    case _ => false
+  }
+
+  /** SQL three-valued logic: a comparison on a missing/null field is
+    * not-true, so the row is dropped — identical to Spark's own
+    * evaluation of the same predicate. */
+  def matches(f: Filter, node: JsonNode, schema: StructType): Boolean = f match {
+    case IsNotNull(a) => field(node, a) != null
+    case EqualTo(a, v) => cmp(node, a, v, schema).contains(0)
+    case GreaterThan(a, v) => cmp(node, a, v, schema).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(node, a, v, schema).exists(_ >= 0)
+    case LessThan(a, v) => cmp(node, a, v, schema).exists(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(node, a, v, schema).exists(_ <= 0)
+    case StringStartsWith(a, p) =>
+      Option(field(node, a)).exists(_.asText().startsWith(p))
+    case _ => false
+  }
+
+  private def field(node: JsonNode, name: String): JsonNode = {
+    val n = name.split("\\.").foldLeft(node) {
+      (cur, part) => if (cur == null) null else cur.get(part)
+    }
+    if (n == null || n.isNull) null else n
+  }
+
+  /** Typed three-way compare of the JSON field against the literal;
+    * None when the field is absent/null (comparison is not-true). */
+  private def cmp(node: JsonNode, name: String, v: Any,
+      schema: StructType): Option[Int] =
+    Option(field(node, name)).map { n =>
+      leafType(name, schema).get match {
+        case IntegerType | LongType =>
+          java.lang.Long.compare(n.asLong(), v.asInstanceOf[Number].longValue())
+        case DoubleType =>
+          java.lang.Double.compare(n.asDouble(), v.asInstanceOf[Number].doubleValue())
+        case BooleanType =>
+          java.lang.Boolean.compare(n.asBoolean(), v.asInstanceOf[Boolean])
+        case _ => n.asText().compareTo(v.toString)
+      }
+    }
+}
+
+class FeedstockScan(path: String, required: StructType, full: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter],
     conf: SerializableConfiguration) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-feedstock $path ReadSchema: ${required.catalogString}"
+    s"graft-feedstock $path ReadSchema: ${required.catalogString}" +
+      s" PushedFilters: [${pushed.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = new Path(path).getFileSystem(conf.value)
@@ -188,21 +276,26 @@ class FeedstockScan(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    FeedstockReaderFactory(required, conf)
+    FeedstockReaderFactory(required, full, pushed, conf)
 }
 
 case class FeedstockInputPartition(file: String) extends InputPartition
 
-case class FeedstockReaderFactory(required: StructType,
+case class FeedstockReaderFactory(required: StructType, full: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter],
     conf: SerializableConfiguration) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new FeedstockPartitionReader(
-      partition.asInstanceOf[FeedstockInputPartition].file, required, conf.value)
+      partition.asInstanceOf[FeedstockInputPartition].file, required, full, pushed, conf.value)
 }
 
 /** Streams one JSON-lines file, converting each line to an InternalRow
-  * of exactly the pruned schema. */
-class FeedstockPartitionReader(file: String, required: StructType, conf: Configuration)
+  * of exactly the pruned schema. Pushed filters run on the parsed JSON
+  * node BEFORE conversion — filter columns need not survive pruning,
+  * and rejected lines never become rows. */
+class FeedstockPartitionReader(file: String, required: StructType,
+    full: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter], conf: Configuration)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
   private val path = new Path(file)
@@ -212,10 +305,20 @@ class FeedstockPartitionReader(file: String, required: StructType, conf: Configu
   private var row: InternalRow = _
 
   override def next(): Boolean = {
-    var line = reader.readLine()
-    while (line != null && line.trim.isEmpty) line = reader.readLine()
-    if (line == null) { row = null; false }
-    else { row = FeedstockPartitionReader.convert(mapper.readTree(line), required); true }
+    var node: JsonNode = null
+    var done = false
+    while (!done) {
+      var line = reader.readLine()
+      while (line != null && line.trim.isEmpty) line = reader.readLine()
+      if (line == null) { node = null; done = true }
+      else {
+        node = mapper.readTree(line)
+        if (pushed.forall(FeedstockFilters.matches(_, node, full)))
+          done = true
+      }
+    }
+    if (node == null) { row = null; false }
+    else { row = FeedstockPartitionReader.convert(node, required); true }
   }
 
   override def get(): InternalRow = row
