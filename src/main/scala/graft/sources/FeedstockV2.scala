@@ -212,43 +212,71 @@ object FeedstockFilters {
     case _ => false
   }
 
-  /** SQL three-valued logic: a comparison on a missing/null field is
-    * not-true, so the row is dropped — identical to Spark's own
-    * evaluation of the same predicate. */
-  def matches(f: Filter, node: JsonNode, schema: StructType): Boolean = f match {
-    case IsNotNull(a) => field(node, a) != null
-    case EqualTo(a, v) => cmp(node, a, v, schema).contains(0)
-    case GreaterThan(a, v) => cmp(node, a, v, schema).exists(_ > 0)
-    case GreaterThanOrEqual(a, v) => cmp(node, a, v, schema).exists(_ >= 0)
-    case LessThan(a, v) => cmp(node, a, v, schema).exists(_ < 0)
-    case LessThanOrEqual(a, v) => cmp(node, a, v, schema).exists(_ <= 0)
-    case StringStartsWith(a, p) =>
-      Option(field(node, a)).exists(_.asText().startsWith(p))
-    case _ => false
-  }
-
-  private def field(node: JsonNode, name: String): JsonNode = {
-    val n = name.split("\\.").foldLeft(node) {
-      (cur, part) => if (cur == null) null else cur.get(part)
-    }
-    if (n == null || n.isNull) null else n
-  }
-
-  /** Typed three-way compare of the JSON field against the literal;
-    * None when the field is absent/null (comparison is not-true). */
-  private def cmp(node: JsonNode, name: String, v: Any,
-      schema: StructType): Option[Int] =
-    Option(field(node, name)).map { n =>
-      leafType(name, schema).get match {
-        case IntegerType | LongType =>
-          java.lang.Long.compare(n.asLong(), v.asInstanceOf[Number].longValue())
-        case DoubleType =>
-          java.lang.Double.compare(n.asDouble(), v.asInstanceOf[Number].doubleValue())
-        case BooleanType =>
-          java.lang.Boolean.compare(n.asBoolean(), v.asInstanceOf[Boolean])
-        case _ => n.asText().compareTo(v.toString)
+  /** Compile a pushed filter to a per-line predicate. Compilation
+    * resolves the path segments, leaf type, and typed literal ONCE
+    * (the scan evaluates the result millions of times), and the
+    * comparison semantics are exactly Spark's own — an accepted filter
+    * leaves Spark's residual, so any divergence from how Spark would
+    * evaluate the converted row silently changes results:
+    *   - integers truncate through asInt() first, matching the row
+    *     conversion's truncating cast;
+    *   - doubles compare via SQLOrderingUtil (-0.0 == 0.0, NaN
+    *     greatest), Spark's comparator;
+    *   - strings compare as unsigned UTF-8 bytes (UTF8String), not
+    *     UTF-16 code units.
+    * Missing/null fields fail every predicate except nothing — SQL
+    * three-valued logic, identical to Spark evaluating the same
+    * predicate on the converted row. */
+  def compile(f: Filter, schema: StructType): JsonNode => Boolean = {
+    def getter(name: String): JsonNode => JsonNode = {
+      val parts = name.split("\\.")
+      node => {
+        var cur = node
+        var i = 0
+        while (i < parts.length && cur != null) { cur = cur.get(parts(i)); i += 1 }
+        if (cur == null || cur.isNull) null else cur
       }
     }
+    def cmpFn(name: String, v: Any): JsonNode => Option[Int] = {
+      val get = getter(name)
+      leafType(name, schema).get match {
+        case IntegerType =>
+          val lit = v.asInstanceOf[Number].intValue()
+          node => Option(get(node)).map(n => java.lang.Integer.compare(n.asInt(), lit))
+        case LongType =>
+          val lit = v.asInstanceOf[Number].longValue()
+          node => Option(get(node)).map(n => java.lang.Long.compare(n.asLong(), lit))
+        case DoubleType =>
+          val lit = v.asInstanceOf[Number].doubleValue()
+          node => Option(get(node)).map(n =>
+            org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(n.asDouble(), lit))
+        case BooleanType =>
+          val lit = v.asInstanceOf[Boolean]
+          node => Option(get(node)).map(n => java.lang.Boolean.compare(n.asBoolean(), lit))
+        case _ =>
+          val lit = UTF8String.fromString(v.toString)
+          node => Option(get(node)).map(n => UTF8String.fromString(n.asText()).compareTo(lit))
+      }
+    }
+    f match {
+      case IsNotNull(a) =>
+        val get = getter(a); node => get(node) != null
+      case EqualTo(a, v) =>
+        val c = cmpFn(a, v); node => c(node).contains(0)
+      case GreaterThan(a, v) =>
+        val c = cmpFn(a, v); node => c(node).exists(_ > 0)
+      case GreaterThanOrEqual(a, v) =>
+        val c = cmpFn(a, v); node => c(node).exists(_ >= 0)
+      case LessThan(a, v) =>
+        val c = cmpFn(a, v); node => c(node).exists(_ < 0)
+      case LessThanOrEqual(a, v) =>
+        val c = cmpFn(a, v); node => c(node).exists(_ <= 0)
+      case StringStartsWith(a, p) =>
+        val get = getter(a)
+        node => Option(get(node)).exists(_.asText().startsWith(p))
+      case _ => _ => false
+    }
+  }
 }
 
 class FeedstockScan(path: String, required: StructType, full: StructType,
@@ -298,6 +326,8 @@ class FeedstockPartitionReader(file: String, required: StructType,
     pushed: Array[org.apache.spark.sql.sources.Filter], conf: Configuration)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
+  // resolved paths + typed literals, once per reader, not per line
+  private val preds = pushed.map(FeedstockFilters.compile(_, full))
   private val path = new Path(file)
   private val in = path.getFileSystem(conf).open(path)
   private val reader = new java.io.BufferedReader(
@@ -313,7 +343,7 @@ class FeedstockPartitionReader(file: String, required: StructType,
       if (line == null) { node = null; done = true }
       else {
         node = mapper.readTree(line)
-        if (pushed.forall(FeedstockFilters.matches(_, node, full)))
+        if (preds.forall(_(node)))
           done = true
       }
     }

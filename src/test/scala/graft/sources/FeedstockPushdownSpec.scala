@@ -5,12 +5,8 @@ import org.apache.spark.sql.functions._
 
 class FeedstockPushdownSpec extends SparkSpec {
 
-  private def writtenDir(): String = {
-    val docs = graft.Tables.documents(spark, sfDir)
-    val tmp = java.nio.file.Files.createTempDirectory("feedstock-pd").toString
-    FeedstockSource.write(FeedstockSource.fromDocuments(docs), tmp)
-    tmp
-  }
+  private def writtenDir(): String =
+    FeedstockFixtures.writtenDir(spark, sfDir, "feedstock-pd")
 
   test("a nested comparison reaches the scan as a pushed filter, rows exact") {
     val dir = writtenDir()

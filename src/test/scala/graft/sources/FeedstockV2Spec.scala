@@ -5,12 +5,8 @@ import org.apache.spark.sql.functions._
 
 class FeedstockV2Spec extends SparkSpec {
 
-  private def writtenDir(): String = {
-    val docs = graft.Tables.documents(spark, sfDir)
-    val tmp = java.nio.file.Files.createTempDirectory("feedstock-v2").toString
-    FeedstockSource.write(FeedstockSource.fromDocuments(docs), tmp)
-    tmp
-  }
+  private def writtenDir(): String =
+    FeedstockFixtures.writtenDir(spark, sfDir, "feedstock-v2")
 
   test("DSv2 read matches the schema-on-read path row for row") {
     val dir = writtenDir()
