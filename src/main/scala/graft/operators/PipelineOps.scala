@@ -151,6 +151,56 @@ object PipelineOps {
        |  FROM documents)
        |WHERE rk <= $domainCap ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------- stratified sampling
+
+  /** Global downsampling rate for the driver row. */
+  val stratifiedRate = 0.2
+
+  /** Generic API: proportional stratified sampling — keep exactly
+    * round(rate · |stratum|) rows of every stratum, chosen by the
+    * deterministic content-hash order (no RNG; re-runs and
+    * repartitionings pick the identical sample — the property every
+    * hash-keyed curation op here shares). Unlike [[domainCapOf]]'s
+    * fixed per-domain cap, allocation is proportional, so the sample
+    * preserves the corpus mixture — the "downsample the crawl 5× but
+    * keep the source distribution" op.
+    *
+    * Scale shape: per-stratum quotas are a tiny aggregate joined back
+    * (AQE broadcasts it), and the rank is a per-stratum window ordered
+    * by the hash key — the same single-shuffle shape as the domain
+    * cap; WindowGroupLimit cannot prune here (the quota is per-group,
+    * not constant) but the window state is O(1) per row. */
+  def stratifiedSampleOf(df: DataFrame, stratum: Column, key: Column,
+      tie: Column, rate: Double): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(key, tie)
+    val quotas = df.groupBy(stratum.as("stratum"))
+      .agg(round(count(lit(1)) * rate, 0).cast("long").as("quota"))
+    df.withColumn("rk", row_number().over(w))
+      .join(broadcast(quotas), stratum === col("stratum"))
+      .filter(col("rk") <= col("quota"))
+      .drop("stratum")
+  }
+
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    stratifiedSampleOf(Tables.documents(s, dir), col("source"), sampleKey,
+      col("doc_id"), stratifiedRate)
+      .select(col("doc_id"), col("source"), col("rk").cast("int").as("rk"),
+        col("quota"))
+      .orderBy("doc_id")
+
+  val stratifiedSampleSql: String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY $sampleKeySql, doc_id) AS rk
+       |  FROM documents),
+       |quotas AS (
+       |  SELECT source, CAST(round(count(*) * $stratifiedRate, 0) AS BIGINT) AS quota
+       |  FROM documents GROUP BY 1)
+       |SELECT doc_id, source, CAST(rk AS INTEGER) AS rk, quota
+       |FROM ranked JOIN quotas USING (source)
+       |WHERE rk <= quota ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------ packing
 
   val packBudget = 512
@@ -646,6 +696,7 @@ object PipelineOps {
     "q_hash_split"     -> (hashSplit _),
     "q_corpus_mix"     -> (corpusMix _),
     "q_domain_cap"     -> (domainCapped _),
+    "q_stratified_sample" -> (stratifiedSample _),
     "q_pack_sequences" -> (packSequences _),
     "q_contamination"  -> (contamination _),
     "q_contamination_bloom" -> (contaminationBloom _),
@@ -657,6 +708,7 @@ object PipelineOps {
     "q_hash_split"     -> hashSplitSql,
     "q_corpus_mix"     -> corpusMixSql,
     "q_domain_cap"     -> domainCapSql,
+    "q_stratified_sample" -> stratifiedSampleSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_contamination"  -> contaminationSql,
     "q_contamination_bloom" -> contaminationSql,
