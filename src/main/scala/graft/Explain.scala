@@ -119,11 +119,13 @@ object Explain {
       // hopping: the 4-way window replication stays inside codegen
       // (Expand), one shuffle on (window, type)
       "q_hopping_window"     -> Seq("Expand", "HashAggregate"),
-      // substring dedup: native window hashing inside the scan-side
-      // projection, window frequency as a hash aggregation (map-side
-      // partials collapse viral windows), coverage explode, one per-doc
-      // reassembly — never a pair join
-      "q_substring_dedup"    -> Seq("graft_window_hashes", "HashAggregate",
+      // substring dedup: window frequency as a hash aggregation
+      // (map-side partials collapse viral windows), coverage explode,
+      // one per-doc reassembly — never a pair join. The native
+      // graft_window_hashes pass runs inside the wins checkpoint's
+      // producing job, so it is invisible in this (post-checkpoint)
+      // plan; its value-identity is pinned in WindowHashesSpec.
+      "q_substring_dedup"    -> Seq("HashAggregate",
         "Generate", "ObjectHashAggregate"),
       // tercile cutoffs are a tiny per-language aggregate broadcast
       // back — assignment is map-side, no per-language window sort
@@ -132,7 +134,10 @@ object Explain {
       "q_knn_graph"          -> Seq("BroadcastNestedLoopJoin"),
       // per-label centroids: narrow explode + two hash aggregations,
       // never a whole-vector groupBy
-      "q_embed_centroids"    -> Seq("Generate", "ObjectHashAggregate"))
+      "q_embed_centroids"    -> Seq("Generate", "ObjectHashAggregate"),
+      // leaderboard: df via hash agg (map-side collapses the viral
+      // phrases), top-k as a per-partition heap, no global sort
+      "q_top_ngrams"         -> Seq("HashAggregate", "TakeOrderedAndProject"))
 
     // the curate pipeline's whole cost at scale is corpus scans: quality,
     // content key, and split must share ONE projection, so `documents`

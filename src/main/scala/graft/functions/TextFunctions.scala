@@ -473,7 +473,35 @@ object TextFunctions {
        |FROM w ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------- corpus top n-grams
+
+  /** Top-k rows kept in the corpus n-gram leaderboard. */
+  val topNgramsK = 100
+
+  /** Corpus-wide top-k word-3-grams by document frequency — the
+    * "what IS the boilerplate" diagnostic that feeds chunk-dedup and
+    * contamination review. Distinct-per-doc shingles (so a phrase
+    * repeated inside one page counts once), document frequency as ONE
+    * hash aggregation (map-side partials collapse the viral phrases
+    * this query exists to find — never a window on the phrase key),
+    * and the leaderboard is a TakeOrdered over (df desc, ngram asc) —
+    * a k-row heap per partition, no global sort. */
+  def topNgrams(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DedupOps.shinglesOf(
+      graft.Tables.spread(s, graft.Tables.documents(s, dir)), "doc_id", "text", 3)
+      .select(explode(col("sh")).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("ngram").asc)
+      .limit(topNgramsK)
+
+  val topNgramsSql: String = graft.operators.DedupOps.shinglesSql +
+    s"""SELECT ngram, df FROM (
+       |  SELECT s AS ngram, count(*) AS df
+       |  FROM (SELECT unnest(sh) AS s FROM sh_t) GROUP BY 1)
+       |ORDER BY df DESC, ngram ASC LIMIT $topNgramsK""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_top_ngrams"      -> (topNgrams _),
     "q_gopher_filter"   -> (gopherFilter _),
     "q_token_rarity"    -> (tokenRarity _),
     "q_tfidf_top_terms" -> (tfidfTopTerms _),
@@ -485,6 +513,7 @@ object TextFunctions {
     "q_fingerprint"   -> (fingerprint _))
 
   def oracles: Map[String, String] = Map(
+    "q_top_ngrams"      -> topNgramsSql,
     "q_gopher_filter"   -> gopherFilterSql,
     "q_token_rarity"    -> tokenRaritySql,
     "q_tfidf_top_terms" -> tfidfTopTermsSql,
