@@ -446,7 +446,53 @@ object AnalyticsOps {
       |ORDER BY stage_reached""".stripMargin
 
   // ------------------------------------------------- registry
+  // ---------------------------------------------- cohort retention
+
+  /** Weekly cohort retention matrix: users grouped by first-activity
+    * week, each cohort's share of users still active N weeks later —
+    * the standard product-analytics rollup. Shape: ONE distinct over
+    * (user, week) feeds everything (cohort assignment, cohort sizes,
+    * and the cells — after the distinct, a plain count per cell IS the
+    * distinct-user count, so no countDistinct Expand), cohort sizes
+    * are a tiny aggregate joined back (AQE broadcasts), and the only
+    * corpus-scale shuffles are the user-keyed distinct/min — no
+    * windows. `week_n` is exact integer arithmetic on week-truncated
+    * timestamps, identical on both engines. */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_users"))
+    ev.join(cohorts, Seq("user_id"))
+      .withColumn("week_n", (datediff(col("wk"), col("cohort_week")) / lit(7)).cast("int"))
+      .groupBy(col("cohort_week"), col("week_n"))
+      .agg(count(lit(1)).as("active_users"))
+      .join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_n"), col("active_users"), col("cohort_users"),
+        round(col("active_users").cast("double") / col("cohort_users"), 6).as("retention"))
+      .orderBy("cohort_week", "week_n")
+  }
+
+  val retentionCohortsSql: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events),
+      |coh AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY 1),
+      |sizes AS (SELECT cohort_week, count(*) AS cohort_users FROM coh GROUP BY 1),
+      |cells AS (
+      |  SELECT c.cohort_week,
+      |    CAST(date_diff('day', CAST(c.cohort_week AS DATE), CAST(e.wk AS DATE)) / 7
+      |      AS INTEGER) AS week_n,
+      |    count(*) AS active_users
+      |  FROM ev e JOIN coh c USING (user_id) GROUP BY 1, 2)
+      |SELECT cohort_week, week_n, active_users, cohort_users,
+      |  round(CAST(active_users AS DOUBLE) / cohort_users, 6) AS retention
+      |FROM cells JOIN sizes USING (cohort_week)
+      |ORDER BY cohort_week, week_n""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retention_cohorts" -> (retentionCohorts _),
     "q_funnel"            -> (funnel _),
     "q1_pricing_summary"  -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -466,6 +512,7 @@ object AnalyticsOps {
     "q_approx_quantiles"  -> (approxQuantiles _))
 
   def oracles: Map[String, String] = Map(
+    "q_retention_cohorts" -> retentionCohortsSql,
     "q_funnel"            -> funnelSql,
     "q1_pricing_summary"  -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
