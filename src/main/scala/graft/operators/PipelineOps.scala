@@ -151,6 +151,56 @@ object PipelineOps {
        |  FROM documents)
        |WHERE rk <= $domainCap ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------- source overlap
+
+  /** Cross-source duplication audit: for every source pair, the count
+    * of exact-dup content fingerprints (the [[graft.operators.DedupOps
+    * .exactDedupOf]] key) present in BOTH, and that count as a share
+    * of the smaller side — the dataset-curation question "which of my
+    * sources are re-crawls of each other". The join key is the
+    * fingerprint, so only sources actually sharing content ever meet
+    * (posting-list shape, never |sources|² scans), per-source
+    * fingerprint inventories are tiny aggregates joined back, and a
+    * fingerprint's per-source multiplicity is collapsed by the
+    * distinct before any pairing. */
+  def sourceOverlapOf(docs: DataFrame, source: Column, key: Column): DataFrame = {
+    val fp = docs.select(source.as("src"), md5(key).as("fp")).distinct()
+    val inv = fp.groupBy(col("src")).agg(count(lit(1)).as("n_fps"))
+    val shared = fp.select(col("src").as("source_a"), col("fp"))
+      .join(fp.select(col("src").as("source_b"), col("fp")), Seq("fp"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+    shared
+      .join(inv.select(col("src").as("source_a"), col("n_fps").as("fps_a")), "source_a")
+      .join(inv.select(col("src").as("source_b"), col("n_fps").as("fps_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("shared_fps"),
+        col("fps_a"), col("fps_b"),
+        round(col("shared_fps").cast("double") / least(col("fps_a"), col("fps_b")), 6)
+          .as("overlap"))
+      .orderBy("source_a", "source_b")
+  }
+
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame =
+    sourceOverlapOf(Tables.documents(s, dir), col("source"),
+      array_join(slice(split(col("text"), " "), 1, 10), " "))
+
+  val sourceOverlapSql: String =
+    """WITH fp AS (
+      |  SELECT DISTINCT source AS src,
+      |    md5(array_to_string((string_split(text, ' '))[1:10], ' ')) AS fp
+      |  FROM documents),
+      |inv AS (SELECT src, count(*) AS n_fps FROM fp GROUP BY 1),
+      |shared AS (
+      |  SELECT a.src AS source_a, b.src AS source_b, count(*) AS shared_fps
+      |  FROM fp a JOIN fp b USING (fp) WHERE a.src < b.src GROUP BY 1, 2)
+      |SELECT source_a, source_b, shared_fps, ia.n_fps AS fps_a, ib.n_fps AS fps_b,
+      |  round(CAST(shared_fps AS DOUBLE) / least(ia.n_fps, ib.n_fps), 6) AS overlap
+      |FROM shared
+      |JOIN inv ia ON ia.src = source_a
+      |JOIN inv ib ON ib.src = source_b
+      |ORDER BY source_a, source_b""".stripMargin
+
   // -------------------------------------------- stratified sampling
 
   /** Global downsampling rate for the driver row. */
@@ -697,6 +747,7 @@ object PipelineOps {
     "q_corpus_mix"     -> (corpusMix _),
     "q_domain_cap"     -> (domainCapped _),
     "q_stratified_sample" -> (stratifiedSample _),
+    "q_source_overlap" -> (sourceOverlap _),
     "q_pack_sequences" -> (packSequences _),
     "q_contamination"  -> (contamination _),
     "q_contamination_bloom" -> (contaminationBloom _),
@@ -709,6 +760,7 @@ object PipelineOps {
     "q_corpus_mix"     -> corpusMixSql,
     "q_domain_cap"     -> domainCapSql,
     "q_stratified_sample" -> stratifiedSampleSql,
+    "q_source_overlap" -> sourceOverlapSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_contamination"  -> contaminationSql,
     "q_contamination_bloom" -> contaminationSql,
