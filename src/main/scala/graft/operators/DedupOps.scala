@@ -88,14 +88,23 @@ object DedupOps {
   def exactDedup(s: SparkSession, dir: String): DataFrame =
     exactDedupOf(Tables.documents(s, dir), "doc_id", "text", keyWords = 10)
 
-  /** Generic API: exact dedup of any corpus on the md5 of the first
-    * `keyWords` words (`keyWords` ≤ 0 keys on the whole text). */
+  /** THE exact-dup content fingerprint key (md5 of the first
+    * `keyWords` words; `keyWords` ≤ 0 keys on the whole text) — the one
+    * definition every consumer shares: [[exactDedupOf]], the curation
+    * pipeline's dedup stage, the corpus report's dup rate, and the
+    * cross-source overlap audit. [[exactKeySql]] is its SQL twin. */
+  def exactKeyOf(textCol: Column, keyWords: Int = 10): Column =
+    md5(if (keyWords > 0) array_join(slice(split(textCol, " "), 1, keyWords), " ")
+    else textCol)
+
+  /** DuckDB twin of [[exactKeyOf]] over the `text` column, keyWords=10. */
+  val exactKeySql: String =
+    "md5(array_to_string((string_split(text, ' '))[1:10], ' '))"
+
+  /** Generic API: exact dedup of any corpus on [[exactKeyOf]]. */
   def exactDedupOf(docs: DataFrame, idCol: String, textCol: String, keyWords: Int): DataFrame = {
-    val key =
-      if (keyWords > 0) array_join(slice(split(col(textCol), " "), 1, keyWords), " ")
-      else col(textCol)
     docs
-      .withColumn("fp", md5(key))
+      .withColumn("fp", exactKeyOf(col(textCol), keyWords))
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("canonical_doc_id"),
         count(lit(1)).as("n_copies"))
@@ -465,13 +474,9 @@ object DedupOps {
     * each new crawl batch against it in O(batch)
     * ([[substringDedupIncrementalOf]]). */
   def windowFreqOf(docs: DataFrame, idCol: String, textCol: String,
-      w: Int): DataFrame = {
-    val ws = split(trim(col(textCol)), "\\s+")
-    docs.filter(size(ws) >= w)
-      .select(posexplode(graft.functions.GraftFunctions.windowHashes(col(textCol), w))
-        .as(Seq("i", "h")))
+      w: Int): DataFrame =
+    windowRows(docs, idCol, textCol, w)
       .groupBy(col("h")).agg(count(lit(1)).as("c"))
-  }
 
   /** Incremental duplicated-substring removal: cut a new batch against
     * a standing corpus window-frequency table. A batch token is removed
@@ -509,6 +514,20 @@ object DedupOps {
   lazy val substringIncrementalSql: String =
     substringDedupSqlWhere("WHERE t.doc_id % 10 = 0\n")
 
+  /** (doc_id, i, h) rows of every sliding window — the un-checkpointed
+    * frame whose plan carries the native graft_window_hashes pass
+    * (checkpointing hides it from downstream plans, so the audit that
+    * the native expression is actually in use inspects THIS frame —
+    * SubstringDedupSpec). */
+  private[graft] def windowRows(docs: DataFrame, idCol: String,
+      textCol: String, w: Int): DataFrame = {
+    val ws = split(trim(col(textCol)), "\\s+")
+    docs.filter(size(ws) >= w)
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.GraftFunctions.windowHashes(col(textCol), w))
+          .as(Seq("i", "h")))
+  }
+
   private def substringDedupCore(docs: DataFrame, idCol: String,
       textCol: String, w: Int, corpusFreq: Option[DataFrame]): DataFrame = {
     val ws = split(trim(col(textCol)), "\\s+")
@@ -518,11 +537,7 @@ object DedupOps {
     // shuffle DIFFERENT children of this frame (partial-agg rows vs raw
     // rows), so ReusedExchange cannot deduplicate them — without the
     // checkpoint the corpus would pay the parse+hash pass twice
-    val wins = docs.filter(size(ws) >= w)
-      .select(col(idCol).as("doc_id"),
-        posexplode(graft.functions.GraftFunctions.windowHashes(col(textCol), w))
-          .as(Seq("i", "h")))
-      .localCheckpoint()
+    val wins = windowRows(docs, idCol, textCol, w).localCheckpoint()
     val ownFreq = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
     val freq = corpusFreq match {
       case None => ownFreq

@@ -164,7 +164,7 @@ object PipelineOps {
     * fingerprint's per-source multiplicity is collapsed by the
     * distinct before any pairing. */
   def sourceOverlapOf(docs: DataFrame, source: Column, key: Column): DataFrame = {
-    val fp = docs.select(source.as("src"), md5(key).as("fp")).distinct()
+    val fp = docs.select(source.as("src"), key.as("fp")).distinct()
     val inv = fp.groupBy(col("src")).agg(count(lit(1)).as("n_fps"))
     val shared = fp.select(col("src").as("source_a"), col("fp"))
       .join(fp.select(col("src").as("source_b"), col("fp")), Seq("fp"))
@@ -183,12 +183,12 @@ object PipelineOps {
 
   def sourceOverlap(s: SparkSession, dir: String): DataFrame =
     sourceOverlapOf(Tables.documents(s, dir), col("source"),
-      array_join(slice(split(col("text"), " "), 1, 10), " "))
+      graft.operators.DedupOps.exactKeyOf(col("text")))
 
   val sourceOverlapSql: String =
-    """WITH fp AS (
+    s"""WITH fp AS (
       |  SELECT DISTINCT source AS src,
-      |    md5(array_to_string((string_split(text, ' '))[1:10], ' ')) AS fp
+      |    ${graft.operators.DedupOps.exactKeySql} AS fp
       |  FROM documents),
       |inv AS (SELECT src, count(*) AS n_fps FROM fp GROUP BY 1),
       |shared AS (
@@ -223,12 +223,12 @@ object PipelineOps {
   def stratifiedSampleOf(df: DataFrame, stratum: Column, key: Column,
       tie: Column, rate: Double): DataFrame = {
     val w = Window.partitionBy(stratum).orderBy(key, tie)
-    val quotas = df.groupBy(stratum.as("stratum"))
+    val quotas = df.groupBy(stratum.as("__graft_stratum"))
       .agg(round(count(lit(1)) * rate, 0).cast("long").as("quota"))
     df.withColumn("rk", row_number().over(w))
-      .join(broadcast(quotas), stratum === col("stratum"))
+      .join(quotas, stratum === col("__graft_stratum"))
       .filter(col("rk") <= col("quota"))
-      .drop("stratum")
+      .drop("__graft_stratum")
   }
 
   def stratifiedSample(s: SparkSession, dir: String): DataFrame =
@@ -600,7 +600,7 @@ object PipelineOps {
       element_at(transform(array(split(trim(col("text")), "\\s+")), ws =>
         struct(size(ws).as("n_tokens"),
           size(array_distinct(ws)).as("n_uniq"))), 1).as("st"),
-      md5(array_join(slice(split(col("text"), " "), 1, 10), " ")).as("fp"),
+      graft.operators.DedupOps.exactKeyOf(col("text")).as("fp"),
       substring(sampleKey, 1, 1).as("bucket"),
       graft.functions.GraftFunctions.shingles(col("text"), 3).as("hs"))
       .select(col("doc_id"), col("source"),
@@ -660,7 +660,7 @@ object PipelineOps {
        |canon AS (
        |  SELECT doc_id,
        |    doc_id = min(doc_id) OVER (
-       |      PARTITION BY md5(array_to_string((string_split(text, ' '))[1:10], ' ')))
+       |      PARTITION BY ${DedupOps.exactKeySql})
        |      AS is_canonical
        |  FROM documents),
        |cln AS (
@@ -700,7 +700,7 @@ object PipelineOps {
       col("doc_id"), col("source"), col("lang"),
       length(col("text")).cast("long").as("n_chars"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
-      md5(array_join(slice(split(col("text"), " "), 1, 10), " ")).as("fp"))
+      graft.operators.DedupOps.exactKeyOf(col("text")).as("fp"))
     val dupFp = perDoc.groupBy(col("fp"))
       .agg(count(lit(1)).as("n_copies"))
     perDoc.join(dupFp, Seq("fp"))
@@ -720,11 +720,11 @@ object PipelineOps {
   }
 
   val corpusReportSql: String =
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT doc_id, source, lang,
       |    CAST(length(text) AS BIGINT) AS n_chars,
-      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-      |    md5(array_to_string((string_split(text, ' '))[1:10], ' ')) AS fp
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+      |    ${DedupOps.exactKeySql} AS fp
       |  FROM documents),
       |f AS (SELECT fp, count(*) AS n_copies FROM d GROUP BY 1)
       |SELECT source,

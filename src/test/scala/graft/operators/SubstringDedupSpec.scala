@@ -54,6 +54,16 @@ class SubstringDedupSpec extends SparkSpec {
     assert(out(3L) == ((0L, "a b")))
   }
 
+  test("the window frame's plan uses the native graft_window_hashes expression") {
+    // checkpointing hides the expression from the final query plan, so
+    // the audit that the codegen pass (not the interpreted chain) is in
+    // use inspects the pre-checkpoint frame
+    val plan = DedupOps.windowRows(
+      graft.Tables.documents(spark, sfDir), "doc_id", "text", DedupOps.substringW)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("graft_window_hashes"), plan.take(400))
+  }
+
   test("corpus run: exact-duplicate docs are fully covered, removal never exceeds length") {
     val out = DedupOps.substringDedup(spark, sfDir)
     val rows = out.collect()
