@@ -491,7 +491,52 @@ object AnalyticsOps {
       |FROM cells JOIN sizes USING (cohort_week)
       |ORDER BY cohort_week, week_n""".stripMargin
 
+  // -------------------------------------------------- DAU / WAU
+
+  /** Daily/weekly active users with the stickiness ratio (DAU/WAU) —
+    * the other standard engagement rollup. WAU for day d counts users
+    * active in [d-6, d]: each (user, day) distinct explodes into the 7
+    * days it keeps the user "weekly active" for, and after a second
+    * distinct a plain count per day IS the distinct-user count — two
+    * hash aggregations and a bounded ×7 expansion, no windows over
+    * user sets and no countDistinct Expand. Days beyond the observed
+    * range are trimmed so every reported day is fully defined. */
+  def dauWau(s: SparkSession, dir: String): DataFrame = {
+    val byDay = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val bounds = byDay.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val dau = byDay.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = byDay
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .crossJoin(bounds)
+      .filter(col("day") >= col("d0") && col("day") <= col("d1"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+      .orderBy("day")
+  }
+
+  val dauWauSql: String =
+    """WITH byday AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM byday),
+      |dau AS (SELECT day, count(*) AS dau FROM byday GROUP BY 1),
+      |cover AS (
+      |  SELECT DISTINCT user_id, day + CAST(u AS INTEGER) AS day
+      |  FROM byday CROSS JOIN (SELECT unnest(range(7)) AS u) o),
+      |wau AS (SELECT day, count(*) AS wau FROM cover GROUP BY 1)
+      |SELECT dau.day, dau.dau, wau.wau,
+      |  round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+      |FROM dau JOIN wau USING (day) CROSS JOIN bounds
+      |WHERE dau.day BETWEEN d0 AND d1
+      |ORDER BY dau.day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dau_wau"           -> (dauWau _),
     "q_retention_cohorts" -> (retentionCohorts _),
     "q_funnel"            -> (funnel _),
     "q1_pricing_summary"  -> (q1PricingSummary _),
@@ -512,6 +557,7 @@ object AnalyticsOps {
     "q_approx_quantiles"  -> (approxQuantiles _))
 
   def oracles: Map[String, String] = Map(
+    "q_dau_wau"           -> dauWauSql,
     "q_retention_cohorts" -> retentionCohortsSql,
     "q_funnel"            -> funnelSql,
     "q1_pricing_summary"  -> q1Sql,
