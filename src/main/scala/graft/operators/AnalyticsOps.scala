@@ -499,14 +499,18 @@ object AnalyticsOps {
     * days it keeps the user "weekly active" for, and after a second
     * distinct a plain count per day IS the distinct-user count — two
     * hash aggregations and a bounded ×7 expansion, no windows over
-    * user sets and no countDistinct Expand. Days beyond the observed
-    * range are trimmed so every reported day is fully defined. */
+    * user sets and no countDistinct Expand. The first six observed
+    * days have only a partial [d-6, d] lookback (no data exists before
+    * the stream starts), so they are trimmed — every reported day's
+    * WAU covers a full 7-day window. The trim bound comes from the
+    * already-aggregated per-day frame (a handful of rows), never a
+    * third pass over the events table. */
   def dauWau(s: SparkSession, dir: String): DataFrame = {
     val byDay = Tables.events(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .distinct()
-    val bounds = byDay.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     val dau = byDay.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val bounds = dau.agg(min(col("day")).as("d0"))
     val wau = byDay
       .select(col("user_id"),
         explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
@@ -514,7 +518,7 @@ object AnalyticsOps {
       .groupBy(col("day")).agg(count(lit(1)).as("wau"))
     dau.join(wau, Seq("day"))
       .crossJoin(bounds)
-      .filter(col("day") >= col("d0") && col("day") <= col("d1"))
+      .filter(col("day") >= date_add(col("d0"), 6))
       .select(col("day"), col("dau"), col("wau"),
         round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
       .orderBy("day")
@@ -523,8 +527,8 @@ object AnalyticsOps {
   val dauWauSql: String =
     """WITH byday AS (
       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
-      |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM byday),
       |dau AS (SELECT day, count(*) AS dau FROM byday GROUP BY 1),
+      |bounds AS (SELECT min(day) AS d0 FROM dau),
       |cover AS (
       |  SELECT DISTINCT user_id, day + CAST(u AS INTEGER) AS day
       |  FROM byday CROSS JOIN (SELECT unnest(range(7)) AS u) o),
@@ -532,7 +536,7 @@ object AnalyticsOps {
       |SELECT dau.day, dau.dau, wau.wau,
       |  round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
       |FROM dau JOIN wau USING (day) CROSS JOIN bounds
-      |WHERE dau.day BETWEEN d0 AND d1
+      |WHERE dau.day >= d0 + 6
       |ORDER BY dau.day""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
