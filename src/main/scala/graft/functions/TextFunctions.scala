@@ -473,6 +473,71 @@ object TextFunctions {
        |FROM w ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------- count-min token sketch
+
+  /** Count-min depth (independent hash rows) and width (buckets per
+    * row). Error bound: estimate ≤ true + N·e/width with probability
+    * 1 − e^−depth over the hash choice. */
+  val cmsDepth = 4
+  val cmsWidth = 256
+
+  /** Mergeable count-min sketch of corpus token frequencies — the
+    * heavy-hitter sketch that answers "how often does token t appear"
+    * in O(depth) lookups over depth×width counters, regardless of
+    * vocabulary size. The sketch TABLE (row, bucket, c) is the
+    * artifact: shards merge by summing on (row, bucket) (counts are
+    * linear), and it rides any plan as a broadcast. Buckets come from
+    * md5(row # token) — the engine-common hash, so the full sketch is
+    * hash-exact against the oracle, not approximately checked. One
+    * token explode, one depth-× expansion of DISTINCT-free token rows,
+    * one hash aggregation — map-side partials collapse the Zipfian hot
+    * tokens, never a window on the token key. [[cmsEstimateOf]] reads
+    * estimates back (min over rows); the overestimate-only bound is
+    * pinned in spec. */
+  def tokenCms(s: SparkSession, dir: String): DataFrame =
+    tokenCmsOf(graft.Tables.spread(s, graft.Tables.documents(s, dir)), col("text"))
+
+  def tokenCmsOf(docs: org.apache.spark.sql.DataFrame, textCol: Column)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(explode(split(trim(textCol), "\\s+")).as("tok"))
+      .select(col("tok"), explode(array((0 until cmsDepth).map(lit(_)): _*)).as("row"))
+      .select(col("row"), cmsBucket(col("row"), col("tok")).as("bucket"))
+      .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("c"))
+      .orderBy("row", "bucket")
+
+  /** Engine-common bucket: the first 2 md5 hex chars of "row#token" —
+    * 256 buckets with zero hex parsing, the same convention as the
+    * DSIR feature hash (both engines compute md5 identically). */
+  private def cmsBucket(row: Column, tok: Column): Column =
+    substring(md5(concat_ws("#", row, tok)), 1, 2)
+
+  /** Point estimates from a sketch: min over the depth rows of the
+    * token's bucket counter — always ≥ the true count, and close for
+    * heavy hitters (collisions only ever inflate). */
+  def cmsEstimateOf(sketch: org.apache.spark.sql.DataFrame,
+      tokens: org.apache.spark.sql.DataFrame, tokCol: String)
+      : org.apache.spark.sql.DataFrame =
+    tokens
+      .select(col(tokCol).as("tok"),
+        explode(array((0 until cmsDepth).map(lit(_)): _*)).as("row"))
+      .select(col("tok"), col("row"), cmsBucket(col("row"), col("tok")).as("bucket"))
+      .join(sketch, Seq("row", "bucket"), "left")
+      .groupBy(col("tok"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("estimate"))
+
+  val tokenCmsSql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |ex AS (
+       |  SELECT tok, CAST(u AS INTEGER) AS row
+       |  FROM toks CROSS JOIN (SELECT unnest(range($cmsDepth)) AS u) o)
+       |SELECT row,
+       |  substring(md5(CAST(row AS VARCHAR) || '#' || tok), 1, 2) AS bucket,
+       |  count(*) AS c
+       |FROM ex GROUP BY 1, 2 ORDER BY row, bucket""".stripMargin
+
   // -------------------------------------------- corpus top n-grams
 
   /** Top-k rows kept in the corpus n-gram leaderboard. */
@@ -502,6 +567,7 @@ object TextFunctions {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_top_ngrams"      -> (topNgrams _),
+    "q_token_cms"       -> (tokenCms _),
     "q_gopher_filter"   -> (gopherFilter _),
     "q_token_rarity"    -> (tokenRarity _),
     "q_tfidf_top_terms" -> (tfidfTopTerms _),
@@ -514,6 +580,7 @@ object TextFunctions {
 
   def oracles: Map[String, String] = Map(
     "q_top_ngrams"      -> topNgramsSql,
+    "q_token_cms"       -> tokenCmsSql,
     "q_gopher_filter"   -> gopherFilterSql,
     "q_token_rarity"    -> tokenRaritySql,
     "q_tfidf_top_terms" -> tfidfTopTermsSql,
