@@ -68,7 +68,9 @@ object Stress {
       "q_dedup_incremental", "q_corpus_report", "q_curate_pipeline",
       "q_substring_dedup", "q_ppl_buckets", "q_contamination_bloom",
       "q_substring_incremental", "q_fuzzy_dedup", "q_media_dedup",
-      "q_knn_graph_ivf", "q_embed_centroids")
+      "q_knn_graph_ivf", "q_embed_centroids",
+      "q_top_ngrams", "q_source_overlap", "q_token_cms",
+      "q_stratified_sample", "q_dau_wau", "q_retention_cohorts")
     val heavies: Seq[String] =
       if (args.length > 2) args.drop(2).toSeq else defaults
 
