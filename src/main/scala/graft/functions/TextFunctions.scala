@@ -475,11 +475,14 @@ object TextFunctions {
 
   // --------------------------------------- count-min token sketch
 
-  /** Count-min depth (independent hash rows) and width (buckets per
-    * row). Error bound: estimate ≤ true + N·e/width with probability
-    * 1 − e^−depth over the hash choice. */
+  /** Count-min depth (independent hash rows) and bucket-key length in
+    * md5 hex chars — width = 16^cmsHexChars derives from it, so
+    * widening the sketch means changing ONE constant and the bucketing,
+    * oracle, and spec bound all follow. Error bound: estimate ≤ true +
+    * N·e/width with probability 1 − e^−depth over the hash choice. */
   val cmsDepth = 4
-  val cmsWidth = 256
+  val cmsHexChars = 2
+  val cmsWidth: Int = 1 << (4 * cmsHexChars)
 
   /** Mergeable count-min sketch of corpus token frequencies — the
     * heavy-hitter sketch that answers "how often does token t appear"
@@ -497,8 +500,7 @@ object TextFunctions {
   def tokenCms(s: SparkSession, dir: String): DataFrame =
     tokenCmsOf(graft.Tables.spread(s, graft.Tables.documents(s, dir)), col("text"))
 
-  def tokenCmsOf(docs: org.apache.spark.sql.DataFrame, textCol: Column)
-      : org.apache.spark.sql.DataFrame =
+  def tokenCmsOf(docs: DataFrame, textCol: Column): DataFrame =
     docs
       .select(explode(split(trim(textCol), "\\s+")).as("tok"))
       .select(col("tok"), explode(array((0 until cmsDepth).map(lit(_)): _*)).as("row"))
@@ -506,18 +508,18 @@ object TextFunctions {
       .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("c"))
       .orderBy("row", "bucket")
 
-  /** Engine-common bucket: the first 2 md5 hex chars of "row#token" —
-    * 256 buckets with zero hex parsing, the same convention as the
-    * DSIR feature hash (both engines compute md5 identically). */
+  /** Engine-common bucket: the first cmsHexChars md5 hex chars of
+    * "row#token" — width buckets with zero hex parsing, the same
+    * convention as the DSIR feature hash (both engines compute md5
+    * identically). */
   private def cmsBucket(row: Column, tok: Column): Column =
-    substring(md5(concat_ws("#", row, tok)), 1, 2)
+    substring(md5(concat_ws("#", row, tok)), 1, cmsHexChars)
 
   /** Point estimates from a sketch: min over the depth rows of the
     * token's bucket counter — always ≥ the true count, and close for
     * heavy hitters (collisions only ever inflate). */
-  def cmsEstimateOf(sketch: org.apache.spark.sql.DataFrame,
-      tokens: org.apache.spark.sql.DataFrame, tokCol: String)
-      : org.apache.spark.sql.DataFrame =
+  def cmsEstimateOf(sketch: DataFrame, tokens: DataFrame,
+      tokCol: String): DataFrame =
     tokens
       .select(col(tokCol).as("tok"),
         explode(array((0 until cmsDepth).map(lit(_)): _*)).as("row"))
@@ -534,7 +536,7 @@ object TextFunctions {
        |  SELECT tok, CAST(u AS INTEGER) AS row
        |  FROM toks CROSS JOIN (SELECT unnest(range($cmsDepth)) AS u) o)
        |SELECT row,
-       |  substring(md5(CAST(row AS VARCHAR) || '#' || tok), 1, 2) AS bucket,
+       |  substring(md5(CAST(row AS VARCHAR) || '#' || tok), 1, $cmsHexChars) AS bucket,
        |  count(*) AS c
        |FROM ex GROUP BY 1, 2 ORDER BY row, bucket""".stripMargin
 

@@ -23,7 +23,8 @@ class TokenCmsSpec extends SparkSpec {
     trueCounts.foreach { case (t, c) =>
       assert(est(t) >= c, s"undercount for '$t'")
       // CMS bound: overestimate <= N * e / width w.h.p.; generous x3
-      assert(est(t) - c <= 3 * math.E * n / 256, s"loose estimate for '$t'")
+      assert(est(t) - c <= 3 * math.E * n / TextFunctions.cmsWidth,
+        s"loose estimate for '$t'")
     }
     // heavy hitters keep their order: top true token is top estimated
     val topTrue = trueCounts.maxBy(_._2)._1
