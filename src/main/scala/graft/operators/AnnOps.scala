@@ -114,46 +114,58 @@ object AnnOps {
     * curation pipeline uses for topic balance checks, per-class drift,
     * and seeding k-means. One explode to (label, idx, x), one hash agg
     * per (label, idx) with a sorted fold (deterministic FP — see
-    * SURVEY §6), one per-label rollup reassembling the array in index
-    * order. At scale this is two shuffles of narrow rows and never a
-    * whole-vector groupBy; the fold order is pinned by (x, vec_id) on
-    * both engines so the unrounded double sums hash-match. */
+    * SURVEY §6). The fold order is pinned by (x, vec_id) on both
+    * engines so the unrounded double means hash-match. Output is one
+    * scalar row per (label, dimension) — `(label, n_vectors, idx, m)`
+    * — exactly like [[quantizeEmbeddings]]: the full centroid is still
+    * verified element-by-element, but every compared cell is a scalar
+    * the comparison harness can canonicalize (an array cell is
+    * unhashable in a pandas sort). At scale this is one shuffle of
+    * narrow rows and never a whole-vector groupBy. */
   def embedCentroids(s: SparkSession, dir: String): DataFrame = {
     val ex = Tables.spread(s, Tables.embeddings(s, dir))
       .select(col("label"), col("vec_id"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("idx", "x")))
     ex.groupBy(col("label"), col("idx"))
-      .agg(count(lit(1)).as("n"),
+      .agg(count(lit(1)).as("n_vectors"),
         aggregate(array_sort(collect_list(struct(col("x"), col("vec_id")))),
           lit(0.0), (acc, t) => acc + t.getField("x")).as("sx"))
-      .groupBy(col("label"))
-      .agg(max(col("n")).as("n_vectors"),
-        sort_array(collect_list(struct(col("idx"), (col("sx") / col("n")).as("m"))))
-          .as("c0"))
-      .select(col("label"), col("n_vectors"),
-        transform(col("c0"), t => t.getField("m")).as("centroid"))
-      .orderBy("label")
+      .select(col("label"), col("n_vectors"), col("idx"),
+        (col("sx") / col("n_vectors")).as("m"))
+      .orderBy("label", "idx")
   }
 
   val embedCentroidsSql: String =
     """WITH ex AS (
-      |  SELECT label, vec_id, i AS idx, v[CAST(i+1 AS BIGINT)] AS x
+      |  SELECT label, vec_id, CAST(i AS INTEGER) AS idx,
+      |    v[CAST(i+1 AS BIGINT)] AS x
       |  FROM (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v,
-      |        unnest(range(len(embedding))) AS i FROM embeddings)),
-      |s AS (
-      |  SELECT label, idx, count(*) AS n,
-      |    list_reduce(list_prepend(0.0, list_transform(
-      |      list(struct_pack(x := x, vid := vec_id) ORDER BY x, vec_id), t -> t.x)),
-      |      (a, b) -> a + b) AS sx
-      |  FROM ex GROUP BY 1, 2)
-      |SELECT label, max(n) AS n_vectors,
-      |  list(sx / n ORDER BY idx) AS centroid
-      |FROM s GROUP BY label ORDER BY label""".stripMargin
+      |        unnest(range(len(embedding))) AS i FROM embeddings))
+      |SELECT label, count(*) AS n_vectors, idx,
+      |  list_reduce(list_prepend(0.0, list_transform(
+      |    list(struct_pack(x := x, vid := vec_id) ORDER BY x, vec_id), t -> t.x)),
+      |    (a, b) -> a + b) / count(*) AS m
+      |FROM ex GROUP BY label, idx ORDER BY label, idx""".stripMargin
 
   // ------------------------------------------------ IVF
 
   val kClusters = 10
   val lloydIterations = 3
+
+  /** Mean IVF cell population the cluster count is sized against:
+    * K = max(kClusters, ⌊√(N / targetCellSize)⌋) — the K ≈ √N rule
+    * (the balance point of the per-query probe cost K + nprobe·N/K),
+    * with a constant chosen so K stays at the `kClusters` floor for
+    * the small test corpora (N ≤ 2000 → K = 10) and grows with the
+    * corpus beyond that (N = 20 000 → K = 31; N = 10⁹ → K ≈ 7000,
+    * still a few-MB broadcast). Without this, a fixed K pays an
+    * unbounded |N|·nprobe/K candidate volume as the corpus grows —
+    * the round-5 stress run's one scale-weak row. */
+  val targetCellSize = 20
+
+  /** Cluster count for a corpus of `n` vectors (see [[targetCellSize]]). */
+  def adaptiveK(n: Long): Int =
+    math.max(kClusters, math.sqrt(n.toDouble / targetCellSize).toInt)
 
   /** Centroids as one collected array row, for riding broadcast into a
     * plan: scoring against k centroids becomes per-row array math —
@@ -180,11 +192,16 @@ object AnnOps {
     centroidsOf(embeddingsWithNorm(s, dir))
 
   /** Generic API: train k-means centroids over any (vec_id, v, norm)
-    * frame with the same deterministic Lloyd recipe. */
+    * frame with the same deterministic Lloyd recipe. K is
+    * corpus-adaptive ([[adaptiveK]]) — the one count() action this
+    * costs runs once per training (and training itself is cached per
+    * (session, corpus) via [[ivfFor]]), which is the train-once
+    * lifecycle's price for cells that stay bounded as the corpus
+    * grows. */
   def centroidsOf(e: DataFrame): DataFrame = {
     var cents = e
       .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
-      .limit(kClusters)
+      .limit(adaptiveK(e.count()))
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"),
         col("norm").as("cn"))
       .localCheckpoint()

@@ -94,7 +94,7 @@ object QualityModelOps {
     val scored = bg
       .join(cb, Seq("bg"), "left")
       .join(cw, col("w1") === substring_index(col("bg"), " ", 1), "left")
-      .crossJoin(v)
+      .crossJoin(broadcast(v))
       .select(col("doc_id"), col("m"),
         coalesce(col("cb"), lit(0L)).as("cb0"),
         coalesce(col("cw"), lit(0L)).as("cw0"),

@@ -17,6 +17,24 @@ class AnnOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall")
   }
 
+  test("cluster count follows the K ≈ √N rule with a kClusters floor") {
+    // test corpora stay at the floor — specs/bench outputs unchanged
+    assert(AnnOps.adaptiveK(500) == AnnOps.kClusters)
+    assert(AnnOps.adaptiveK(2000) == AnnOps.kClusters)
+    // beyond the floor K grows as √(N/targetCellSize)
+    assert(AnnOps.adaptiveK(20000) == 31)
+    assert(AnnOps.adaptiveK(2000000) == 316)
+    // monotone: a bigger corpus never trains fewer clusters
+    val ks = Seq(1L, 500L, 2000L, 20000L, 200000L).map(AnnOps.adaptiveK)
+    assert(ks == ks.sorted)
+  }
+
+  test("trained cluster count matches adaptiveK of the corpus size") {
+    val e = AnnOps.embeddingsWithNorm(spark, sfDir)
+    val k = AnnOps.centroidsOf(e).count()
+    assert(k == AnnOps.adaptiveK(e.count()))
+  }
+
   test("brute-force ranks are dense 1..k per query") {
     val rows = AnnOps.annTopk(spark, sfDir).collect()
     rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>

@@ -4,7 +4,7 @@ import graft.SparkSpec
 
 class EmbedCentroidsSpec extends SparkSpec {
 
-  test("centroids are the per-label element-wise means") {
+  test("centroid rows are the per-label element-wise means") {
     val vecs = graft.Tables.embeddings(spark, sfDir).collect()
       .map(r => (r.getInt(2), r.getSeq[Float](1).map(_.toDouble)))
     val expect = vecs.groupBy(_._1).map { case (l, vs) =>
@@ -13,19 +13,33 @@ class EmbedCentroidsSpec extends SparkSpec {
         (0 until dim).map(i => vs.map(_._2(i)).sum / vs.length))
     }
     val out = AnnOps.embedCentroids(spark, sfDir).collect()
-    assert(out.length == expect.size)
-    out.foreach { r =>
-      val (n, c) = expect(r.getInt(0))
-      assert(r.getLong(1) == n)
-      val got = r.getSeq[Double](2)
-      assert(got.length == c.length)
-      got.zip(c).foreach { case (a, b) => assert(math.abs(a - b) <= 1e-9) }
+    val byLabel = out.groupBy(_.getInt(0))
+    assert(byLabel.keySet == expect.keySet)
+    byLabel.foreach { case (l, rows) =>
+      val (n, c) = expect(l)
+      assert(rows.length == c.length) // one row per dimension
+      rows.foreach { r =>
+        assert(r.getLong(1) == n)
+        assert(math.abs(r.getDouble(3) - c(r.getInt(2))) <= 1e-9)
+      }
+    }
+  }
+
+  test("output is one scalar row per (label, dimension), idx-ordered") {
+    val out = AnnOps.embedCentroids(spark, sfDir).collect()
+    // scalar shape: no array/struct columns (driver-gate contract)
+    assert(out.head.schema.fields.forall(f =>
+      !f.dataType.typeName.matches("array|struct|map")))
+    // per label, idx runs 0..dim-1 without gaps
+    out.groupBy(_.getInt(0)).values.foreach { rows =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (0 until rows.length))
     }
   }
 
   test("label populations cover the whole corpus exactly once") {
     val total = graft.Tables.embeddings(spark, sfDir).count()
-    val sum = AnnOps.embedCentroids(spark, sfDir).collect().map(_.getLong(1)).sum
-    assert(sum == total)
+    val perLabel = AnnOps.embedCentroids(spark, sfDir).collect()
+      .groupBy(_.getInt(0)).values.map(_.head.getLong(1))
+    assert(perLabel.sum == total)
   }
 }
