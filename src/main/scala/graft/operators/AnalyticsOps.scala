@@ -504,7 +504,14 @@ object AnalyticsOps {
     * the stream starts), so they are trimmed — every reported day's
     * WAU covers a full 7-day window. The trim bound comes from the
     * already-aggregated per-day frame (a handful of rows), never a
-    * third pass over the events table. */
+    * third pass over the events table.
+    *
+    * Semantics choice: a day with ZERO directly-active users is
+    * omitted from the report even when its trailing-7-day WAU is
+    * nonzero (the dau-wau join is inner; stickiness would be 0/wau).
+    * A calendar-dense report — gap days present with dau = 0 — is the
+    * same plan with the join flipped to wau-side left and dau
+    * coalesced to 0; the oracle pins the omitting convention. */
   def dauWau(s: SparkSession, dir: String): DataFrame = {
     val byDay = Tables.events(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("day"))

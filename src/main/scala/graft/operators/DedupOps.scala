@@ -804,17 +804,25 @@ object DedupOps {
     * frame. Output (doc_id, hs, sig). */
   def minhashSignaturesOf(shingleSets: DataFrame): DataFrame =
     minhashSignaturesHashedOf(
-      // sorted to honor the sorted-distinct `hs` contract of the
-      // two-pointer verify kernel (graft_intersect_count) — the native
-      // ShingleHashes path sort-dedupes by construction, this generic
-      // string-shingle path must match it
       shingleSets.select(col("doc_id"),
-        array_sort(transform(col("sh"), x => xxhash64(x))).as("hs")))
+        transform(col("sh"), x => xxhash64(x)).as("hs")))
 
-  /** Hash-domain core: signatures over a (doc_id, hs) frame. */
+  /** Hash-domain core: signatures over a (doc_id, hs) frame. The
+    * emitted `hs` is normalized to sorted-distinct HERE — the one
+    * chokepoint every signature path goes through — so the
+    * sorted-distinct contract of the two-pointer verify kernel
+    * ([[graft.functions.IntersectCount]]: a merge walk that silently
+    * undercounts on unsorted or duplicated input) cannot be violated
+    * by a caller handing in raw hash arrays. For the native
+    * [[graft.functions.ShingleHashes]] path the input is already
+    * sorted-distinct and the normalization is a cheap no-op pass over
+    * longs; the signature itself is order- and duplicate-insensitive
+    * either way. */
   def minhashSignaturesHashedOf(hashSets: DataFrame): DataFrame =
-    hashSets.select(col("doc_id"), col("hs"),
-      graft.functions.GraftFunctions.minhash(col("hs"), minhashK).as("sig"))
+    hashSets
+      .select(col("doc_id"), array_sort(array_distinct(col("hs"))).as("hs"))
+      .select(col("doc_id"), col("hs"),
+        graft.functions.GraftFunctions.minhash(col("hs"), minhashK).as("sig"))
 
   /** LSH candidate pairs verified with exact Jaccard ≥ 0.5. Probabilistic
     * recall (spec pins it against the exact operator), exact precision. */
@@ -822,12 +830,13 @@ object DedupOps {
     minhashLshOf(minhashSignatures(s, dir), jaccardThreshold)
 
   /** Generic API: banded-LSH near-dup pairs over any (doc_id, hs, sig)
-    * signature frame (e.g. from [[minhashSignatures]]). CONTRACT: `hs`
-    * must be sorted-distinct (what [[shingleHashesOf]] and
-    * [[minhashSignaturesOf]] both emit) — verification counts common
-    * hashes with the two-pointer [[graft.functions.IntersectCount]]
-    * kernel, long compares not string compares on every candidate
-    * pair, and the merge walk undercounts on unsorted input. Duplicate-collapse prepass like
+    * signature frame. `hs` must be sorted-distinct — guaranteed by
+    * construction for every frame from [[minhashSignaturesHashedOf]]
+    * (the normalization chokepoint), which is where all signature
+    * frames come from — so verification counts common hashes with the
+    * two-pointer [[graft.functions.IntersectCount]] kernel, long
+    * compares not string compares on every candidate
+    * pair. Duplicate-collapse prepass like
     * [[ngramJaccardHashedOf]]: identical shingle sets have identical
     * signatures, so copies would multiply every band bucket; banding and
     * verification run per distinct set and the pairs expand afterward
@@ -923,6 +932,22 @@ object DedupOps {
       .select("new_id", "corpus_id", "jaccard")
       .orderBy("new_id", "corpus_id")
   }
+
+  /** Oracle: brute-force exact-Jaccard batch×corpus pairs. The probe's
+    * LSH banding only SELECTS candidates; verification is exact
+    * shingle-set Jaccard, so whenever banding recalls every true pair
+    * (it does on the test corpora — checked at every sf) the
+    * incremental output IS the brute-force answer, a hash-checkable
+    * identity like [[substringIncrementalSql]]. The jaccard double is
+    * one integer division on both engines — bit-identical. */
+  lazy val dedupIncrementalSql: String =
+    shinglesSql + s""", p AS (
+       |  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+       |  FROM sh_t a JOIN sh_t b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+       |SELECT new_id, corpus_id, jaccard FROM p
+       |WHERE jaccard >= $jaccardThreshold ORDER BY new_id, corpus_id""".stripMargin
 
   /** Driver entry: docs with doc_id % 10 == 0 arrive as the new batch;
     * the rest are the already-indexed corpus. The corpus index is the
@@ -1221,9 +1246,15 @@ object DedupOps {
     "q_dedup_embedding_lsh" -> (embeddingLsh _),
     "q_embed_pairs_exact"   -> (embeddingPairsExact _))
 
-  /** minhash/simhash/embedding are pinned by specs, not SQL (hash and
-    * LSH band functions are engine-specific) — driver records rows-only
-    * checks for those. */
+  /** minhash/simhash/embedding PAIR queries are pinned by specs, not
+    * SQL (hash and LSH band functions are engine-specific) — driver
+    * records rows-only checks for those. The two LSH-candidate +
+    * exact-verify compositions (q_fuzzy_dedup, q_dedup_incremental)
+    * ARE hash-checked: their verify stage is exact, so against corpora
+    * where banding recalls every true pair the output equals the
+    * brute-force twin (q_fuzzy_dedup's keep verdict is then literally
+    * [[dedupKeepSql]]; FuzzyDedupSpec pins the equality Spark-side at
+    * sf0.001 too). */
   def oracles: Map[String, String] = Map(
     "q_dedup_exact"         -> exactDedupSql,
     "q_dedup_ngram_jaccard" -> ngramJaccardSql,
@@ -1233,5 +1264,7 @@ object DedupOps {
     "q_substring_incremental" -> substringIncrementalSql,
     "q_dedup_clusters"      -> dedupClustersSql,
     "q_dedup_keep"          -> dedupKeepSql,
+    "q_fuzzy_dedup"         -> dedupKeepSql,
+    "q_dedup_incremental"   -> dedupIncrementalSql,
     "q_embed_pairs_exact"   -> embeddingPairsExactSql)
 }

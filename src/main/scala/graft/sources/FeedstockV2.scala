@@ -184,6 +184,24 @@ class FeedstockScanBuilder(path: String, full: StructType)
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
 }
 
+/** THE single JSON-leaf → Catalyst coercion, shared by the row
+  * converter ([[FeedstockPartitionReader.convert]]) and the pushed-
+  * filter compiler ([[FeedstockFilters.compile]]). An accepted filter
+  * is removed from Spark's residual, so the value a filter compares
+  * MUST be the value the converted row would carry — one shared
+  * coercion makes divergence impossible rather than merely untested. */
+private[sources] object FeedstockLeaf {
+  def coerce(n: JsonNode, dt: DataType): Any = dt match {
+    case StringType  => UTF8String.fromString(n.asText())
+    case IntegerType => n.asInt()
+    case LongType    => n.asLong()
+    case DoubleType  => n.asDouble()
+    case BooleanType => n.asBoolean()
+    case other => throw new IllegalArgumentException(
+      s"graft-feedstock: unsupported leaf type ${other.catalogString}")
+  }
+}
+
 /** Pushed-filter support + evaluation over the raw JSON node. */
 object FeedstockFilters {
   import org.apache.spark.sql.sources._
@@ -239,24 +257,31 @@ object FeedstockFilters {
     }
     def cmpFn(name: String, v: Any): JsonNode => Option[Int] = {
       val get = getter(name)
-      leafType(name, schema).get match {
-        case IntegerType =>
-          val lit = v.asInstanceOf[Number].intValue()
-          node => Option(get(node)).map(n => java.lang.Integer.compare(n.asInt(), lit))
-        case LongType =>
-          val lit = v.asInstanceOf[Number].longValue()
-          node => Option(get(node)).map(n => java.lang.Long.compare(n.asLong(), lit))
-        case DoubleType =>
-          val lit = v.asInstanceOf[Number].doubleValue()
-          node => Option(get(node)).map(n =>
-            org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(n.asDouble(), lit))
-        case BooleanType =>
-          val lit = v.asInstanceOf[Boolean]
-          node => Option(get(node)).map(n => java.lang.Boolean.compare(n.asBoolean(), lit))
-        case _ =>
-          val lit = UTF8String.fromString(v.toString)
-          node => Option(get(node)).map(n => UTF8String.fromString(n.asText()).compareTo(lit))
+      val dt = leafType(name, schema).get
+      // literal coerced once (Number widening absorbs e.g. a BIGINT
+      // literal pushed against an INT column); node values coerce
+      // through the SAME [[FeedstockLeaf]] the row converter uses
+      val lit: Any = dt match {
+        case IntegerType => v.asInstanceOf[Number].intValue()
+        case LongType    => v.asInstanceOf[Number].longValue()
+        case DoubleType  => v.asInstanceOf[Number].doubleValue()
+        case BooleanType => v.asInstanceOf[Boolean]
+        case _           => UTF8String.fromString(v.toString)
       }
+      val cmp: (Any, Any) => Int = dt match {
+        case IntegerType => (a, b) =>
+          java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+        case LongType => (a, b) =>
+          java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+        case DoubleType => (a, b) =>
+          org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+            .compareDoubles(a.asInstanceOf[Double], b.asInstanceOf[Double])
+        case BooleanType => (a, b) =>
+          java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+        case _ => (a, b) =>
+          a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+      }
+      node => Option(get(node)).map(n => cmp(FeedstockLeaf.coerce(n, dt), lit))
     }
     f match {
       case IsNotNull(a) =>
@@ -273,7 +298,9 @@ object FeedstockFilters {
         val c = cmpFn(a, v); node => c(node).exists(_ <= 0)
       case StringStartsWith(a, p) =>
         val get = getter(a)
-        node => Option(get(node)).exists(_.asText().startsWith(p))
+        val prefix = UTF8String.fromString(p)
+        node => Option(get(node)).exists(n =>
+          FeedstockLeaf.coerce(n, StringType).asInstanceOf[UTF8String].startsWith(prefix))
       case _ => _ => false
     }
   }
@@ -365,18 +392,11 @@ object FeedstockPartitionReader {
     if (n == null || n.isNull) null
     else dt match {
       case s: StructType => convert(n, s)
-      case StringType => UTF8String.fromString(n.asText())
-      case IntegerType => n.asInt()
-      case LongType => n.asLong()
-      case DoubleType => n.asDouble()
-      case BooleanType => n.asBoolean()
       case ArrayType(et, _) =>
         val vs = new Array[Any](n.size())
         var i = 0
         while (i < n.size()) { vs(i) = toCatalyst(n.get(i), et); i += 1 }
         new GenericArrayData(vs): ArrayData
-      case other =>
-        throw new IllegalArgumentException(
-          s"graft-feedstock: unsupported leaf type ${other.catalogString}")
+      case leaf => FeedstockLeaf.coerce(n, leaf)
     }
 }

@@ -431,29 +431,37 @@ object EventStream {
           col("h"), coalesce(col("c_idx"), lit(0L)).as("ci")))).as("ws_hits"))
       .drop("window")
     val ws = split(trim(col("text")), "\\s+")
-    // own-duplicate hashes in O(m log m): sort the hash list once
-    // (let-bound as a lambda variable so the sort runs once per row,
-    // not once per element) and keep values equal to their neighbor —
-    // never the O(m²) re-filter of the whole list per element
-    val dupHsCol = element_at(
-      transform(array(array_sort(transform(col("ws_hits"), x => x.getField("h")))),
-        sorted => array_distinct(filter(sorted, (v, k) =>
-          k > 0 && v === element_at(sorted, k)))), 1)
+    // dup-start positions in O(m log m): ONE sort of (h, i) pairs
+    // (let-bound as a lambda variable so it runs once per row), then a
+    // neighbor-equality scan — a hash occurs twice in the document iff
+    // it equals the element before or after it in h-order (`get` is
+    // 0-based and null-safe, so the boundary probes fall out as false).
+    // Index hits (ci >= 1) come straight off the unsorted list. Never
+    // an O(windows × dup_hs) array_contains probe per window.
+    val dupStartsCol = element_at(
+      transform(array(array_sort(transform(col("ws_hits"),
+          x => struct(x.getField("h").as("h"), x.getField("i").as("i"))))),
+        byH => array_union(
+          transform(filter(col("ws_hits"), x => x.getField("ci") >= 1),
+            x => x.getField("i")),
+          transform(filter(byH, (v, k) =>
+            (v.getField("h") === get(byH, k - 1).getField("h")) ||
+              (v.getField("h") === get(byH, k + 1).getField("h"))),
+            v => v.getField("i")))), 1)
     agg
-      .withColumn("dup_hs", dupHsCol)
-      .withColumn("dup_starts",
-        transform(filter(col("ws_hits"), x =>
-          x.getField("ci") >= 1 ||
-            array_contains(col("dup_hs"), x.getField("h"))),
-          x => x.getField("i")))
+      .withColumn("dup_starts", dupStartsCol)
       .withColumn("covered", array_distinct(flatten(
         transform(col("dup_starts"), i => sequence(i, i + lit(w - 1))))))
       .select(col("doc_id"),
         size(ws).cast("long").as("n_tokens"),
         size(col("covered")).cast("long").as("n_removed"),
         when(size(col("covered")) === size(ws), lit(null))
-          .otherwise(array_join(filter(ws, (_, p) =>
-            !array_contains(col("covered"), p)), " ")).as("clean_text"))
+          // surviving positions via array_except (hash-set linear merge,
+          // order-preserving) — not an O(tokens × covered) per-token
+          // membership probe
+          .otherwise(array_join(transform(
+            array_except(sequence(lit(0), size(ws) - 1), col("covered")),
+            p => get(ws, p)), " ")).as("clean_text"))
   }
 
   final case class HourScore(event_type: String, bucket: Timestamp, n: Long,

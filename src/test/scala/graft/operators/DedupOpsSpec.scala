@@ -25,6 +25,30 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("raw hash arrays are normalized at the signature chokepoint") {
+    import spark.implicits._
+    // unsorted + duplicated input must yield the same signatures, hs,
+    // and verified pairs as the clean sorted-distinct form — the
+    // two-pointer verify kernel's contract is enforced by construction
+    val dirty = Seq(
+      (1L, Seq(9L, 3L, 9L, 1L, 7L)),
+      (2L, Seq(7L, 1L, 3L, 3L, 9L)),
+      (3L, Seq(100L, 200L))).toDF("doc_id", "hs")
+    val clean = dirty.select(col("doc_id"),
+      array_sort(array_distinct(col("hs"))).as("hs"))
+    val a = DedupOps.minhashLshOf(DedupOps.minhashSignaturesHashedOf(dirty), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val b = DedupOps.minhashLshOf(DedupOps.minhashSignaturesHashedOf(clean), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(a == b && a.nonEmpty)
+    // docs 1 and 2 share the identical 4-element set {1,3,7,9} → jaccard 1.0
+    assert(a.contains((1L, 2L, 1.0)))
+    DedupOps.minhashSignaturesHashedOf(dirty).collect().foreach { r =>
+      val hs = r.getSeq[Long](1)
+      assert(hs == hs.distinct.sorted, s"hs not sorted-distinct: $hs")
+    }
+  }
+
   test("stop-shingle DF cap: capped pairs are a subset, recall stays high") {
     val shingleSets = DedupOps.shingles(spark, sfDir)
     val uncapped = DedupOps.ngramJaccard(spark, sfDir).collect()

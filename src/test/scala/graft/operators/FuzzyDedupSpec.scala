@@ -32,6 +32,14 @@ class FuzzyDedupSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy keep verdict equals the exact-pair keep verdict (oracle identity)") {
+    // the driver hash-checks q_fuzzy_dedup against dedupKeepSql — valid
+    // because LSH verify is exact and banding recalls every true pair
+    // on these corpora; this pins the same identity Spark-side
+    val exact = DedupOps.dedupKeep(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(rows.map(_.toSeq).toSeq == exact)
+  }
+
   test("the keeper is the longest member, ties to the smallest id") {
     val len = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), length(col("text")).cast("long"))

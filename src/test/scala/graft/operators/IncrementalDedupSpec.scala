@@ -25,6 +25,22 @@ class IncrementalDedupSpec extends SparkSpec {
       s"incremental ${incr.size} pairs vs rebuild cross ${full.size}")
   }
 
+  test("probe equals the brute-force exact-Jaccard cross pairs (oracle identity)") {
+    // the driver hash-checks q_dedup_incremental against a brute-force
+    // DuckDB twin — valid because verification is exact Jaccard and LSH
+    // banding recalls every true pair on these corpora; this pins the
+    // same identity against the exact posting-list miner Spark-side
+    val exact = DedupOps.ngramJaccardHashedOf(
+        DedupOps.shingleHashes(spark, sfDir), DedupOps.jaccardThreshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .filter { case ((a, b), _) => (a % 10 == 0) ^ (b % 10 == 0) }
+      .map { case ((a, b), j) =>
+        (if (a % 10 == 0) (a, b) else (b, a)) -> j }.toMap
+    val incr = DedupOps.incrementalDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(incr == exact, s"incremental ${incr.size} vs exact ${exact.size}")
+  }
+
   test("duplicating every doc leaves the original-pair set and values unchanged") {
     // pins the duplicate-collapse claim directly: near-dup pairs among
     // the ORIGINAL ids must be identical (ids and jaccard doubles) when
