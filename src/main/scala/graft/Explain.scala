@@ -137,7 +137,31 @@ object Explain {
       "q_embed_centroids"    -> Seq("Generate", "ObjectHashAggregate"),
       // leaderboard: df via hash agg (map-side collapses the viral
       // phrases), top-k as a per-partition heap, no global sort
-      "q_top_ngrams"         -> Seq("HashAggregate", "TakeOrderedAndProject"))
+      "q_top_ngrams"         -> Seq("HashAggregate", "TakeOrderedAndProject"),
+      // CMS: one explode + one hash agg on (row, bucket); the width
+      // explode is a Generate, never a 256-wide sum-CASE
+      "q_token_cms"          -> Seq("HashAggregate", "Generate"),
+      // DAU/WAU: distinct-then-count chains (plain hash aggs), the ×7
+      // coverage explode, 1-row bounds frame broadcast
+      "q_dau_wau"            -> Seq("HashAggregate", "Generate", "BroadcastHashJoin"),
+      // cohorts: one (user, week) distinct feeds everything; sizes
+      // rejoin via broadcast
+      "q_retention_cohorts"  -> Seq("HashAggregate", "BroadcastHashJoin"),
+      // overlap audit: posting-list equi-join on the fingerprint —
+      // only sources actually sharing content meet; the text never
+      // leaves the scan beyond fingerprinting
+      "q_source_overlap"     -> Seq("HashAggregate",
+        "ReadSchema: struct<text:string,source:string>"))
+
+    // anti-patterns per query: substrings that must NOT appear. Expand
+    // is countDistinct's row-multiplying fallback — these queries are
+    // shaped as distinct-then-plain-count precisely to avoid it; a
+    // Window would mean a whole-partition sort the agg shape avoids.
+    val forbids = Map(
+      "q_token_cms"         -> Seq("Expand", "Window"),
+      "q_dau_wau"           -> Seq("Expand", "Window"),
+      "q_retention_cohorts" -> Seq("Expand", "Window"),
+      "q_source_overlap"    -> Seq("Expand", "Window"))
 
     // the curate pipeline's whole cost at scale is corpus scans: quality,
     // content key, and split must share ONE projection, so `documents`
@@ -148,14 +172,17 @@ object Explain {
     audit.foreach { case (name, expects) =>
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       val missing = expects.filterNot(plan.contains)
+      val present = forbids.getOrElse(name, Nil).filter(plan.contains)
       val cartesian = plan.contains("CartesianProduct")
       val overScan = scanCaps.get(name).flatMap { case (table, cap) =>
         val n = plan.linesIterator.count(l => l.contains("Scan parquet") && l.contains(table))
         if (n > cap) Some(s"$n scans of $table (cap $cap)") else None
       }
-      if (missing.nonEmpty || cartesian || overScan.nonEmpty) {
+      if (missing.nonEmpty || present.nonEmpty || cartesian || overScan.nonEmpty) {
         bad += 1
-        println(s"== $name: MISSING=${missing.mkString(",")} cartesian=$cartesian" +
+        println(s"== $name: MISSING=${missing.mkString(",")}" +
+          (if (present.nonEmpty) s" FORBIDDEN=${present.mkString(",")}" else "") +
+          s" cartesian=$cartesian" +
           overScan.map(o => s" overScan=$o").getOrElse(""))
         println(plan.linesIterator.take(40).mkString("\n"))
       } else println(s"== $name: OK")

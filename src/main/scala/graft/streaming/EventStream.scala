@@ -126,7 +126,13 @@ object EventStream {
 
   /** Per-bucket cap on remembered documents: a viral band key (the
     * streaming analog of a stop shingle) must not grow one state entry
-    * without bound inside the watermark window. */
+    * without bound inside the watermark window. Eviction is by
+    * recency — the state list is newest-first and truncated at this
+    * bound, so an overflowing bucket forgets its OLDEST-seen documents
+    * first and a new arrival pairs with exactly the `maxBucketEntries`
+    * most recent bucket members (pinned at the cap boundary in
+    * EventStreamSpec). Recall cost is confined to the viral bucket;
+    * every non-viral bucket keeps full membership. */
   val maxBucketEntries = 64
 
   /** Streaming near-dup detection: MinHash-banded LSH over a document

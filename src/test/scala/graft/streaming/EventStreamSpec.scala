@@ -189,6 +189,43 @@ class EventStreamSpec extends SparkSpec {
     assert(ests.forall(_ >= 0.5))
   }
 
+  test("LSH bucket cap: overflow evicts oldest-seen docs, probe pairs only with retained") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // one shared text → identical signature → every doc lands in the
+    // SAME (band_id, band_key) bucket of all 16 bands; cap+5 arrivals
+    // overflow the bucket, so the 5 earliest-seen entries must be
+    // evicted (the state list is newest-first, truncated at
+    // maxBucketEntries — recency eviction, the documented bound)
+    val cap = EventStream.maxBucketEntries
+    val n = cap + 5
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val stream = MemoryStream[(Long, Long)]
+    val docs = stream.toDF().toDF("doc_id", "minute")
+      .select(col("doc_id"),
+        (lit(1700000000000L) + col("minute") * 60000).cast("timestamp").as("ts"),
+        lit(text).as("text"))
+    val q = EventStream.nearDupCandidates(docs)
+      .writeStream.format("memory").queryName("capdup").outputMode("append").start()
+    try {
+      stream.addData((1L to n.toLong).map(i => (i, i)))
+      q.processAllAvailable()
+      // second micro-batch: a probe doc against the post-overflow state
+      stream.addData(Seq((1000L, (n + 10).toLong)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val probePartners = spark.table("capdup")
+      .filter(col("doc_b") === 1000L).select("doc_a")
+      .distinct().collect().map(_.getLong(0)).toSet
+    // exactly the cap most-recently-seen docs survive: ids 6..n
+    val retained = ((n - cap + 1).toLong to n.toLong).toSet
+    assert(probePartners == retained,
+      s"evicted ${retained.diff(probePartners)}, ghosts ${probePartners.diff(retained)}")
+    // identical docs: every surfaced estimate is the exact-match 1.0
+    assert(spark.table("capdup").select("est_jaccard")
+      .collect().forall(_.getDouble(0) == 1.0))
+  }
+
   test("streaming index probe matches the batch incremental probe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
