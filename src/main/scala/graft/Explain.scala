@@ -151,7 +151,14 @@ object Explain {
       // only sources actually sharing content meet; the text never
       // leaves the scan beyond fingerprinting
       "q_source_overlap"     -> Seq("HashAggregate",
-        "ReadSchema: struct<text:string,source:string>"))
+        "ReadSchema: struct<text:string,source:string>"),
+      // BM25: query terms filter BEFORE the tf aggregation (the token
+      // stream shrinks to |q| terms per doc), df broadcasts back, and
+      // top-k is a per-partition heap — never a global sort
+      "q_bm25_topk"          -> Seq("TakeOrderedAndProject",
+        "BroadcastHashJoin", " IN (vector,hash,join)"),
+      // chunking is one map-side Generate
+      "q_rag_chunks"         -> Seq("Generate"))
 
     // anti-patterns per query: substrings that must NOT appear. Expand
     // is countDistinct's row-multiplying fallback — these queries are
@@ -161,7 +168,8 @@ object Explain {
       "q_token_cms"         -> Seq("Expand", "Window"),
       "q_dau_wau"           -> Seq("Expand", "Window"),
       "q_retention_cohorts" -> Seq("Expand", "Window"),
-      "q_source_overlap"    -> Seq("Expand", "Window"))
+      "q_source_overlap"    -> Seq("Expand", "Window"),
+      "q_rag_chunks"        -> Seq("Join", "HashAggregate", "Window"))
 
     // the curate pipeline's whole cost at scale is corpus scans: quality,
     // content key, and split must share ONE projection, so `documents`

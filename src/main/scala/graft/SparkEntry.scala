@@ -22,7 +22,8 @@ object SparkEntry {
       DedupOps.queries ++ AnnOps.queries ++ SemDedupOps.queries ++
       MultimodalOps.queries ++ SubmitOps.queries ++
       OrgOps.queries ++ ExtractOps.queries ++ MappingExtractOps.queries ++
-      PipelineOps.queries ++ TransferOps.queries ++ SkewOps.queries
+      PipelineOps.queries ++ TransferOps.queries ++ SkewOps.queries ++
+      SearchOps.queries
 
   /** DuckDB-equivalent SQL for each hash-checked query (column names must
     * match the Spark output exactly; see SURVEY.md §6 for FP discipline). */
@@ -33,5 +34,6 @@ object SparkEntry {
       DedupOps.oracles ++ AnnOps.oracles ++ SemDedupOps.oracles ++
       MultimodalOps.oracles ++ SubmitOps.oracles ++
       OrgOps.oracles ++ ExtractOps.oracles ++ MappingExtractOps.oracles ++
-      PipelineOps.oracles ++ TransferOps.oracles ++ SkewOps.oracles
+      PipelineOps.oracles ++ TransferOps.oracles ++ SkewOps.oracles ++
+      SearchOps.oracles
 }

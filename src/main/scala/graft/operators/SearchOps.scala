@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Full-text relevance search + retrieval chunking over the document
+  * corpus — the query-serving side of a data facility (the reference
+  * feeds a search index: aws/submit.py hands datasets to a search
+  * ingest, aws/utils.py:get_secret/search_entry serve lookups) and
+  * the retrieval side of a RAG training pipeline.
+  *
+  * Scale shapes:
+  *   - BM25 never scores the whole vocabulary: query terms filter the
+  *     exploded token stream BEFORE the tf aggregation, so the only
+  *     corpus-scale shuffle carries (doc, term∈query) rows — |q| ≤ a
+  *     handful of terms per query. Document length rides the tf group
+  *     key (functional on doc_id — no second corpus join), df and the
+  *     corpus stats are tiny aggregates broadcast back, and the top-k
+  *     is a TakeOrderedAndProject (per-partition heap + driver merge
+  *     of k rows), never a global sort.
+  *   - Chunking is one map-side Generate — zero shuffles; the output
+  *     order-by exists only for the deterministic driver compare.
+  *
+  * FP discipline (SURVEY §6): every constant in the BM25 formula is
+  * interpolated from the SAME Scala double into both the Spark plan
+  * and the DuckDB oracle, the per-document fold over query terms is
+  * sorted by term, and arithmetic is written with identical
+  * association on both engines, so the unrounded doubles agree to the
+  * last ulp modulo ln() (absorbed by round 6).
+  */
+object SearchOps {
+
+  // Robertson/Sparck-Jones BM25 with the standard Lucene parameters.
+  val bm25K1 = 1.2
+  val bm25B = 0.75
+  val bm25TopN = 20
+  /** Deterministic benchmark query (terms of the synthetic vocab). */
+  val queryTerms = Seq("vector", "hash", "join")
+
+  def bm25TopK(s: SparkSession, dir: String): DataFrame =
+    bm25TopKOf(Tables.spread(s, Tables.documents(s, dir)),
+      "doc_id", "text", queryTerms, bm25TopN)
+
+  /** Generic API: BM25 top-`topN` documents for a bag of query terms
+    * over any (id, text) corpus. Output (rank, doc_id, score). */
+  def bm25TopKOf(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], topN: Int): DataFrame = {
+    val ws = split(trim(col(textCol)), "\\s+")
+    val base = docs.filter(size(ws) >= 1)
+      .select(col(idCol).as("doc_id"), ws.as("ws"))
+    // corpus stats: one 1-row aggregate, broadcast; avgdl is derived
+    // inside the expression (sum/count — both exact integers) so the
+    // division happens identically on both engines
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("ws")).cast("long")).as("sum_dl"))
+    // query-term tf: the isin filter runs BEFORE the aggregation, so
+    // the shuffle carries only matching tokens; dl rides the group key
+    val tf = base
+      .select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
+        explode(col("ws")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
+
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val termScore = idf * col("tf") * lit(bm25K1 + 1.0) /
+      (col("tf") + lit(bm25K1) * (lit(1.0 - bm25B) + lit(bm25B) * col("dl") / avgdl))
+
+    val scored = tf
+      .join(broadcast(df), "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("tok"), termScore.as("sc"))
+      .groupBy(col("doc_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("tok"), col("sc")))),
+        lit(0.0), (acc, t) => acc + t.getField("sc")).as("score"))
+    // top-k: orderBy+limit plans as TakeOrderedAndProject; the rank
+    // window runs on the k surviving rows only
+    scored.orderBy(col("score").desc, col("doc_id").asc).limit(topN)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
+      .select(col("rank"), col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy("rank")
+  }
+
+  /** Oracle: identical formula, constants interpolated from the same
+    * Scala doubles, fold ordered by term. */
+  lazy val bm25TopKSql: String = {
+    val termList = queryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents
+       |  WHERE len(string_split_regex(trim(text), '\\s+')) >= 1),
+       |stats AS (
+       |  SELECT count(*) AS n_docs, sum(len(ws)) AS sum_dl FROM base),
+       |tf AS (
+       |  SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+       |          unnest(ws) AS tok FROM base)
+       |  WHERE tok IN ($termList) GROUP BY 1, 2, 3),
+       |df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       |sc AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(0.0, list(
+       |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * ${bm25K1 + 1.0} /
+       |        (tf + $bm25K1 * (${1.0 - bm25B} + $bm25B * dl /
+       |          (CAST(sum_dl AS DOUBLE) / n_docs)))
+       |      ORDER BY tok)), (a, b) -> a + b) AS score
+       |  FROM tf JOIN df USING (tok) CROSS JOIN stats GROUP BY doc_id)
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER)
+       |    AS rank,
+       |  doc_id, round(score, 6) AS score
+       |FROM sc ORDER BY score DESC, doc_id ASC LIMIT $bm25TopN""".stripMargin
+  }
+
+  // --------------------------------------------- RAG chunking
+
+  /** Chunk width / overlap in words — the fixed-size sliding chunker
+    * every RAG ingestion pipeline starts from. Stride = width −
+    * overlap; chunk i covers tokens [i·stride, i·stride + width). */
+  val chunkWidth = 40
+  val chunkOverlap = 10
+
+  def ragChunks(s: SparkSession, dir: String): DataFrame =
+    ragChunksOf(Tables.spread(s, Tables.documents(s, dir)),
+      "doc_id", "text", chunkWidth, chunkOverlap)
+
+  /** Generic API: overlapping fixed-width chunks over any (id, text)
+    * corpus. One Generate, no shuffle — chunking is embarrassingly
+    * parallel; a start is emitted for every stride multiple below the
+    * document length, so the final chunk may be shorter than `width`
+    * (and is never empty). Output (doc_id, chunk_id, n_tokens,
+    * chunk_text). */
+  def ragChunksOf(docs: DataFrame, idCol: String, textCol: String,
+      width: Int, overlap: Int): DataFrame = {
+    require(overlap < width, "chunk overlap must be smaller than the width")
+    val stride = width - overlap
+    val ws = split(trim(col(textCol)), "\\s+")
+    docs.filter(size(ws) >= 1)
+      .select(col(idCol).as("doc_id"), ws.as("ws"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(col("ws")) - lit(1)) / lit(stride)).cast("int")),
+          i => slice(col("ws"), i * stride + 1, lit(width)))).as(Seq("chunk_id", "toks")))
+      .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        array_join(col("toks"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  lazy val ragChunksSql: String = {
+    val stride = chunkWidth - chunkOverlap
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents
+       |  WHERE len(string_split_regex(trim(text), '\\s+')) >= 1),
+       |st AS (
+       |  SELECT doc_id, ws,
+       |    unnest(range(CAST(floor((len(ws) - 1) / $stride.0) AS BIGINT) + 1)) AS i
+       |  FROM w)
+       |SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+       |  CAST(len(ws[CAST(i*$stride+1 AS BIGINT):CAST(i*$stride+$chunkWidth AS BIGINT)])
+       |    AS BIGINT) AS n_tokens,
+       |  array_to_string(
+       |    ws[CAST(i*$stride+1 AS BIGINT):CAST(i*$stride+$chunkWidth AS BIGINT)], ' ')
+       |    AS chunk_text
+       |FROM st ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25_topk"  -> (bm25TopK _),
+    "q_rag_chunks" -> (ragChunks _))
+
+  def oracles: Map[String, String] = Map(
+    "q_bm25_topk"  -> bm25TopKSql,
+    "q_rag_chunks" -> ragChunksSql)
+}
