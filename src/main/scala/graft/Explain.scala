@@ -158,7 +158,9 @@ object Explain {
       "q_bm25_topk"          -> Seq("TakeOrderedAndProject",
         "BroadcastHashJoin", " IN (vector,hash,join)"),
       // chunking is one map-side Generate
-      "q_rag_chunks"         -> Seq("Generate"))
+      "q_rag_chunks"         -> Seq("Generate"),
+      // phrase match is a pruned-scan column chain
+      "q_phrase_search"      -> Seq("ReadSchema: struct<doc_id:bigint,text:string>"))
 
     // anti-patterns per query: substrings that must NOT appear. Expand
     // is countDistinct's row-multiplying fallback — these queries are
@@ -169,7 +171,8 @@ object Explain {
       "q_dau_wau"           -> Seq("Expand", "Window"),
       "q_retention_cohorts" -> Seq("Expand", "Window"),
       "q_source_overlap"    -> Seq("Expand", "Window"),
-      "q_rag_chunks"        -> Seq("Join", "HashAggregate", "Window"))
+      "q_rag_chunks"        -> Seq("Join", "HashAggregate", "Window"),
+      "q_phrase_search"     -> Seq("Join", "HashAggregate", "Window"))
 
     // the curate pipeline's whole cost at scale is corpus scans: quality,
     // content key, and split must share ONE projection, so `documents`

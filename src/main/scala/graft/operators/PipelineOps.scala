@@ -60,6 +60,38 @@ object PipelineOps {
        |      FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- leakage-safe split
+
+  /** Train/val/test split that never separates near-duplicates: every
+    * member of a dedup cluster is assigned the split of its CLUSTER
+    * (key = hash of the cluster id), so a document can never land in
+    * train while its near-copy sits in test — the contamination path
+    * a row-keyed split leaves open. Composes the persisted cluster map
+    * ([[DedupOps.clusterMapFor]] — the standing artifact a dedup pass
+    * already built) with the same map-side bucket rule as
+    * [[hashSplitOf]]: beyond the cluster map the split itself is still
+    * a zero-shuffle column chain. Split proportions hold because
+    * md5(cluster_id) is uniform over clusters. */
+  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame =
+    hashSplitOf(DedupOps.clusterMapFor(s, dir), sampleKeyOf(col("cluster_id")))
+      .select("doc_id", "cluster_id", "bucket", "split")
+      .orderBy("doc_id")
+
+  /** Oracle: the recursive-CTE cluster reachability (shared with the
+    * clusters oracle) + the hash-bucket CASE on the cluster id. */
+  lazy val leakageSafeSplitSql: String =
+    DedupOps.dedupClustersSql.replaceFirst(
+      "SELECT id AS doc_id, min\\(r\\) AS cluster_id,[\\s\\S]*$",
+      """, cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT doc_id, cluster_id, bucket,
+        |  CASE WHEN bucket <= 'b' THEN 'train'
+        |       WHEN bucket <= 'd' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, cluster_id,
+        |        substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1) AS bucket
+        |      FROM cl)
+        |ORDER BY doc_id""".stripMargin)
+
   // ------------------------------------------------------ corpus mix
 
   /** Per-tier sampling rates for the mixture: tier = source number mod 4.
@@ -744,6 +776,7 @@ object PipelineOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hash_split"     -> (hashSplit _),
+    "q_leakage_safe_split" -> (leakageSafeSplit _),
     "q_corpus_mix"     -> (corpusMix _),
     "q_domain_cap"     -> (domainCapped _),
     "q_stratified_sample" -> (stratifiedSample _),
@@ -757,6 +790,7 @@ object PipelineOps {
 
   def oracles: Map[String, String] = Map(
     "q_hash_split"     -> hashSplitSql,
+    "q_leakage_safe_split" -> leakageSafeSplitSql,
     "q_corpus_mix"     -> corpusMixSql,
     "q_domain_cap"     -> domainCapSql,
     "q_stratified_sample" -> stratifiedSampleSql,

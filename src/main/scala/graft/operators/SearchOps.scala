@@ -172,11 +172,62 @@ object SearchOps {
        |FROM st ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  // --------------------------------------------- exact phrase search
+
+  /** Deterministic benchmark phrase (present in the synthetic corpus). */
+  val queryPhrase = "hash join"
+
+  def phraseSearch(s: SparkSession, dir: String): DataFrame =
+    phraseSearchOf(Tables.spread(s, Tables.documents(s, dir)),
+      "doc_id", "text", queryPhrase)
+
+  /** Generic API: exact token-sequence (phrase) match over any (id,
+    * text) corpus — the other half of a search surface next to BM25's
+    * bag-of-words ranking. Entirely map-side: every candidate start
+    * position is tested with one slice-and-join per position (O(len·w)
+    * per document, no index, no shuffle); emits only matching docs
+    * (doc_id, n_hits, first_pos). At 100 TB the same predicate runs as
+    * the verify stage behind a window-hash index probe
+    * ([[graft.operators.DedupOps.windowFreqOf]] is that index). */
+  def phraseSearchOf(docs: DataFrame, idCol: String, textCol: String,
+      phrase: String): DataFrame = {
+    val terms = phrase.trim.split("\\s+")
+    val w = terms.length
+    val ws = split(trim(col(textCol)), "\\s+")
+    docs.filter(size(ws) >= w)
+      .select(col(idCol).as("doc_id"),
+        filter(sequence(lit(0), size(ws) - lit(w)),
+          i => array_join(slice(ws, i + 1, lit(w)), " ") === lit(phrase))
+          .as("pos"))
+      .filter(size(col("pos")) >= 1)
+      .select(col("doc_id"), size(col("pos")).cast("long").as("n_hits"),
+        element_at(col("pos"), 1).as("first_pos"))
+      .orderBy("doc_id")
+  }
+
+  lazy val phraseSearchSql: String = {
+    val w = queryPhrase.trim.split("\\s+").length
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents
+       |  WHERE len(string_split_regex(trim(text), '\\s+')) >= $w),
+       |h AS (
+       |  SELECT doc_id, list_filter(range(len(ws) - $w + 1),
+       |    i -> array_to_string(ws[CAST(i+1 AS BIGINT):CAST(i+$w AS BIGINT)], ' ')
+       |      = '$queryPhrase') AS pos
+       |  FROM w)
+       |SELECT doc_id, CAST(len(pos) AS BIGINT) AS n_hits,
+       |  CAST(pos[1] AS INTEGER) AS first_pos
+       |FROM h WHERE len(pos) >= 1 ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_bm25_topk"  -> (bm25TopK _),
-    "q_rag_chunks" -> (ragChunks _))
+    "q_bm25_topk"     -> (bm25TopK _),
+    "q_rag_chunks"    -> (ragChunks _),
+    "q_phrase_search" -> (phraseSearch _))
 
   def oracles: Map[String, String] = Map(
-    "q_bm25_topk"  -> bm25TopKSql,
-    "q_rag_chunks" -> ragChunksSql)
+    "q_bm25_topk"     -> bm25TopKSql,
+    "q_rag_chunks"    -> ragChunksSql,
+    "q_phrase_search" -> phraseSearchSql)
 }

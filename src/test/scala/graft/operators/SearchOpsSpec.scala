@@ -44,6 +44,20 @@ class SearchOpsSpec extends SparkSpec {
       SearchOps.queryTerms.exists(t.split("\\s+").contains)))
   }
 
+  test("phrase search finds exactly the brute-force occurrences") {
+    val phrase = SearchOps.queryPhrase.split("\\s+").toSeq
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val expect = docs.flatMap { case (id, ws) =>
+      val hits = ws.indices.filter(i => ws.slice(i, i + phrase.length) == phrase)
+      if (hits.nonEmpty) Some((id, hits.length.toLong, hits.head)) else None
+    }.sortBy(_._1).toSeq
+    val got = SearchOps.phraseSearch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("chunks reconstruct the document: stride-aligned starts, full coverage, exact overlap") {
     val w = SearchOps.chunkWidth; val o = SearchOps.chunkOverlap
     val stride = w - o
