@@ -383,12 +383,17 @@ object DedupOps {
   def chunkDedupOf(docs: DataFrame, idCol: String, textCol: String,
       n: Int, dfCap: Long): DataFrame = {
     val ws = split(trim(col(textCol)), "\\s+")
-    val nChunks = ceil(size(ws).cast("double") / n).cast("int")
+    // let-bind the token array: a raw `ws` inside the chunk lambda
+    // would re-tokenize the document once per chunk (the HOF pitfall
+    // documented at AnnOps.quantizeEmbeddings); bound once as a lambda
+    // variable, chunking is one split + len/n slices
+    val chunkArr = element_at(transform(array(ws), wsv =>
+      transform(sequence(lit(0), ceil(size(wsv).cast("double") / n).cast("int") - 1),
+        i => array_join(slice(wsv, i * n + 1, lit(n)), " "))), 1)
     val chunks = docs
       .filter(size(ws) >= 1)
       .select(col(idCol).as("doc_id"),
-        posexplode(transform(sequence(lit(0), nChunks - 1),
-          i => array_join(slice(ws, i * n + 1, lit(n)), " "))).as(Seq("pos", "chunk")))
+        posexplode(chunkArr).as(Seq("pos", "chunk")))
     val freq = chunks.groupBy(col("chunk")).agg(count(lit(1)).as("c"))
     chunks.join(freq, Seq("chunk"))
       .groupBy(col("doc_id"))

@@ -194,11 +194,15 @@ object SearchOps {
     val terms = phrase.trim.split("\\s+")
     val w = terms.length
     val ws = split(trim(col(textCol)), "\\s+")
+    // let-bind the token array as a lambda variable: a raw `ws` inside
+    // the position lambda would re-tokenize the WHOLE document once per
+    // candidate position (O(len²) — the HOF pitfall documented at
+    // AnnOps.quantizeEmbeddings); bound once, the scan is O(len·w)
+    val pos = element_at(transform(array(ws), wsv =>
+      filter(sequence(lit(0), size(wsv) - lit(w)),
+        i => array_join(slice(wsv, i + 1, lit(w)), " ") === lit(phrase))), 1)
     docs.filter(size(ws) >= w)
-      .select(col(idCol).as("doc_id"),
-        filter(sequence(lit(0), size(ws) - lit(w)),
-          i => array_join(slice(ws, i + 1, lit(w)), " ") === lit(phrase))
-          .as("pos"))
+      .select(col(idCol).as("doc_id"), pos.as("pos"))
       .filter(size(col("pos")) >= 1)
       .select(col("doc_id"), size(col("pos")).cast("long").as("n_hits"),
         element_at(col("pos"), 1).as("first_pos"))
