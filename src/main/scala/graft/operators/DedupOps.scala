@@ -1271,5 +1271,12 @@ object DedupOps {
     "q_dedup_keep"          -> dedupKeepSql,
     "q_fuzzy_dedup"         -> dedupKeepSql,
     "q_dedup_incremental"   -> dedupIncrementalSql,
+    // LSH verify is exact Jaccard, and every true pair on the test
+    // corpora sits at j >= 0.8 where 16x2 banding recall is
+    // 1-(1-j^2)^16 > 1-1e-7 — the LSH output IS the exact miner's
+    // (checked identical at every sf), so it hash-checks against the
+    // same brute-force oracle. q_dedup_embedding stays rows-only: its
+    // hyperplane banding deliberately trades recall at cosine 0.4.
+    "q_dedup_minhash_lsh"   -> ngramJaccardSql,
     "q_embed_pairs_exact"   -> embeddingPairsExactSql)
 }
