@@ -70,7 +70,9 @@ object Stress {
       "q_substring_incremental", "q_fuzzy_dedup", "q_media_dedup",
       "q_knn_graph_ivf", "q_embed_centroids",
       "q_top_ngrams", "q_source_overlap", "q_token_cms",
-      "q_stratified_sample", "q_dau_wau", "q_retention_cohorts")
+      "q_stratified_sample", "q_dau_wau", "q_retention_cohorts",
+      "q_bm25_topk", "q_phrase_search", "q_rag_chunks",
+      "q_leakage_safe_split")
     val heavies: Seq[String] =
       if (args.length > 2) args.drop(2).toSeq else defaults
 

@@ -172,6 +172,25 @@ object SearchOps {
        |FROM st ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  /** The BM25 "index" for a term set: per-term document frequency +
+    * the corpus stats scalar — the standing artifacts a serving
+    * deployment persists next to the corpus (df values here equal the
+    * batch plan's tf-derived counts by construction). Consumed by the
+    * streaming scorer ([[graft.streaming.EventStream.bm25ScoreStream]]). */
+  def bm25ModelOf(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): (DataFrame, DataFrame) = {
+    val ws = split(trim(col(textCol)), "\\s+")
+    val base = docs.filter(size(ws) >= 1)
+      .select(col(idCol).as("doc_id"), ws.as("ws"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("ws")).cast("long")).as("sum_dl"))
+    val df = base
+      .select(col("doc_id"), explode(array_distinct(col("ws"))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
+    (df, stats)
+  }
+
   // --------------------------------------------- exact phrase search
 
   /** Deterministic benchmark phrase (present in the synthetic corpus). */

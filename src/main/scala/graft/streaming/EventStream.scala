@@ -359,6 +359,50 @@ object EventStream {
             / size(col("bgs")), 6)).as("mean_log_prob"))
   }
 
+  /** Streaming BM25 relevance scoring — the streaming twin of
+    * [[graft.operators.SearchOps.bm25TopK]]'s scoring stage, serving
+    * the standing-query/alerting shape ("surface every arriving doc
+    * relevant to this query"). The trained index
+    * ([[graft.operators.SearchOps.bm25ModelOf]]: per-term df + the
+    * corpus stats scalar — |q|+1 rows) collapses to one broadcast map
+    * plus two scalars, so a document scores with one map-side fold
+    * over the query terms — stateless, zero shuffles, ingest speed,
+    * exactly like the DSIR/LM scorers. tf per term comes from the
+    * doc's own let-bound token array (O(|q|·len) per doc); an unseen
+    * term degrades to df = 0, the formula's natural novel-term IDF.
+    * Emits every matching doc (score > 0) with the same rounded score
+    * the batch ranker computes (spec-pinned).
+    *
+    * `docs` needs (doc_id, text); emits (doc_id, dl, score). */
+  def bm25ScoreStream(docs: DataFrame, dfTable: DataFrame, stats: DataFrame,
+      terms: Seq[String] = graft.operators.SearchOps.queryTerms): DataFrame = {
+    import graft.operators.SearchOps.{bm25B, bm25K1}
+    val dfM = dfTable.agg(
+      map_from_entries(collect_list(struct(col("tok"), col("df")))).as("dfm"))
+    val ws = split(trim(col("text")), "\\s+")
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    // sorted terms: the same fold order as the batch ranker's
+    // term-sorted aggregate, so the rounded doubles agree exactly
+    val termArr = typedlit(terms.sorted)
+    val score = element_at(transform(array(ws), wsv =>
+      aggregate(termArr, lit(0.0), (acc, t) => {
+        val tf = size(filter(wsv, w => w === t)).cast("double")
+        val df = coalesce(element_at(col("dfm"), t), lit(0.0))
+        val idf = log(lit(1.0) + (col("n_docs") - df + lit(0.5)) / (df + lit(0.5)))
+        acc + when(tf > 0,
+          idf * tf * lit(bm25K1 + 1.0) /
+            (tf + lit(bm25K1) * (lit(1.0 - bm25B) +
+              lit(bm25B) * size(wsv).cast("double") / avgdl)))
+          .otherwise(lit(0.0))
+      })), 1)
+    docs
+      .filter(col("text").isNotNull && size(ws) >= 1)
+      .crossJoin(broadcast(dfM)).crossJoin(broadcast(stats))
+      .select(col("doc_id"), size(ws).cast("long").as("dl"),
+        round(score, 6).as("score"))
+      .filter(col("score") > 0.0)
+  }
+
   /** Streaming decontamination gate — the streaming twin of
     * [[graft.operators.PipelineOps.contaminationBloom]]. The eval set's
     * shingle Bloom filter and exact shingle table are both standing

@@ -226,6 +226,37 @@ class EventStreamSpec extends SparkSpec {
       .collect().forall(_.getDouble(0) == 1.0))
   }
 
+  test("streaming BM25 scores match the batch ranker on the same index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sfDir)
+    val (dfT, stats) = graft.operators.SearchOps.bm25ModelOf(
+      docs, "doc_id", "text", graft.operators.SearchOps.queryTerms)
+    val rows = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(rows.toSeq)
+    val q = EventStream.bm25ScoreStream(
+        stream.toDF().toDF("doc_id", "text"), dfT, stats)
+      .writeStream.format("memory").queryName("bm25s").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamScores = spark.table("bm25s").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // every batch top-k row's (doc, score) appears identically
+    val batch = graft.operators.SearchOps.bm25TopK(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(batch.nonEmpty)
+    batch.foreach { case (id, s) =>
+      assert(streamScores.get(id).contains(s), s"doc $id: ${streamScores.get(id)} vs $s")
+    }
+    // stream emits exactly the docs containing >= 1 query term
+    val matching = rows.filter { case (_, t) =>
+      graft.operators.SearchOps.queryTerms.exists(t.trim.split("\\s+").contains)
+    }.map(_._1).toSet
+    assert(streamScores.keySet == matching)
+  }
+
   test("streaming index probe matches the batch incremental probe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
