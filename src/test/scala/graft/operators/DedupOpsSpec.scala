@@ -25,6 +25,19 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("LSH pairs equal the exact miner's (oracle identity for q_dedup_minhash_lsh)") {
+    // the driver hash-checks the LSH row against the brute-force
+    // oracle — valid while banding recalls every true pair (all true
+    // pairs sit at j >= 0.8 where recall is ~1). If regenerated
+    // testdata ever plants a borderline pair the LSH misses, THIS
+    // fails locally instead of the driver row going red.
+    val exact = DedupOps.ngramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    val lsh = DedupOps.minhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(lsh == exact && lsh.nonEmpty)
+  }
+
   test("raw hash arrays are normalized at the signature chokepoint") {
     import spark.implicits._
     // unsorted + duplicated input must yield the same signatures, hs,
