@@ -118,6 +118,62 @@ object SearchOps {
        |FROM sc ORDER BY score DESC, doc_id ASC LIMIT $bm25TopN""".stripMargin
   }
 
+  // --------------------------------------------- reciprocal-rank fusion
+
+  /** RRF constant (the standard k = 60 of Cormack et al. 2009, the
+    * default in Elasticsearch/OpenSearch hybrid search). */
+  val rrfK = 60
+
+  /** Hybrid retrieval via reciprocal-rank fusion: fuse the BM25 top-k
+    * shortlist with a length-prior shortlist (longest documents — the
+    * stand-in for any second ranker: vector similarity, freshness, a
+    * quality model). RRF(d) = Σ_lists 1/(k + rank_d); a doc missing
+    * from a list contributes nothing for it. Fusion happens over the
+    * SHORTLISTS — two k-row frames, joined full-outer on doc_id — so
+    * the fusion stage is constant-size no matter the corpus; each
+    * input ranking is itself a TakeOrderedAndProject. This is how
+    * production engines fuse (top-N lists, never global ranks). */
+  def rankFusion(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(s, Tables.documents(s, dir))
+    val byLen = docs
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .orderBy(col("len").desc, col("doc_id").asc).limit(bm25TopN)
+      .withColumn("rank_len", row_number()
+        .over(Window.orderBy(col("len").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("rank_len"))
+    val byBm25 = bm25TopK(s, dir).select(col("doc_id"), col("rank").as("rank_bm25"))
+    byBm25.join(byLen, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_bm25"), col("rank_len"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("rank_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_len")), lit(0.0))).as("rrf0"))
+      .orderBy(col("rrf0").desc, col("doc_id").asc).limit(bm25TopN)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("rrf0").desc, col("doc_id").asc)).cast("int"))
+      .select(col("rank"), col("doc_id"), round(col("rrf0"), 6).as("rrf_score"),
+        col("rank_bm25"), col("rank_len"))
+      .orderBy("rank")
+  }
+
+  /** Oracle: the same two shortlists + full-outer fusion; the BM25
+    * list reuses [[bm25TopKSql]] as a CTE. */
+  lazy val rankFusionSql: String =
+    s"""WITH bm AS (${bm25TopKSql.replace("\n", "\n  ")}),
+       |bylen AS (
+       |  SELECT doc_id, CAST(row_number() OVER
+       |      (ORDER BY length(text) DESC, doc_id ASC) AS INTEGER) AS rank_len
+       |  FROM documents ORDER BY length(text) DESC, doc_id ASC LIMIT $bm25TopN),
+       |fused AS (
+       |  SELECT COALESCE(bm.doc_id, bylen.doc_id) AS doc_id,
+       |    bm.rank AS rank_bm25, bylen.rank_len,
+       |    COALESCE(CAST(1.0 AS DOUBLE) / ($rrfK + bm.rank), CAST(0.0 AS DOUBLE)) +
+       |      COALESCE(CAST(1.0 AS DOUBLE) / ($rrfK + bylen.rank_len),
+       |        CAST(0.0 AS DOUBLE)) AS rrf0
+       |  FROM bm FULL OUTER JOIN bylen ON bm.doc_id = bylen.doc_id)
+       |SELECT CAST(row_number() OVER (ORDER BY rrf0 DESC, doc_id ASC) AS INTEGER)
+       |    AS rank,
+       |  doc_id, round(rrf0, 6) AS rrf_score, rank_bm25, rank_len
+       |FROM fused ORDER BY rrf0 DESC, doc_id ASC LIMIT $bm25TopN""".stripMargin
+
   // --------------------------------------------- RAG chunking
 
   /** Chunk width / overlap in words — the fixed-size sliding chunker
@@ -247,10 +303,12 @@ object SearchOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25_topk"     -> (bm25TopK _),
     "q_rag_chunks"    -> (ragChunks _),
-    "q_phrase_search" -> (phraseSearch _))
+    "q_phrase_search" -> (phraseSearch _),
+    "q_rank_fusion"   -> (rankFusion _))
 
   def oracles: Map[String, String] = Map(
     "q_bm25_topk"     -> bm25TopKSql,
     "q_rag_chunks"    -> ragChunksSql,
-    "q_phrase_search" -> phraseSearchSql)
+    "q_phrase_search" -> phraseSearchSql,
+    "q_rank_fusion"   -> rankFusionSql)
 }

@@ -58,6 +58,34 @@ class SearchOpsSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("rank fusion is the RRF of the two shortlists") {
+    val k = SearchOps.rrfK
+    val bm = SearchOps.bm25TopK(spark, sfDir).collect()
+      .map(r => r.getLong(1) -> r.getInt(0)).toMap
+    val byLen = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, l) => (-l, id) }.take(SearchOps.bm25TopN)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val expect = (bm.keySet ++ byLen.keySet).toSeq
+      .map { id =>
+        val s = bm.get(id).map(r => 1.0 / (k + r)).getOrElse(0.0) +
+          byLen.get(id).map(r => 1.0 / (k + r)).getOrElse(0.0)
+        (id, s)
+      }
+      .sortBy { case (id, s) => (-s, id) }.take(SearchOps.bm25TopN)
+    val got = SearchOps.rankFusion(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == expect.length)
+    got.zip(expect).zipWithIndex.foreach { case (((rank, id, s), (eid, es)), i) =>
+      assert(rank == i + 1 && id == eid)
+      assert(math.abs(s - es) <= 1e-6)
+    }
+    // a doc on BOTH shortlists outranks the same positions on one list
+    val both = got.filter { case (_, id, _) => bm.contains(id) && byLen.contains(id) }
+    both.foreach { case (_, _, s) => assert(s > 1.0 / (k + SearchOps.bm25TopN)) }
+  }
+
   test("chunks reconstruct the document: stride-aligned starts, full coverage, exact overlap") {
     val w = SearchOps.chunkWidth; val o = SearchOps.chunkOverlap
     val stride = w - o
