@@ -417,6 +417,84 @@ object VersionOps {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------- legacy-ID migration
+
+  /** Derived legacy status records exercising every migration case of
+    * the reference's one-off table rewrite (scripts/update_dynamo.py):
+    * dash-form versions (`name_v1-2`), whole versions (`name_v3`),
+    * already-dotted versions, unversioned ids (flagged + skipped), and
+    * records with/without an `original_submission.source_name`. */
+  def legacyRecords(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(lit("ds"), (col("doc_id") % 40).cast("string"))
+    val a = (col("doc_id") % 3 + 1).cast("string")
+    val b = (col("doc_id") % 5).cast("string")
+    Tables.documents(s, dir).select(
+      col("doc_id"), raw.as("source_name_raw"),
+      when(col("doc_id") % 5 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("orig"), (col("doc_id") % 40).cast("string")))
+        .as("original_source"))
+      .withColumn("source_id",
+        when(col("doc_id") % 7 === 0, col("source_name_raw"))
+          .when(col("doc_id") % 7 < 3,
+            concat(col("source_name_raw"), lit("_v"), a, lit("-"), b))
+          .when(col("doc_id") % 7 === 3,
+            concat(col("source_name_raw"), lit("_v"), a))
+          .otherwise(concat(col("source_name_raw"), lit("_v"), a, lit("."), b)))
+  }
+
+  private val legacySql: String =
+    """WITH legacy AS (
+      |  SELECT doc_id,
+      |    'ds' || CAST(doc_id % 40 AS VARCHAR) AS source_name_raw,
+      |    CASE WHEN doc_id % 5 = 0 THEN NULL
+      |         ELSE 'orig' || CAST(doc_id % 40 AS VARCHAR) END AS original_source,
+      |    CASE WHEN doc_id % 7 = 0 THEN 'ds' || CAST(doc_id % 40 AS VARCHAR)
+      |         WHEN doc_id % 7 < 3 THEN 'ds' || CAST(doc_id % 40 AS VARCHAR) ||
+      |           '_v' || CAST(doc_id % 3 + 1 AS VARCHAR) || '-' || CAST(doc_id % 5 AS VARCHAR)
+      |         WHEN doc_id % 7 = 3 THEN 'ds' || CAST(doc_id % 40 AS VARCHAR) ||
+      |           '_v' || CAST(doc_id % 3 + 1 AS VARCHAR)
+      |         ELSE 'ds' || CAST(doc_id % 40 AS VARCHAR) ||
+      |           '_v' || CAST(doc_id % 3 + 1 AS VARCHAR) || '.' || CAST(doc_id % 5 AS VARCHAR)
+      |    END AS source_id
+      |  FROM documents)
+      |""".stripMargin
+
+  /** Legacy-table migration (scripts/update_dynamo.py:22-46): records
+    * whose source_id matches `(.+)_(v[0-9].*)` migrate — the version
+    * suffix normalizes (dashes → dots, bare major gains ".0", leading
+    * "v" stripped) into a `version` column, and the record re-keys to
+    * the original submission's source_name when present (falling back
+    * to the parsed name). Non-matching ids are skipped, exactly like
+    * the script (it prints and moves on). The reference migrates with
+    * a throttled scan loop + per-item put; here the whole rewrite is
+    * one map-side projection — a 100 TB table migrates at scan speed
+    * with zero shuffles. */
+  def migrateLegacyIds(s: SparkSession, dir: String): DataFrame = {
+    val re = "^(.+)_(v[0-9].*)$"
+    val nm = regexp_extract(col("source_id"), re, 1)
+    val v0 = translate(regexp_extract(col("source_id"), re, 2), "-", ".")
+    val v1 = when(instr(v0, ".") === 0, concat(v0, lit(".0"))).otherwise(v0)
+    legacyRecords(s, dir)
+      .filter(regexp_extract(col("source_id"), re, 2) =!= "")
+      .select(col("doc_id"), col("source_id").as("old_source_id"),
+        coalesce(col("original_source"), nm).as("new_source_id"),
+        substring(v1, 2, 1000000).as("version"))
+      .orderBy("doc_id")
+  }
+
+  val migrateLegacyIdsSql: String = legacySql +
+    """, m AS (
+      |  SELECT doc_id, source_id, original_source,
+      |    regexp_extract(source_id, '^(.+)_(v[0-9].*)$', 1) AS nm,
+      |    replace(regexp_extract(source_id, '^(.+)_(v[0-9].*)$', 2), '-', '.') AS v0
+      |  FROM legacy
+      |  WHERE regexp_matches(source_id, '^(.+)_(v[0-9].*)$'))
+      |SELECT doc_id, source_id AS old_source_id,
+      |  COALESCE(original_source, nm) AS new_source_id,
+      |  substring(CASE WHEN instr(v0, '.') = 0 THEN v0 || '.0' ELSE v0 END, 2)
+      |    AS version
+      |FROM m ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -425,7 +503,8 @@ object VersionOps {
     "q_increment_version"  -> (incrementVersion _),
     "q_version_resolution" -> (versionResolution _),
     "q_make_source_name"   -> (makeSourceName _),
-    "q_normalize_uri"      -> (normalizeUri _))
+    "q_normalize_uri"      -> (normalizeUri _),
+    "q_migrate_legacy_ids" -> (migrateLegacyIds _))
 
   def oracles: Map[String, String] = Map(
     "q_split_source_id"    -> splitSourceIdSql,
@@ -433,5 +512,6 @@ object VersionOps {
     "q_increment_version"  -> incrementVersionSql,
     "q_version_resolution" -> versionResolutionSql,
     "q_make_source_name"   -> makeSourceNameSql,
-    "q_normalize_uri"      -> normalizeUriSql)
+    "q_normalize_uri"      -> normalizeUriSql,
+    "q_migrate_legacy_ids" -> migrateLegacyIdsSql)
 }

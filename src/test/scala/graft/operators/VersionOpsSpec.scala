@@ -90,6 +90,30 @@ class VersionOpsSpec extends SparkSpec {
       s"sanitize: expected ${r.getString(0)}, got ${r.getString(1)}"))
   }
 
+  test("legacy migration: dash/bare/dot versions normalize, re-key prefers original name") {
+    val rows = VersionOps.migrateLegacyIds(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getString(3))).toMap
+    val legacy = VersionOps.legacyRecords(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    legacy.foreach { case (id, raw, orig, sid) =>
+      if (id % 7 == 0) assert(!rows.contains(id), s"unversioned $sid migrated")
+      else {
+        val (old, newId, v) = rows(id)
+        assert(old == sid)
+        // re-key: original submission name wins, parsed name is fallback
+        assert(newId == (if (orig != null) orig else raw))
+        // version: dashes -> dots, bare major gains .0, leading v stripped
+        val expect = {
+          val g2 = sid.substring(sid.lastIndexOf("_v") + 1).replace("-", ".")
+          val dotted = if (g2.contains(".")) g2 else g2 + ".0"
+          dotted.substring(1)
+        }
+        assert(v == expect, s"$sid -> $v, expected $expect")
+      }
+    }
+    assert(rows.nonEmpty && legacy.count(_._1 % 7 == 0) > 0)
+  }
+
   test("latest version picks numeric-aware max per source") {
     val latest = VersionOps.latestVersion(spark, sfDir)
     val row = latest.filter(col("source_name") === "ds1").collect()
