@@ -160,7 +160,12 @@ object Explain {
       // chunking is one map-side Generate
       "q_rag_chunks"         -> Seq("Generate"),
       // phrase match is a pruned-scan column chain
-      "q_phrase_search"      -> Seq("ReadSchema: struct<doc_id:bigint,text:string>"))
+      "q_phrase_search"      -> Seq("ReadSchema: struct<doc_id:bigint,text:string>"),
+      // RRF: both shortlists are per-partition heaps; fusion is a
+      // join of two k-row frames
+      "q_rank_fusion"        -> Seq("TakeOrderedAndProject"),
+      // migration is one shuffle-free projection reading one column
+      "q_migrate_legacy_ids" -> Seq("ReadSchema: struct<doc_id:bigint>"))
 
     // anti-patterns per query: substrings that must NOT appear. Expand
     // is countDistinct's row-multiplying fallback — these queries are
@@ -172,7 +177,8 @@ object Explain {
       "q_retention_cohorts" -> Seq("Expand", "Window"),
       "q_source_overlap"    -> Seq("Expand", "Window"),
       "q_rag_chunks"        -> Seq("Join", "HashAggregate", "Window"),
-      "q_phrase_search"     -> Seq("Join", "HashAggregate", "Window"))
+      "q_phrase_search"     -> Seq("Join", "HashAggregate", "Window"),
+      "q_migrate_legacy_ids" -> Seq("Join", "HashAggregate", "Window", "Exchange hash"))
 
     // the curate pipeline's whole cost at scale is corpus scans: quality,
     // content key, and split must share ONE projection, so `documents`
