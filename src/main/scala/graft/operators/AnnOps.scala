@@ -169,13 +169,14 @@ object AnnOps {
 
   /** Centroids as one collected array row, for riding broadcast into a
     * plan: scoring against k centroids becomes per-row array math —
-    * map-side only, no join, no shuffle. */
-  private def centArr(cents: DataFrame): DataFrame =
+    * map-side only, no join, no shuffle. (graft-visible: the streaming
+    * ANN probe reuses the same broadcast probe selection.) */
+  private[graft] def centArr(cents: DataFrame): DataFrame =
     cents.agg(collect_list(struct(col("centroid_id"), col("cv"), col("cn"))).as("cents"))
 
   /** Per-row scores against every centroid: array of (csim, nid) structs,
     * nid = negated id so lexicographic max tie-breaks to the smallest id. */
-  private def centScores(v: Column, norm: Column): Column =
+  private[graft] def centScores(v: Column, norm: Column): Column =
     transform(col("cents"), c => struct(
       (dot(v, c.getField("cv")) / (norm * c.getField("cn"))).as("csim"),
       (-c.getField("centroid_id")).as("nid")))

@@ -245,6 +245,65 @@ object EventStream {
       .select(col("new_id"), col("corpus_id"), col("band_id"), col("jaccard"))
   }
 
+  /** Streaming ANN probe against the persisted IVF index — the last
+    * standing-artifact probe next to the dedup index
+    * ([[indexProbe]]), the window-frequency index
+    * ([[substringCutStream]]) and the BM25 term index
+    * ([[bm25ScoreStream]]): a vector stream is answered against a
+    * trained, arbitrarily large corpus index without restating it.
+    *
+    * Probe selection is the batch plan's broadcast centroid-score
+    * array (map-side — [[graft.operators.AnnOps.centScores]]), the
+    * candidate fetch is a stateless stream-static equi-join on
+    * cluster_id (the bucketed inverted file reads co-located), and the
+    * only stateful operator is the per-query top-k rollup — a
+    * watermark-bounded aggregation whose state is one candidate list
+    * per in-flight query (≤ nprobe·cell rows; a production deployment
+    * bounds the cell via [[graft.operators.AnnOps.adaptiveK]], which
+    * exists exactly to keep that product flat as the corpus grows).
+    * Output matches the batch [[graft.operators.AnnOps.annIvfSearch]]
+    * row-for-row on the same index (spec-pinned).
+    *
+    * `vecs` needs (vec_id, embedding); emits (query_id, rank,
+    * neighbor_id). Run in `update` mode for immediate per-batch
+    * answers (a query's rows land when its batch does) or `append`
+    * for watermark-finalized rows, exactly like
+    * [[contaminationStream]]. */
+  def annProbeStream(vecs: DataFrame, cents: DataFrame, assigned: DataFrame,
+      windowDur: String = "1 minute",
+      watermarkDelay: String = "10 seconds"): DataFrame = {
+    import graft.operators.AnnOps
+    import graft.functions.GraftFunctions.dot
+    val e = vecs
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        current_timestamp().as("ingest_ts"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val probes = e
+      .crossJoin(broadcast(AnnOps.centArr(cents)))
+      .select(col("vec_id").as("query_id"), col("ingest_ts"),
+        col("v").as("qv"), col("norm").as("qn"),
+        explode(slice(reverse(array_sort(AnnOps.centScores(col("v"), col("norm")))),
+          1, AnnOps.nprobe)).as("probe"))
+      .select(col("query_id"), col("ingest_ts"), col("qv"), col("qn"),
+        (-col("probe.nid")).as("cluster_id"))
+      .withWatermark("ingest_ts", watermarkDelay)
+    probes
+      .join(assigned.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("norm").as("cn"), col("cluster_id")), Seq("cluster_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("ingest_ts"),
+        struct((dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"),
+          (-col("neighbor_id")).as("nid")).as("cand"))
+      .groupBy(window(col("ingest_ts"), windowDur), col("query_id"))
+      .agg(slice(reverse(array_sort(collect_list(col("cand")))),
+        1, AnnOps.topK).as("top"))
+      .drop("window")
+      .select(col("query_id"),
+        posexplode(col("top")).as(Seq("r0", "c")))
+      .select(col("query_id"), (col("r0") + 1).cast("int").as("rank"),
+        (-col("c.nid")).as("neighbor_id"))
+  }
+
   final case class Ev(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, value: Double)
   final case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,

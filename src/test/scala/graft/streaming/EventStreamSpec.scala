@@ -226,6 +226,30 @@ class EventStreamSpec extends SparkSpec {
       .collect().forall(_.getDouble(0) == 1.0))
   }
 
+  test("streaming ANN probe matches the batch IVF search on the same index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ops = graft.operators.AnnOps
+    val (cents, assigned) = ops.ivfFor(spark, sfDir)
+    val queries = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < ops.nQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val stream = MemoryStream[(Long, Seq[Float])]
+    stream.addData(queries.toSeq)
+    val q = EventStream.annProbeStream(
+        stream.toDF().toDF("vec_id", "embedding"), cents, assigned)
+      .writeStream.format("memory").queryName("annprobe").outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("annprobe").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val batch = ops.annIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty && got == batch,
+      s"stream-only ${got.diff(batch).size}, batch-only ${batch.diff(got).size}")
+  }
+
   test("streaming BM25 scores match the batch ranker on the same index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
