@@ -135,6 +135,9 @@ object Explain {
       // per-label centroids: narrow explode + two hash aggregations,
       // never a whole-vector groupBy
       "q_embed_centroids"    -> Seq("Generate", "ObjectHashAggregate"),
+      // outliers: distance joins through narrow (label, idx) rows;
+      // the rank window partitions on the bounded label key
+      "q_embed_outliers"     -> Seq("Generate", "ObjectHashAggregate", "Window"),
       // leaderboard: df via hash agg (map-side collapses the viral
       // phrases), top-k as a per-partition heap, no global sort
       "q_top_ngrams"         -> Seq("HashAggregate", "TakeOrderedAndProject"),

@@ -147,6 +147,80 @@ object AnnOps {
       |    (a, b) -> a + b) / count(*) AS m
       |FROM ex GROUP BY label, idx ORDER BY label, idx""".stripMargin
 
+  // -------------------------------------------- per-label outliers
+
+  /** Fraction of each label's vectors flagged as outliers (the
+    * farthest from the label centroid) — the embedding-space prune a
+    * curation pipeline runs before training (mislabeled / off-topic /
+    * corrupted vectors sit far from their class mean). */
+  val outlierFrac = 0.05
+
+  /** Per-label embedding outliers: Euclidean distance of every vector
+    * to its label centroid, the top ⌊outlierFrac·n⌋ per label flagged.
+    * The centroid means are the same sorted-fold sums as
+    * [[embedCentroids]] (hash-exact doubles), the distance is an
+    * idx-ordered fold of (x−m)² — bit-identical on both engines — and
+    * the cutoff is an integer rank, so the whole row hash-checks. The
+    * squared distance joins through narrow (label, idx) rows (the
+    * centroid side is labels×dims — AQE broadcasts it); the per-label
+    * rank window sorts one label's vectors per partition, fine for a
+    * bounded label set — an unbounded-cardinality key would switch to
+    * an approx-quantile cutoff broadcast back, the [[q_ppl_buckets]]
+    * shape. */
+  def embedOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.spread(s, Tables.embeddings(s, dir))
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("idx", "x")))
+    val cents = ex.groupBy(col("label"), col("idx"))
+      .agg(count(lit(1)).as("n"),
+        aggregate(array_sort(collect_list(struct(col("x"), col("vec_id")))),
+          lit(0.0), (acc, t) => acc + t.getField("x")).as("sx"))
+      .select(col("label"), col("idx"), col("n"), (col("sx") / col("n")).as("m"))
+    val dists = ex.join(cents, Seq("label", "idx"))
+      .groupBy(col("label"), col("vec_id"), col("n"))
+      .agg(sqrt(aggregate(
+        array_sort(collect_list(struct(col("idx"),
+          ((col("x") - col("m")) * (col("x") - col("m"))).as("d2")))),
+        lit(0.0), (acc, t) => acc + t.getField("d2"))).as("dist"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("dist").desc, col("vec_id").asc)
+    dists
+      .withColumn("dist_rank", row_number().over(w))
+      .select(col("vec_id"), col("label"), round(col("dist"), 6).as("dist"),
+        col("dist_rank"),
+        (col("dist_rank") <= floor(lit(outlierFrac) * col("n")).cast("int"))
+          .as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
+  lazy val embedOutliersSql: String =
+    s"""WITH ex AS (
+       |  SELECT label, vec_id, CAST(i AS INTEGER) AS idx,
+       |    v[CAST(i+1 AS BIGINT)] AS x
+       |  FROM (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |        unnest(range(len(embedding))) AS i FROM embeddings)),
+       |c AS (
+       |  SELECT label, idx, count(*) AS n,
+       |    list_reduce(list_prepend(0.0, list_transform(
+       |      list(struct_pack(x := x, vid := vec_id) ORDER BY x, vec_id), t -> t.x)),
+       |      (a, b) -> a + b) / count(*) AS m
+       |  FROM ex GROUP BY label, idx),
+       |d AS (
+       |  SELECT ex.label, ex.vec_id, c.n,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(
+       |      list(struct_pack(i := ex.idx, d2 := (ex.x - c.m) * (ex.x - c.m))
+       |        ORDER BY ex.idx),
+       |      t -> t.d2)), (a, b) -> a + b)) AS dist
+       |  FROM ex JOIN c ON ex.label = c.label AND ex.idx = c.idx
+       |  GROUP BY ex.label, ex.vec_id, c.n)
+       |SELECT vec_id, label, round(dist, 6) AS dist,
+       |  CAST(row_number() OVER (PARTITION BY label
+       |    ORDER BY dist DESC, vec_id ASC) AS INTEGER) AS dist_rank,
+       |  CAST(row_number() OVER (PARTITION BY label
+       |    ORDER BY dist DESC, vec_id ASC) AS INTEGER)
+       |    <= CAST(floor(CAST($outlierFrac AS DOUBLE) * n) AS INTEGER) AS is_outlier
+       |FROM d ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------ IVF
 
   val kClusters = 10
@@ -571,6 +645,7 @@ object AnnOps {
     "q_knn_graph"       -> (knnGraph _),
     "q_knn_graph_ivf"   -> (knnGraphIvf _),
     "q_embed_centroids" -> (embedCentroids _),
+    "q_embed_outliers"  -> (embedOutliers _),
     "q_embed_quantize"  -> (quantizeEmbeddings _))
 
   /** IVF is approximate by construction — spec-pinned, rows-only check. */
@@ -578,5 +653,6 @@ object AnnOps {
     "q_ann_topk"        -> annTopkSql,
     "q_knn_graph"       -> knnGraphSql,
     "q_embed_centroids" -> embedCentroidsSql,
+    "q_embed_outliers"  -> embedOutliersSql,
     "q_embed_quantize"  -> quantizeEmbeddingsSql)
 }

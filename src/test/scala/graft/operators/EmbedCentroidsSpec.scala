@@ -36,6 +36,32 @@ class EmbedCentroidsSpec extends SparkSpec {
     }
   }
 
+  test("outliers are each label's farthest-from-centroid vectors, exactly floor(frac*n) of them") {
+    val vecs = graft.Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getSeq[Float](1).map(_.toDouble)))
+    val cents = vecs.groupBy(_._2).map { case (l, vs) =>
+      val dim = vs.head._3.length
+      l -> (0 until dim).map(i => vs.map(_._3(i)).sum / vs.length)
+    }
+    val expectDist = vecs.map { case (id, l, v) =>
+      id -> math.sqrt(v.zip(cents(l)).map { case (x, m) => (x - m) * (x - m) }.sum)
+    }.toMap
+    val rows = AnnOps.embedOutliers(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3), r.getBoolean(4)))
+    assert(rows.length == vecs.length)
+    rows.foreach { case (id, _, d, _, _) =>
+      assert(math.abs(d - expectDist(id)) <= 1e-6)
+    }
+    rows.groupBy(_._2).foreach { case (l, rs) =>
+      val cut = math.floor(AnnOps.outlierFrac * rs.length).toInt
+      assert(rs.count(_._5) == cut, s"label $l outlier count")
+      // flagged vectors are exactly the top-ranked (farthest) ones
+      assert(rs.filter(_._5).map(_._4).sorted.toSeq == (1 to cut))
+      val flaggedMin = if (cut > 0) rs.filter(_._5).map(_._3).min else Double.MaxValue
+      assert(rs.filterNot(_._5).forall(_._3 <= flaggedMin + 1e-9))
+    }
+  }
+
   test("label populations cover the whole corpus exactly once") {
     val total = graft.Tables.embeddings(spark, sfDir).count()
     val perLabel = AnnOps.embedCentroids(spark, sfDir).collect()
