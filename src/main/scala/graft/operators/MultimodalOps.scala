@@ -54,6 +54,56 @@ object MultimodalOps {
       |  lower(hex(encode(substring(text, 1, 8)))) AS header_hex
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------- real header parsing
+
+  /** Synthetic PNG-framed corpus: every payload carries a REAL PNG
+    * byte layout — the 8-byte signature, the IHDR chunk length+type,
+    * big-endian width and height — followed by the text bytes as the
+    * stand-in body. Every 9th record gets a zeroed signature (a
+    * corrupt/foreign file) so the parser's negative path is exercised.
+    * Deterministic, so the oracle knows ground truth arithmetically. */
+  def pngCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      concat(
+        when(col("doc_id") % 9 === 0, unhex(lit("0000000000000000")))
+          .otherwise(unhex(lit("89504E470D0A1A0A"))), // \x89PNG\r\n\x1a\n
+        unhex(lit("0000000D49484452")),               // IHDR length + "IHDR"
+        unhex(format_string("%08x", lit(16) + col("doc_id") % 1024)),
+        unhex(format_string("%08x", lit(16) + (col("doc_id") * 7) % 1024)),
+        encode(col("text"), "utf-8")).as("payload"))
+
+  /** Image metadata extraction from the BYTES alone (no side channel):
+    * signature check against the PNG magic, big-endian width/height
+    * from the IHDR offsets (hex-slice → base-16 parse), body size.
+    * Pure codegen column expressions — a billion thumbnails parse at
+    * scan speed with zero shuffles. The oracle recomputes ground truth
+    * arithmetically from the generator, so any error in either the
+    * byte packing or the parse breaks the hash. */
+  def imageMeta(s: SparkSession, dir: String): DataFrame =
+    imageMetaOf(Tables.spread(s, pngCorpus(s, dir)))
+
+  /** Generic API: parse PNG signature + IHDR dimensions from any
+    * (doc_id, payload: binary) frame — works on real PNG files, not
+    * just the synthetic corpus (spec feeds it a hand-built genuine
+    * PNG header). */
+  def imageMetaOf(media: DataFrame): DataFrame =
+    media.select(
+      col("doc_id"),
+      (hex(substring(col("payload"), 1, 8)) === "89504E470D0A1A0A").as("is_png"),
+      conv(hex(substring(col("payload"), 17, 4)), 16, 10).cast("int").as("width"),
+      conv(hex(substring(col("payload"), 21, 4)), 16, 10).cast("int").as("height"),
+      (octet_length(col("payload")) - 24).as("n_body_bytes"))
+      .orderBy("doc_id")
+
+  val imageMetaSql: String =
+    """SELECT doc_id,
+      |  doc_id % 9 <> 0 AS is_png,
+      |  CAST(16 + doc_id % 1024 AS INTEGER) AS width,
+      |  CAST(16 + (doc_id * 7) % 1024 AS INTEGER) AS height,
+      |  CAST(octet_length(encode(text)) AS INTEGER) AS n_body_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------- batched decode pipeline
 
   /** STUB decode: deterministic fake features standing in for an image/
@@ -185,11 +235,13 @@ object MultimodalOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_binary_features"  -> (binaryFeatures _),
+    "q_image_meta"       -> (imageMeta _),
     "q_multimodal_batch" -> (multimodalBatch _),
     "q_media_dedup"      -> (mediaDedup _))
 
   /** The decode stub is JVM-side logic — rows-only check + spec
     * (q_multimodal_batch, q_media_dedup). */
   def oracles: Map[String, String] = Map(
-    "q_binary_features" -> binaryFeaturesSql)
+    "q_binary_features" -> binaryFeaturesSql,
+    "q_image_meta"      -> imageMetaSql)
 }

@@ -6,6 +6,35 @@ import graft.SparkSpec
 
 class MultimodalOpsSpec extends SparkSpec {
 
+  test("IHDR parser reads a genuine hand-built PNG header correctly") {
+    import spark.implicits._
+    // real PNG byte layout: signature, IHDR length (13), "IHDR",
+    // width=640, height=480 big-endian, then arbitrary body bytes
+    def be(i: Int): Array[Byte] =
+      Array(((i >> 24) & 0xff).toByte, ((i >> 16) & 0xff).toByte,
+        ((i >> 8) & 0xff).toByte, (i & 0xff).toByte)
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdr = be(13) ++ "IHDR".getBytes("US-ASCII")
+    val png = sig ++ ihdr ++ be(640) ++ be(480) ++ Array.fill(9)(0x42.toByte)
+    val notPng = ("GIF89a" + "x" * 30).getBytes("US-ASCII")
+    val rows = MultimodalOps.imageMetaOf(
+        Seq((1L, png), (2L, notPng)).toDF("doc_id", "payload"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getInt(2), r.getInt(3)))
+    assert(rows(0) == ((1L, true, 640, 480)))
+    assert(rows(1)._1 == 2L && !rows(1)._2)
+  }
+
+  test("synthetic PNG corpus round-trips: parsed dims equal the generator's") {
+    val metas = MultimodalOps.imageMeta(spark, sfDir).collect()
+    assert(metas.nonEmpty)
+    metas.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getBoolean(1) == (id % 9 != 0))
+      assert(r.getInt(2) == 16 + (id % 1024).toInt)
+      assert(r.getInt(3) == 16 + ((id * 7) % 1024).toInt)
+    }
+  }
+
   test("batched decode is deterministic and covers every record") {
     val corpus = MultimodalOps.mediaCorpus(spark, sfDir)
     val out = MultimodalOps.multimodalBatch(spark, sfDir)
