@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -102,6 +102,91 @@ object MultimodalOps {
       |  CAST(16 + doc_id % 1024 AS INTEGER) AS width,
       |  CAST(16 + (doc_id * 7) % 1024 AS INTEGER) AS height,
       |  CAST(octet_length(encode(text)) AS INTEGER) AS n_body_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Little-endian byte helpers: WAV/RIFF stores multi-byte fields
+    * least-significant byte first, so packing/parsing reverses the
+    * big-endian hex of `format_string`/`conv` byte-pair-wise. */
+  private def le4hex(v: Column): Column = {
+    val be = format_string("%08x", v)
+    concat(substring(be, 7, 2), substring(be, 5, 2),
+      substring(be, 3, 2), substring(be, 1, 2))
+  }
+  private def le2hex(v: Column): Column = {
+    val be = format_string("%04x", v)
+    concat(substring(be, 3, 2), substring(be, 1, 2))
+  }
+  private def parseLe4(bytes: Column): Column = {
+    val h = hex(bytes)
+    conv(concat(substring(h, 7, 2), substring(h, 5, 2),
+      substring(h, 3, 2), substring(h, 1, 2)), 16, 10).cast("int")
+  }
+  private def parseLe2(bytes: Column): Column = {
+    val h = hex(bytes)
+    conv(concat(substring(h, 3, 2), substring(h, 1, 2)), 16, 10).cast("int")
+  }
+
+  /** Synthetic WAV-framed corpus: the canonical 44-byte RIFF/WAVE
+    * header — "RIFF", chunk size, "WAVE", "fmt ", PCM format, channel
+    * count, sample rate, byte rate, block align, bits per sample,
+    * "data", data size — all little-endian like a real file, followed
+    * by the text bytes as the stand-in sample data. */
+  def wavCorpus(s: SparkSession, dir: String): DataFrame = {
+    val channels = (lit(1) + col("doc_id") % 2).cast("int")
+    val rate = (lit(8000) * (lit(1) + col("doc_id") % 5)).cast("int")
+    val bits = lit(16)
+    val dataLen = octet_length(encode(col("text"), "utf-8"))
+    // bytes-per-sample is bits/8 = 2; Column `/` is double division,
+    // so keep the arithmetic integral for the %x formatter
+    val blockAlign = (channels * lit(2)).cast("int")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      concat(
+        encode(lit("RIFF"), "utf-8"), unhex(le4hex(dataLen + 36)),
+        encode(lit("WAVEfmt "), "utf-8"), unhex(le4hex(lit(16))),
+        unhex(le2hex(lit(1))), unhex(le2hex(channels)),
+        unhex(le4hex(rate)), unhex(le4hex(rate * blockAlign)),
+        unhex(le2hex(blockAlign)), unhex(le2hex(bits)),
+        encode(lit("data"), "utf-8"), unhex(le4hex(dataLen)),
+        encode(col("text"), "utf-8")).as("payload"))
+  }
+
+  def audioMeta(s: SparkSession, dir: String): DataFrame =
+    audioMetaOf(Tables.spread(s, wavCorpus(s, dir)))
+
+  /** Generic API: parse RIFF/WAVE metadata from any (doc_id, payload)
+    * frame — container check, channel count, sample rate, bits per
+    * sample, data size, duration. Little-endian fields parse by
+    * byte-reversing the hex slice; pure codegen columns, zero
+    * shuffles, like [[imageMetaOf]]. */
+  def audioMetaOf(media: DataFrame): DataFrame =
+    media.select(
+      col("doc_id"),
+      (hex(substring(col("payload"), 1, 4)) === "52494646" &&
+        hex(substring(col("payload"), 9, 4)) === "57415645").as("is_wav"),
+      parseLe2(substring(col("payload"), 23, 2)).as("channels"),
+      parseLe4(substring(col("payload"), 25, 4)).as("sample_rate"),
+      parseLe2(substring(col("payload"), 35, 2)).as("bits_per_sample"),
+      parseLe4(substring(col("payload"), 41, 4)).as("data_bytes"))
+      // integral microseconds (SQL `div` — integer division) — a
+      // rounded double seconds value ties at the .5 boundary and
+      // round-half behavior differs across engines
+      .withColumn("duration_us", expr(
+        "CAST(data_bytes AS BIGINT) * 1000000 div " +
+          "(CAST(sample_rate AS BIGINT) * channels * 2)"))
+      .orderBy("doc_id")
+
+  /** Oracle: ground truth recomputed arithmetically from the
+    * generator, so errors in either the little-endian packing or the
+    * parse break the hash. */
+  val audioMetaSql: String =
+    """SELECT doc_id, TRUE AS is_wav,
+      |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+      |  CAST(8000 * (1 + doc_id % 5) AS INTEGER) AS sample_rate,
+      |  CAST(16 AS INTEGER) AS bits_per_sample,
+      |  CAST(octet_length(encode(text)) AS INTEGER) AS data_bytes,
+      |  (CAST(octet_length(encode(text)) AS BIGINT) * 1000000) //
+      |    (8000 * (1 + doc_id % 5) * (1 + doc_id % 2) * 2) AS duration_us
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------- batched decode pipeline
@@ -236,6 +321,7 @@ object MultimodalOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_binary_features"  -> (binaryFeatures _),
     "q_image_meta"       -> (imageMeta _),
+    "q_audio_meta"       -> (audioMeta _),
     "q_multimodal_batch" -> (multimodalBatch _),
     "q_media_dedup"      -> (mediaDedup _))
 
@@ -243,5 +329,6 @@ object MultimodalOps {
     * (q_multimodal_batch, q_media_dedup). */
   def oracles: Map[String, String] = Map(
     "q_binary_features" -> binaryFeaturesSql,
-    "q_image_meta"      -> imageMetaSql)
+    "q_image_meta"      -> imageMetaSql,
+    "q_audio_meta"      -> audioMetaSql)
 }

@@ -24,6 +24,28 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(rows(1)._1 == 2L && !rows(1)._2)
   }
 
+  test("RIFF parser reads a genuine hand-built WAV header correctly") {
+    import spark.implicits._
+    // canonical 44-byte WAV header: 44.1 kHz stereo 16-bit, 1s of data
+    def le4(i: Int): Array[Byte] = Array((i & 0xff).toByte, ((i >> 8) & 0xff).toByte,
+      ((i >> 16) & 0xff).toByte, ((i >> 24) & 0xff).toByte)
+    def le2(i: Int): Array[Byte] = Array((i & 0xff).toByte, ((i >> 8) & 0xff).toByte)
+    val dataLen = 44100 * 2 * 2
+    val wav = "RIFF".getBytes ++ le4(dataLen + 36) ++ "WAVEfmt ".getBytes ++
+      le4(16) ++ le2(1) ++ le2(2) ++ le4(44100) ++ le4(44100 * 4) ++
+      le2(4) ++ le2(16) ++ "data".getBytes ++ le4(dataLen) ++
+      Array.fill(16)(0.toByte)
+    val rows = MultimodalOps.audioMetaOf(Seq((1L, wav)).toDF("doc_id", "payload"))
+      .collect()
+    val r = rows.head
+    assert(r.getBoolean(1))                 // is_wav
+    assert(r.getInt(2) == 2)                // channels
+    assert(r.getInt(3) == 44100)            // sample_rate
+    assert(r.getInt(4) == 16)               // bits_per_sample
+    assert(r.getInt(5) == dataLen)          // data_bytes
+    assert(r.getLong(6) == 1000000L)        // exactly one second
+  }
+
   test("synthetic PNG corpus round-trips: parsed dims equal the generator's") {
     val metas = MultimodalOps.imageMeta(spark, sfDir).collect()
     assert(metas.nonEmpty)
