@@ -189,6 +189,85 @@ object MultimodalOps {
       |    (8000 * (1 + doc_id % 5) * (1 + doc_id % 2) * 2) AS duration_us
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------- mixed-media catalog
+
+  /** Mixed binary corpus: PNG / WAV / MP4-ftyp payloads round-robin by
+    * doc_id — the "bucket of unlabeled media files" a cataloging pass
+    * faces. The MP4 head is a real ftyp box (big-endian size, "ftyp",
+    * major brand "isom", minor version, compatible brand "mp41"). */
+  def mixedMediaCorpus(s: SparkSession, dir: String): DataFrame = {
+    val png = pngCorpus(s, dir).withColumnRenamed("payload", "p_png")
+    val wav = wavCorpus(s, dir).withColumnRenamed("payload", "p_wav")
+    val mp4 = Tables.documents(s, dir).select(col("doc_id"),
+      concat(
+        unhex(format_string("%08x", lit(20))),       // box size 20 BE
+        encode(lit("ftypisom"), "utf-8"),            // type + major brand
+        unhex(lit("00000200")),                      // minor version
+        encode(lit("mp41"), "utf-8"),                // compatible brand
+        encode(col("text"), "utf-8")).as("p_mp4"))
+    png.join(wav, "doc_id").join(mp4, "doc_id")
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, col("p_png"))
+          .when(col("doc_id") % 3 === 1, col("p_wav"))
+          .otherwise(col("p_mp4")).as("payload"))
+  }
+
+  /** Media catalog: ONE pass over a mixed binary column detects each
+    * payload's container from its magic bytes and extracts the
+    * type-appropriate metadata — width/height for images, sample rate/
+    * channels for audio, brand for video — as nullable columns. The
+    * dispatch and every parse are codegen column expressions, so
+    * cataloging a 100 TB object store is a zero-shuffle scan; unknown
+    * containers surface as detected_type = 'unknown' instead of
+    * failing the job. */
+  def mediaCatalog(s: SparkSession, dir: String): DataFrame =
+    mediaCatalogOf(Tables.spread(s, mixedMediaCorpus(s, dir)))
+
+  def mediaCatalogOf(media: DataFrame): DataFrame = {
+    val head8 = hex(substring(col("payload"), 1, 8))
+    val isPng = head8 === "89504E470D0A1A0A"
+    val isWav = hex(substring(col("payload"), 1, 4)) === "52494646" &&
+      hex(substring(col("payload"), 9, 4)) === "57415645"
+    val isMp4 = hex(substring(col("payload"), 5, 4)) === "66747970"
+    media.select(
+      col("doc_id"),
+      when(isPng, "image/png").when(isWav, "audio/wav")
+        .when(isMp4, "video/mp4").otherwise("unknown").as("detected_type"),
+      octet_length(col("payload")).as("n_bytes"),
+      when(isPng, conv(hex(substring(col("payload"), 17, 4)), 16, 10).cast("int"))
+        .as("width"),
+      when(isPng, conv(hex(substring(col("payload"), 21, 4)), 16, 10).cast("int"))
+        .as("height"),
+      when(isWav, parseLe4(substring(col("payload"), 25, 4))).as("sample_rate"),
+      when(isWav, parseLe2(substring(col("payload"), 23, 2))).as("channels"),
+      when(isMp4, decode(substring(col("payload"), 9, 4), "US-ASCII"))
+        .as("brand"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle ground truth: the every-9th corrupted-signature PNG must
+    * catalog as 'unknown' with NULL dimensions — the dispatch is from
+    * the bytes, not the generator's intent. */
+  val mediaCatalogSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN
+      |         CASE WHEN doc_id % 9 = 0 THEN 'unknown' ELSE 'image/png' END
+      |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+      |       ELSE 'video/mp4' END AS detected_type,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN octet_length(encode(text)) + 24
+      |            WHEN doc_id % 3 = 1 THEN octet_length(encode(text)) + 44
+      |            ELSE octet_length(encode(text)) + 20 END AS INTEGER) AS n_bytes,
+      |  CAST(CASE WHEN doc_id % 3 = 0 AND doc_id % 9 <> 0
+      |    THEN 16 + doc_id % 1024 END AS INTEGER) AS width,
+      |  CAST(CASE WHEN doc_id % 3 = 0 AND doc_id % 9 <> 0
+      |    THEN 16 + (doc_id * 7) % 1024 END AS INTEGER) AS height,
+      |  CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 * (1 + doc_id % 5) END AS INTEGER)
+      |    AS sample_rate,
+      |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2 END AS INTEGER)
+      |    AS channels,
+      |  CASE WHEN doc_id % 3 = 2 THEN 'isom' END AS brand
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------- batched decode pipeline
 
   /** STUB decode: deterministic fake features standing in for an image/
@@ -322,6 +401,7 @@ object MultimodalOps {
     "q_binary_features"  -> (binaryFeatures _),
     "q_image_meta"       -> (imageMeta _),
     "q_audio_meta"       -> (audioMeta _),
+    "q_media_catalog"    -> (mediaCatalog _),
     "q_multimodal_batch" -> (multimodalBatch _),
     "q_media_dedup"      -> (mediaDedup _))
 
@@ -330,5 +410,6 @@ object MultimodalOps {
   def oracles: Map[String, String] = Map(
     "q_binary_features" -> binaryFeaturesSql,
     "q_image_meta"      -> imageMetaSql,
-    "q_audio_meta"      -> audioMetaSql)
+    "q_audio_meta"      -> audioMetaSql,
+    "q_media_catalog"   -> mediaCatalogSql)
 }

@@ -57,6 +57,23 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
+  test("media catalog dispatches on magic bytes, corrupted files surface as unknown") {
+    val rows = MultimodalOps.mediaCatalog(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val t = r.getString(1)
+      if (id % 3 == 0)
+        assert(t == (if (id % 9 == 0) "unknown" else "image/png"))
+      else if (id % 3 == 1) assert(t == "audio/wav")
+      else assert(t == "video/mp4" && r.getString(7) == "isom")
+      // per-type fields are null outside their type
+      if (t != "image/png") assert(r.isNullAt(3) && r.isNullAt(4))
+      if (t != "audio/wav") assert(r.isNullAt(5) && r.isNullAt(6))
+      if (t != "video/mp4") assert(r.isNullAt(7))
+    }
+  }
+
   test("batched decode is deterministic and covers every record") {
     val corpus = MultimodalOps.mediaCorpus(spark, sfDir)
     val out = MultimodalOps.multimodalBatch(spark, sfDir)
