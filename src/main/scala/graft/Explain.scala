@@ -168,7 +168,11 @@ object Explain {
       // join of two k-row frames
       "q_rank_fusion"        -> Seq("TakeOrderedAndProject"),
       // migration is one shuffle-free projection reading one column
-      "q_migrate_legacy_ids" -> Seq("ReadSchema: struct<doc_id:bigint>"))
+      "q_migrate_legacy_ids" -> Seq("ReadSchema: struct<doc_id:bigint>"),
+      // binary parsing + the mixed catalog: pure scan-speed projections
+      "q_image_meta"         -> Seq("Project"),
+      "q_audio_meta"         -> Seq("Project"),
+      "q_media_catalog"      -> Seq("Project"))
 
     // anti-patterns per query: substrings that must NOT appear. Expand
     // is countDistinct's row-multiplying fallback — these queries are
@@ -181,7 +185,10 @@ object Explain {
       "q_source_overlap"    -> Seq("Expand", "Window"),
       "q_rag_chunks"        -> Seq("Join", "HashAggregate", "Window"),
       "q_phrase_search"     -> Seq("Join", "HashAggregate", "Window"),
-      "q_migrate_legacy_ids" -> Seq("Join", "HashAggregate", "Window", "Exchange hash"))
+      "q_migrate_legacy_ids" -> Seq("Join", "HashAggregate", "Window", "Exchange hash"),
+      "q_image_meta"        -> Seq("Join", "HashAggregate", "Window"),
+      "q_audio_meta"        -> Seq("Join", "HashAggregate", "Window"),
+      "q_media_catalog"     -> Seq("Join", "HashAggregate", "Window"))
 
     // the curate pipeline's whole cost at scale is corpus scans: quality,
     // content key, and split must share ONE projection, so `documents`

@@ -62,16 +62,16 @@ object MultimodalOps {
     * stand-in body. Every 9th record gets a zeroed signature (a
     * corrupt/foreign file) so the parser's negative path is exercised.
     * Deterministic, so the oracle knows ground truth arithmetically. */
+  private def pngPayload: Column = concat(
+    when(col("doc_id") % 9 === 0, unhex(lit("0000000000000000")))
+      .otherwise(unhex(lit("89504E470D0A1A0A"))), // \x89PNG\r\n\x1a\n
+    unhex(lit("0000000D49484452")),               // IHDR length + "IHDR"
+    unhex(format_string("%08x", lit(16) + col("doc_id") % 1024)),
+    unhex(format_string("%08x", lit(16) + (col("doc_id") * 7) % 1024)),
+    encode(col("text"), "utf-8"))
+
   def pngCorpus(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      concat(
-        when(col("doc_id") % 9 === 0, unhex(lit("0000000000000000")))
-          .otherwise(unhex(lit("89504E470D0A1A0A"))), // \x89PNG\r\n\x1a\n
-        unhex(lit("0000000D49484452")),               // IHDR length + "IHDR"
-        unhex(format_string("%08x", lit(16) + col("doc_id") % 1024)),
-        unhex(format_string("%08x", lit(16) + (col("doc_id") * 7) % 1024)),
-        encode(col("text"), "utf-8")).as("payload"))
+    Tables.documents(s, dir).select(col("doc_id"), pngPayload.as("payload"))
 
   /** Image metadata extraction from the BYTES alone (no side channel):
     * signature check against the PNG magic, big-endian width/height
@@ -131,7 +131,7 @@ object MultimodalOps {
     * count, sample rate, byte rate, block align, bits per sample,
     * "data", data size — all little-endian like a real file, followed
     * by the text bytes as the stand-in sample data. */
-  def wavCorpus(s: SparkSession, dir: String): DataFrame = {
+  private def wavPayload: Column = {
     val channels = (lit(1) + col("doc_id") % 2).cast("int")
     val rate = (lit(8000) * (lit(1) + col("doc_id") % 5)).cast("int")
     val bits = lit(16)
@@ -139,17 +139,18 @@ object MultimodalOps {
     // bytes-per-sample is bits/8 = 2; Column `/` is double division,
     // so keep the arithmetic integral for the %x formatter
     val blockAlign = (channels * lit(2)).cast("int")
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      concat(
-        encode(lit("RIFF"), "utf-8"), unhex(le4hex(dataLen + 36)),
-        encode(lit("WAVEfmt "), "utf-8"), unhex(le4hex(lit(16))),
-        unhex(le2hex(lit(1))), unhex(le2hex(channels)),
-        unhex(le4hex(rate)), unhex(le4hex(rate * blockAlign)),
-        unhex(le2hex(blockAlign)), unhex(le2hex(bits)),
-        encode(lit("data"), "utf-8"), unhex(le4hex(dataLen)),
-        encode(col("text"), "utf-8")).as("payload"))
+    concat(
+      encode(lit("RIFF"), "utf-8"), unhex(le4hex(dataLen + 36)),
+      encode(lit("WAVEfmt "), "utf-8"), unhex(le4hex(lit(16))),
+      unhex(le2hex(lit(1))), unhex(le2hex(channels)),
+      unhex(le4hex(rate)), unhex(le4hex(rate * blockAlign)),
+      unhex(le2hex(blockAlign)), unhex(le2hex(bits)),
+      encode(lit("data"), "utf-8"), unhex(le4hex(dataLen)),
+      encode(col("text"), "utf-8"))
   }
+
+  def wavCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), wavPayload.as("payload"))
 
   def audioMeta(s: SparkSession, dir: String): DataFrame =
     audioMetaOf(Tables.spread(s, wavCorpus(s, dir)))
@@ -195,22 +196,20 @@ object MultimodalOps {
     * doc_id — the "bucket of unlabeled media files" a cataloging pass
     * faces. The MP4 head is a real ftyp box (big-endian size, "ftyp",
     * major brand "isom", minor version, compatible brand "mp41"). */
-  def mixedMediaCorpus(s: SparkSession, dir: String): DataFrame = {
-    val png = pngCorpus(s, dir).withColumnRenamed("payload", "p_png")
-    val wav = wavCorpus(s, dir).withColumnRenamed("payload", "p_wav")
-    val mp4 = Tables.documents(s, dir).select(col("doc_id"),
-      concat(
-        unhex(format_string("%08x", lit(20))),       // box size 20 BE
-        encode(lit("ftypisom"), "utf-8"),            // type + major brand
-        unhex(lit("00000200")),                      // minor version
-        encode(lit("mp41"), "utf-8"),                // compatible brand
-        encode(col("text"), "utf-8")).as("p_mp4"))
-    png.join(wav, "doc_id").join(mp4, "doc_id")
-      .select(col("doc_id"),
-        when(col("doc_id") % 3 === 0, col("p_png"))
-          .when(col("doc_id") % 3 === 1, col("p_wav"))
-          .otherwise(col("p_mp4")).as("payload"))
-  }
+  private def mp4Payload: Column = concat(
+    unhex(format_string("%08x", lit(20))),       // box size 20 BE
+    encode(lit("ftypisom"), "utf-8"),            // type + major brand
+    unhex(lit("00000200")),                      // minor version
+    encode(lit("mp41"), "utf-8"),                // compatible brand
+    encode(col("text"), "utf-8"))
+
+  /** One projection over ONE scan: the per-type payload builders are
+    * Column expressions, so no self-joins reassemble the mix. */
+  def mixedMediaCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, pngPayload)
+        .when(col("doc_id") % 3 === 1, wavPayload)
+        .otherwise(mp4Payload).as("payload"))
 
   /** Media catalog: ONE pass over a mixed binary column detects each
     * payload's container from its magic bytes and extracts the
