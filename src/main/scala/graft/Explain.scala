@@ -214,7 +214,20 @@ object Explain {
         println(plan.linesIterator.take(40).mkString("\n"))
       } else println(s"== $name: OK")
     }
-    println(s"== audit ${if (bad == 0) "clean" else s"$bad problems"}")
+    // global tripwire: EVERY registered query — audited above or not —
+    // must plan without a CartesianProduct (the one operator that is
+    // never acceptable at corpus scale; deliberate small-side nested
+    // loops plan as BroadcastNestedLoopJoin, which this does not flag)
+    val audited = audit.map(_._1).toSet
+    SparkEntry.queries.keys.toSeq.sorted.filterNot(audited).foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) {
+        bad += 1
+        println(s"== $name: CARTESIAN (unaudited query)")
+      }
+    }
+    println(s"== audit ${if (bad == 0) "clean" else s"$bad problems"} " +
+      s"(${audited.size} shape-audited + ${SparkEntry.queries.size - audited.size} cartesian-swept)")
     spark.stop()
   }
 }
