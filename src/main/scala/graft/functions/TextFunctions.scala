@@ -567,7 +567,38 @@ object TextFunctions {
        |  FROM (SELECT unnest(sh) AS s FROM sh_t) GROUP BY 1)
        |ORDER BY df DESC, ngram ASC LIMIT $topNgramsK""".stripMargin
 
+  // -------------------------------------- bounded heavy hitters
+
+  /** Summary capacity of the heavy-hitters sketch query. */
+  val heavyHittersCapacity = 32
+
+  /** Corpus heavy-hitter tokens through the bounded SpaceSaving
+    * summary ([[HeavyHittersAgg]]) — the scale path for "top tokens"
+    * when the key domain is too large for an exact groupBy (a
+    * web-scale vocabulary): O(capacity) state per group, no
+    * key-domain shuffle. The token string re-attaches by equi-join on
+    * the hash afterward (only `capacity` rows join). Counts are
+    * overestimates with a per-key error bound (spec-pinned); the
+    * summary content is arrival-order dependent, so the driver row is
+    * rows-only (row count = capacity, stable) and the guarantees are
+    * what HeavyHittersSpec checks. */
+  def heavyHitterTokens(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.Tables.spread(s, graft.Tables.documents(s, dir))
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .select(col("tok"), xxhash64(col("tok")).as("h"))
+    toks
+      .agg(GraftFunctions.heavyHitters(col("h"), heavyHittersCapacity).as("hh"))
+      .select(posexplode(col("hh")).as(Seq("r0", "e")))
+      .select((col("r0") + 1).cast("int").as("rank"),
+        col("e.key").as("key"), col("e.count").as("est_count"),
+        col("e.err").as("err"))
+      .join(toks.select(col("h").as("key"), col("tok")).distinct(), Seq("key"), "left")
+      .select("rank", "tok", "est_count", "err")
+      .orderBy("rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_hitters"   -> (heavyHitterTokens _),
     "q_top_ngrams"      -> (topNgrams _),
     "q_token_cms"       -> (tokenCms _),
     "q_gopher_filter"   -> (gopherFilter _),

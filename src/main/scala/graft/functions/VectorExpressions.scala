@@ -125,4 +125,10 @@ object GraftFunctions {
     * (uniform dimensionality) — see [[VectorSumAgg]]. */
   def vecsum(vec: Column): Column =
     GraftBridge.column(VectorSumAgg(GraftBridge.expression(vec)).toAggregateExpression())
+
+  /** Bounded SpaceSaving heavy-hitters summary over a bigint key
+    * column — see [[HeavyHittersAgg]]. */
+  def heavyHitters(key: Column, capacity: Int): Column =
+    GraftBridge.column(
+      HeavyHittersAgg(GraftBridge.expression(key), capacity).toAggregateExpression())
 }
