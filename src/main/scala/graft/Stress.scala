@@ -72,7 +72,8 @@ object Stress {
       "q_top_ngrams", "q_source_overlap", "q_token_cms",
       "q_stratified_sample", "q_dau_wau", "q_retention_cohorts",
       "q_bm25_topk", "q_phrase_search", "q_rag_chunks",
-      "q_leakage_safe_split")
+      "q_leakage_safe_split", "q_rank_fusion", "q_embed_outliers",
+      "q_heavy_hitters", "q_image_meta", "q_media_catalog")
     val heavies: Seq[String] =
       if (args.length > 2) args.drop(2).toSeq else defaults
 
