@@ -304,6 +304,34 @@ object EventStream {
         (-col("c.nid")).as("neighbor_id"))
   }
 
+  /** Streaming heavy-hitter tokens — the native SpaceSaving aggregate
+    * ([[graft.functions.HeavyHittersAgg]]) as watermark-bounded
+    * streaming state: per window, the state store holds ONE bounded
+    * (key, count, err) summary (O(capacity), not O(vocabulary)), so a
+    * token stream of any rate aggregates with constant state per
+    * window. Emits (window_start, rank, key, est_count, err); the
+    * sketch guarantees (coverage of freq > n/capacity, overestimate-
+    * only) carry over verbatim because the summary is mergeable —
+    * micro-batch partials combine exactly like shuffle partials
+    * (spec-pinned against exact counts). */
+  def heavyHitterStream(docs: DataFrame, capacity: Int,
+      windowDur: String = "1 minute",
+      watermarkDelay: String = "10 seconds"): DataFrame = {
+    docs
+      .filter(col("text").isNotNull)
+      .select(current_timestamp().as("ingest_ts"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .select(col("ingest_ts"), xxhash64(col("tok")).as("h"))
+      .withWatermark("ingest_ts", watermarkDelay)
+      .groupBy(window(col("ingest_ts"), windowDur))
+      .agg(graft.functions.GraftFunctions.heavyHitters(col("h"), capacity).as("hh"))
+      .select(col("window.start").as("window_start"),
+        posexplode(col("hh")).as(Seq("r0", "e")))
+      .select(col("window_start"), (col("r0") + 1).cast("int").as("rank"),
+        col("e.key").as("key"), col("e.count").as("est_count"),
+        col("e.err").as("err"))
+  }
+
   final case class Ev(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, value: Double)
   final case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,

@@ -226,6 +226,36 @@ class EventStreamSpec extends SparkSpec {
       .collect().forall(_.getDouble(0) == 1.0))
   }
 
+  test("streaming heavy hitters keep the SpaceSaving guarantees per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val capacity = 32
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs.toSeq)
+    val q = EventStream.heavyHitterStream(
+        stream.toDF().toDF("doc_id", "text"), capacity)
+      .writeStream.format("memory").queryName("hhs").outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val summary = spark.table("hhs").collect()
+      .map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(summary.size <= capacity && summary.nonEmpty)
+    // coverage + overestimate vs exact hashed token counts
+    val exactHashed = graft.Tables.documents(spark, sfDir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy(xxhash64(col("tok")).as("h")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = exactHashed.values.sum
+    exactHashed.filter(_._2 > n / capacity).keys.foreach(k =>
+      assert(summary.contains(k), s"heavy key $k missing from stream summary"))
+    summary.foreach { case (k, c) =>
+      assert(c >= exactHashed.getOrElse(k, 0L), s"stream undercount for $k")
+    }
+  }
+
   test("streaming ANN probe matches the batch IVF search on the same index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
