@@ -586,13 +586,20 @@ object TextFunctions {
     val toks = graft.Tables.spread(s, graft.Tables.documents(s, dir))
       .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
       .select(col("tok"), xxhash64(col("tok")).as("h"))
-    toks
+    val entries = toks
       .agg(GraftFunctions.heavyHitters(col("h"), heavyHittersCapacity).as("hh"))
       .select(posexplode(col("hh")).as(Seq("r0", "e")))
       .select((col("r0") + 1).cast("int").as("rank"),
         col("e.key").as("key"), col("e.count").as("est_count"),
         col("e.err").as("err"))
-      .join(toks.select(col("h").as("key"), col("tok")).distinct(), Seq("key"), "left")
+    // label recovery: broadcast-semi-filter the token stream down to
+    // the `capacity` summary keys BEFORE the distinct — the distinct
+    // never shuffles the full vocabulary, only the survivors' rows
+    // (map-side partials collapse each hot key per task)
+    val labels = toks.select(col("h").as("key"), col("tok"))
+      .join(broadcast(entries.select("key")), Seq("key"), "left_semi")
+      .distinct()
+    entries.join(labels, Seq("key"), "left")
       .select("rank", "tok", "est_count", "err")
       .orderBy("rank")
   }
