@@ -172,7 +172,10 @@ object Explain {
       // binary parsing + the mixed catalog: pure scan-speed projections
       "q_image_meta"         -> Seq("Project"),
       "q_audio_meta"         -> Seq("Project"),
-      "q_media_catalog"      -> Seq("Project"))
+      "q_media_catalog"      -> Seq("Project"),
+      // bounded sketch: one ObjectHashAggregate, label recovery via
+      // broadcast semi-filter — the vocabulary never shuffles whole
+      "q_heavy_hitters"      -> Seq("ObjectHashAggregate", "LeftSemi"))
 
     // anti-patterns per query: substrings that must NOT appear. Expand
     // is countDistinct's row-multiplying fallback — these queries are
