@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupOps, PipelineOps, QualityModelOps, SearchOps}
+import graft.streaming.EventStream
+
+/** Streaming-throughput diagnostic: pushes a `MULT`× duplicated
+  * document corpus through each trained-model scorer / standing-index
+  * probe and reports docs/second end-to-end (model training excluded —
+  * the artifacts are built once up front, the deployed lifecycle).
+  * Not part of the driver contract; complements `Stress` (batch
+  * scale headroom) with the streaming side. Run:
+  *   SPARK_GRAFT_MULT=4 sbt "runMain graft.StreamBench /root/testdata/sf0.1"
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "4").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.tune(spark)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = Tables.documents(spark, srcDir)
+    val shift = 100000000L
+    val rows: Seq[(Long, String)] = (0 until mult).flatMap { i =>
+      docs.select(col("doc_id") + lit(i * shift), col("text"))
+        .as[(Long, String)].collect()
+    }
+
+    // ---- standing artifacts, trained once up front
+    val dsirModel = QualityModelOps.dsirModelOf(docs).localCheckpoint()
+    val (cb, cw) = QualityModelOps.lmModelOf(docs)
+    val (cbM, cwM) = (cb.localCheckpoint(), cw.localCheckpoint())
+    val (bm25Df, bm25Stats) = SearchOps.bm25ModelOf(docs, "doc_id", "text",
+      SearchOps.queryTerms)
+    val (bm25DfM, bm25StatsM) = (bm25Df.localCheckpoint(), bm25Stats.localCheckpoint())
+    val hs = DedupOps.shingleHashes(spark, srcDir)
+    val bench = hs.filter(col("doc_id") % 97 === 0).localCheckpoint()
+    val bloom = PipelineOps.evalBloomOf(bench)
+    val windowIdx = DedupOps.windowFreqOf(docs, "doc_id", "text",
+      DedupOps.substringW).localCheckpoint()
+
+    def run(name: String, mode: String)(f: DataFrame => DataFrame): Unit = {
+      val stream = MemoryStream[(Long, String)]
+      stream.addData(rows)
+      val q = f(stream.toDF().toDF("doc_id", "text"))
+        .writeStream.format("noop").outputMode(mode).start()
+      val t0 = System.nanoTime()
+      try q.processAllAvailable() finally q.stop()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"== $name%-22s ${rows.size}%8d docs  $dt%7.2f s  ${rows.size / dt}%9.0f docs/s")
+    }
+
+    run("dsir_score", "append")(df => EventStream.dsirScoreStream(df, dsirModel))
+    run("lm_score", "append")(df => EventStream.lmScoreStream(df, cbM, cwM))
+    run("bm25_score", "append")(df =>
+      EventStream.bm25ScoreStream(df, bm25DfM, bm25StatsM))
+    run("contamination", "update")(df =>
+      EventStream.contaminationStream(df, bench, bloom, PipelineOps.contaminationFrac))
+    run("substring_cut", "update")(df =>
+      EventStream.substringCutStream(df, windowIdx, DedupOps.substringW))
+    run("heavy_hitters", "update")(df =>
+      EventStream.heavyHitterStream(df, 32))
+    spark.stop()
+  }
+}
