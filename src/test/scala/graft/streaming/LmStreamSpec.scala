@@ -37,4 +37,32 @@ class LmStreamSpec extends SparkSpec {
       else assert(math.abs(s - bs) < 1e-9, s"doc $id score $s vs $bs")
     }
   }
+
+  test("join-variant scores equal the map-fold scorer on scoreable docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sfDir)
+    val (cb, cw) = QualityModelOps.lmModelOf(docs)
+
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq)
+    val q = EventStream.lmScoreStreamJoin(
+        stream.toDF().toDF("doc_id", "text"), cb, cw)
+      .writeStream.format("memory").queryName("lm_stream_join")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val joined = spark.table("lm_stream_join").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val batch = QualityModelOps.lmPerplexity(spark, sfDir).collect()
+      .filter(!_.isNullAt(1))
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // join variant emits exactly the >=1-bigram documents
+    assert(joined.keySet == batch.keySet)
+    joined.foreach { case (id, (nb, s)) =>
+      val (bnb, bs) = batch(id)
+      assert(nb == bnb && math.abs(s - bs) < 1e-9, s"doc $id: ($nb,$s) vs ($bnb,$bs)")
+    }
+  }
 }
