@@ -63,6 +63,7 @@ object StreamBench {
     }
 
     run("dsir_score", "append")(df => EventStream.dsirScoreStream(df, dsirModel))
+    run("dsir_score_join", "update")(df => EventStream.dsirScoreStreamJoin(df, dsirModel))
     run("lm_score", "append")(df => EventStream.lmScoreStream(df, cbM, cwM))
     run("lm_score_join", "update")(df => EventStream.lmScoreStreamJoin(df, cbM, cwM))
     run("bm25_score", "append")(df =>

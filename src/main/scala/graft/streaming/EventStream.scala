@@ -412,6 +412,32 @@ object EventStream {
       .withColumn("target_like", col("log_weight") > 0.0)
   }
 
+  /** High-throughput variant of [[dsirScoreStream]] — the same
+    * stream-static broadcast-join shape as [[lmScoreStreamJoin]]: the
+    * exploded feature stream hash-joins the broadcast bucket model
+    * (O(1) per probe vs the map fold's O(|model|) linear scan), one
+    * watermark-bounded per-doc rollup reassembles the weight. Scores
+    * equal the map fold to 1e-9 (spec); emits only documents with
+    * ≥ 1 feature. */
+  def dsirScoreStreamJoin(docs: DataFrame, bucketModel: DataFrame,
+      windowDur: String = "1 minute",
+      watermarkDelay: String = "10 seconds"): DataFrame = {
+    docs
+      .select(col("doc_id"), current_timestamp().as("ingest_ts"),
+        explode(graft.operators.QualityModelOps.featuresCol).as("f"))
+      .withWatermark("ingest_ts", watermarkDelay)
+      .withColumn("bucket", substring(md5(col("f")), 1, 2))
+      .join(broadcast(bucketModel.select(col("bucket"), col("log_ratio"))),
+        Seq("bucket"), "left")
+      .groupBy(window(col("ingest_ts"), windowDur), col("doc_id"))
+      .agg(count(lit(1)).as("n_features"),
+        sum(coalesce(col("log_ratio"), lit(0.0))).as("lw"))
+      .drop("window")
+      .select(col("doc_id"), col("n_features"),
+        round(col("lw"), 6).as("log_weight"))
+      .withColumn("target_like", col("log_weight") > 0.0)
+  }
+
   /** Streaming CCNet-style LM quality scoring — the streaming twin of
     * [[graft.operators.QualityModelOps.lmPerplexity]]. The trained
     * bigram/context count tables (from
