@@ -152,6 +152,62 @@ object PipelineOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------- language rebalance
+
+  /** Rebalance the corpus toward EQUAL language shares, with rates
+    * derived FROM the data (unlike [[corpusMix]]'s fixed tier config):
+    * each language keeps min(1, total/(n_langs·count)) of its rows —
+    * over-represented languages downsample to the uniform target,
+    * under-represented ones keep everything (deterministic hash
+    * sampling, never upsampled). The per-language rates are one tiny
+    * aggregate broadcast back; keep/drop is the [[sampleByRateOf]]
+    * map-side hash compare, so rebalancing a 100 TB crawl is one scan
+    * + one LANGUAGE-sized aggregate. Output is the per-language audit
+    * frame (counts before/after + the applied rate) — the per-row
+    * frame is the same plan minus the final rollup. */
+  def langRebalance(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(s, Tables.documents(s, dir))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val totals = counts.agg(sum(col("n_docs")).as("total"),
+      count(lit(1)).as("n_langs"))
+    val rated = counts.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_docs"),
+        least(lit(1.0), col("total").cast("double") /
+          (col("n_langs") * col("n_docs"))).as("rate"))
+    val kept = docs
+      .join(broadcast(rated.select("lang", "rate")), Seq("lang"))
+      .filter(col("rate") >= 1.0 ||
+        substring(sampleKey, 1, 4) <
+          format_string("%04x", floor(col("rate") * 65536).cast("int")))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    rated.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), round(col("rate"), 6).as("rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  val langRebalanceSql: String =
+    s"""WITH counts AS (
+       |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+       |totals AS (
+       |  SELECT sum(n_docs) AS total, count(*) AS n_langs FROM counts),
+       |rated AS (
+       |  SELECT lang, n_docs,
+       |    least(CAST(1.0 AS DOUBLE),
+       |      CAST(total AS DOUBLE) / (n_langs * n_docs)) AS rate
+       |  FROM counts CROSS JOIN totals),
+       |kept AS (
+       |  SELECT d.lang, count(*) AS n_kept
+       |  FROM documents d JOIN rated r ON d.lang = r.lang
+       |  WHERE r.rate >= 1.0 OR
+       |    substring($sampleKeySql, 1, 4) <
+       |      printf('%04x', CAST(floor(r.rate * 65536) AS INTEGER))
+       |  GROUP BY 1)
+       |SELECT lang, n_docs, round(rate, 6) AS rate,
+       |  COALESCE(n_kept, 0) AS n_kept
+       |FROM rated LEFT JOIN kept USING (lang)
+       |ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------ domain cap
 
   val domainCap = 15
@@ -778,6 +834,7 @@ object PipelineOps {
     "q_hash_split"     -> (hashSplit _),
     "q_leakage_safe_split" -> (leakageSafeSplit _),
     "q_corpus_mix"     -> (corpusMix _),
+    "q_lang_rebalance" -> (langRebalance _),
     "q_domain_cap"     -> (domainCapped _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_source_overlap" -> (sourceOverlap _),
@@ -792,6 +849,7 @@ object PipelineOps {
     "q_hash_split"     -> hashSplitSql,
     "q_leakage_safe_split" -> leakageSafeSplitSql,
     "q_corpus_mix"     -> corpusMixSql,
+    "q_lang_rebalance" -> langRebalanceSql,
     "q_domain_cap"     -> domainCapSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_source_overlap" -> sourceOverlapSql,

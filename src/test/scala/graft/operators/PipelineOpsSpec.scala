@@ -36,6 +36,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(est > 250 && est < 750, s"weighted estimate $est far from 500")
   }
 
+  test("language rebalance: data-derived rates move shares toward uniform, never upsample") {
+    val rows = PipelineOps.langRebalance(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val total = rows.map(_._2).sum
+    val target = total.toDouble / rows.length
+    rows.foreach { case (lang, n, rate, kept) =>
+      assert(kept <= n && rate <= 1.0, s"$lang upsampled")
+      if (n <= target) {
+        // under-represented: keep everything
+        assert(rate == 1.0 && kept == n, s"$lang should keep all")
+      } else {
+        // over-represented: sampled toward the uniform share (hash
+        // sampling is deterministic but not exact-count — allow slack)
+        assert(math.abs(rate - target / n) <= 1e-6, s"$lang rate")
+        assert(kept <= n && kept >= (target * 0.5).toLong, s"$lang kept $kept")
+        assert(kept < n, s"$lang not downsampled at all")
+      }
+    }
+  }
+
   test("domain cap bounds every source at the cap") {
     val capped = PipelineOps.domainCapped(spark, sfDir)
     val perSource = capped.groupBy("source").count().collect()
