@@ -175,7 +175,14 @@ object Explain {
       "q_media_catalog"      -> Seq("Project"),
       // bounded sketch: one ObjectHashAggregate, label recovery via
       // broadcast semi-filter — the vocabulary never shuffles whole
-      "q_heavy_hitters"      -> Seq("ObjectHashAggregate", "LeftSemi"))
+      "q_heavy_hitters"      -> Seq("ObjectHashAggregate", "LeftSemi"),
+      // rebalance rates are a language-sized aggregate broadcast back;
+      // keep/drop is a map-side hash compare on the broadcast rate
+      "q_lang_rebalance"     -> Seq("BroadcastHashJoin", "HashAggregate"),
+      // NB classifier: vocabulary-sized model joins stay planner-decided
+      // equi-joins, class-sized frames broadcast, per-(doc, class)
+      // fold is the sorted collect_list
+      "q_nb_classify"        -> Seq("BroadcastHashJoin", "ObjectHashAggregate"))
 
     // anti-patterns per query: substrings that must NOT appear. Expand
     // is countDistinct's row-multiplying fallback — these queries are

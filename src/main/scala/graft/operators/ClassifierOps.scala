@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Trained-classifier corpus labeling — the fastText-style "train a
+  * cheap supervised classifier on labeled data, label the whole crawl"
+  * stage of an LLM pipeline (Joulin et al. 2016, arXiv:1607.01759; the
+  * CCNet/RedPajama quality- and language-labeling recipe). Here: a
+  * multinomial Naive Bayes over word unigrams with add-one smoothing —
+  * the same train/broadcast/score lifecycle as the DSIR and bigram-LM
+  * scorers in [[QualityModelOps]], with an argmax over classes on top.
+  *
+  * Deterministic and engine-portable like its siblings: model counts
+  * are exact integers, per-(doc, class) log-likelihoods fold their
+  * terms in sorted order (SURVEY §6), and the argmax breaks ties by
+  * class name, so Spark and DuckDB agree bit-for-bit.
+  */
+object ClassifierOps {
+
+  private def wordsCol = split(trim(col("text")), "\\s+")
+
+  /** Held-out evaluation of a Naive Bayes language classifier:
+    *
+    *   - TRAIN on the deterministic hash-split train slice
+    *     ([[PipelineOps.hashSplitOf]]'s `bucket <= 'b'` rule — the
+    *     labeled slice of the corpus), counting c(word, lang), per-class
+    *     token totals n_l, vocabulary size V and per-class doc priors.
+    *   - SCORE every held-out (val/test) document against every class:
+    *     score(d, l) = ln((d_l+1)/(D+L)) + Σ_w m(w)·ln((c(w,l)+1)/(n_l+V))
+    *   - PREDICT the argmax class (ties → first class name).
+    *
+    * Scale shape: ONE explode feeds both training counts and eval
+    * scoring (the tokenization exchange is reused); the model is
+    * vocabulary-sized so it stays a planner-decided equi-join (AQE
+    * broadcasts it while it fits — a web-scale vocabulary must not be
+    * hand-broadcast), while the class list, class totals, priors and V
+    * are class-count-sized and explicitly broadcast; the only doc-keyed
+    * exchange is the per-(doc, class) rollup. Labeling a 100 TB crawl
+    * is one scan + one rollup — exactly the production fastText shape
+    * with the model table in place of the binary. */
+  def nbClassify(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(s, Tables.documents(s, dir))
+      .withColumn("is_train",
+        substring(PipelineOps.sampleKeyOf(col("source"), col("doc_id")), 1, 1) <= "b")
+    val dw = docs
+      .select(col("doc_id"), col("lang"), col("is_train"), explode(wordsCol).as("w"))
+      .groupBy(col("doc_id"), col("lang"), col("is_train"), col("w"))
+      .agg(count(lit(1)).as("m"))
+    val model = dw.filter(col("is_train"))
+      .groupBy(col("lang").as("l"), col("w")).agg(sum(col("m")).as("c"))
+    val nl = model.groupBy(col("l")).agg(sum(col("c")).as("n_l"))
+    val vocab = model.agg(count_distinct(col("w")).as("v"))
+    val priors = docs.filter(col("is_train"))
+      .groupBy(col("lang").as("l")).agg(count(lit(1)).as("d_l"))
+    val ptot = priors.agg(sum(col("d_l")).as("d_tot"), count(lit(1)).as("n_langs"))
+
+    val scored = dw.filter(!col("is_train"))
+      .crossJoin(broadcast(priors.select(col("l"))))
+      .join(model, Seq("l", "w"), "left")
+      .join(broadcast(nl), Seq("l"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("lang"), col("l"), col("m"),
+        coalesce(col("c"), lit(0L)).as("c0"), col("n_l"), col("v"))
+      .groupBy(col("doc_id"), col("lang"), col("l"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("c0"), col("m"), col("n_l"), col("v")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("m") *
+          (log(x.getField("c0") + lit(1)) - log(x.getField("n_l") + x.getField("v"))))
+        .as("ll"))
+      .join(broadcast(priors), Seq("l"))
+      .crossJoin(broadcast(ptot))
+      .select(col("doc_id"), col("lang"), col("l"),
+        (col("ll") + log(col("d_l") + lit(1)) - log(col("d_tot") + col("n_langs")))
+          .as("score"))
+    val best = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("l"))
+    scored.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("l").as("pred_lang"),
+        (col("l") === col("lang")).as("correct"))
+      .orderBy("doc_id")
+  }
+
+  val nbClassifySql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, source, text,
+       |    substring(md5(source || '#' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+       |      AS is_train
+       |  FROM documents),
+       |dw AS (
+       |  SELECT doc_id, lang, is_train, w, count(*) AS m FROM (
+       |    SELECT doc_id, lang, is_train,
+       |      unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |    FROM d)
+       |  GROUP BY 1, 2, 3, 4),
+       |model AS (
+       |  SELECT lang AS l, w, CAST(sum(m) AS BIGINT) AS c
+       |  FROM dw WHERE is_train GROUP BY 1, 2),
+       |nl AS (SELECT l, CAST(sum(c) AS BIGINT) AS n_l FROM model GROUP BY 1),
+       |vocab AS (SELECT count(DISTINCT w) AS v FROM model),
+       |priors AS (SELECT lang AS l, count(*) AS d_l FROM d WHERE is_train GROUP BY 1),
+       |ptot AS (SELECT CAST(sum(d_l) AS BIGINT) AS d_tot, count(*) AS n_langs
+       |         FROM priors),
+       |scored AS (
+       |  SELECT t.doc_id, t.lang, t.l,
+       |    list_reduce(list_prepend(0.0, list_transform(
+       |      list(struct_pack(c0 := t.c0, m := t.m, n_l := t.n_l, v := t.v)
+       |        ORDER BY t.c0, t.m, t.n_l, t.v),
+       |      x -> CAST(x.m AS DOUBLE) * (ln(CAST(x.c0 AS DOUBLE) + 1)
+       |        - ln(CAST(x.n_l AS DOUBLE) + x.v)))),
+       |      (acc, x) -> acc + x)
+       |    + ln(CAST(pr.d_l AS DOUBLE) + 1) - ln(CAST(pt.d_tot AS DOUBLE) + pt.n_langs)
+       |      AS score
+       |  FROM (
+       |    SELECT e.doc_id, e.lang, p.l, e.m,
+       |      coalesce(mo.c, 0) AS c0, nl.n_l, vocab.v
+       |    FROM dw e
+       |    CROSS JOIN (SELECT l FROM priors) p
+       |    LEFT JOIN model mo ON mo.l = p.l AND mo.w = e.w
+       |    JOIN nl ON nl.l = p.l
+       |    CROSS JOIN vocab
+       |    WHERE NOT e.is_train) t
+       |  JOIN priors pr ON pr.l = t.l
+       |  CROSS JOIN ptot pt
+       |  GROUP BY t.doc_id, t.lang, t.l, pr.d_l, pt.d_tot, pt.n_langs),
+       |ranked AS (
+       |  SELECT doc_id, lang, l,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, l) AS rn
+       |  FROM scored)
+       |SELECT doc_id, lang, l AS pred_lang, l = lang AS correct
+       |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nb_classify" -> (nbClassify _))
+
+  def oracles: Map[String, String] = Map(
+    "q_nb_classify" -> nbClassifySql)
+}
