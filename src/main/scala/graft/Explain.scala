@@ -182,7 +182,10 @@ object Explain {
       // NB classifier: vocabulary-sized model joins stay planner-decided
       // equi-joins, class-sized frames broadcast, per-(doc, class)
       // fold is the sorted collect_list
-      "q_nb_classify"        -> Seq("BroadcastHashJoin", "ObjectHashAggregate"))
+      "q_nb_classify"        -> Seq("BroadcastHashJoin", "ObjectHashAggregate"),
+      // PageRank: every iteration is one equi-join + one hash agg on
+      // the destination key; N rides a broadcast 1-row aggregate
+      "q_graph_pagerank"     -> Seq("HashAggregate", "BroadcastNestedLoopJoin"))
 
     // anti-patterns per query: substrings that must NOT appear. Expand
     // is countDistinct's row-multiplying fallback — these queries are

@@ -23,7 +23,7 @@ object SparkEntry {
       MultimodalOps.queries ++ SubmitOps.queries ++
       OrgOps.queries ++ ExtractOps.queries ++ MappingExtractOps.queries ++
       PipelineOps.queries ++ TransferOps.queries ++ SkewOps.queries ++
-      SearchOps.queries ++ ClassifierOps.queries
+      SearchOps.queries ++ ClassifierOps.queries ++ GraphOps.queries
 
   /** DuckDB-equivalent SQL for each hash-checked query (column names must
     * match the Spark output exactly; see SURVEY.md §6 for FP discipline). */
@@ -35,5 +35,5 @@ object SparkEntry {
       MultimodalOps.oracles ++ SubmitOps.oracles ++
       OrgOps.oracles ++ ExtractOps.oracles ++ MappingExtractOps.oracles ++
       PipelineOps.oracles ++ TransferOps.oracles ++ SkewOps.oracles ++
-      SearchOps.oracles ++ ClassifierOps.oracles
+      SearchOps.oracles ++ ClassifierOps.oracles ++ GraphOps.oracles
 }
