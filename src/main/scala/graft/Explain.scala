@@ -185,7 +185,11 @@ object Explain {
       "q_nb_classify"        -> Seq("BroadcastHashJoin", "ObjectHashAggregate"),
       // PageRank: every iteration is one equi-join + one hash agg on
       // the destination key; N rides a broadcast 1-row aggregate
-      "q_graph_pagerank"     -> Seq("HashAggregate", "BroadcastNestedLoopJoin"))
+      "q_graph_pagerank"     -> Seq("HashAggregate", "BroadcastNestedLoopJoin"),
+      // containment: same posting-list inverted-index shape as the
+      // jaccard miner — df window on the one shingle exchange, pairs
+      // generated array-side
+      "q_dedup_containment"  -> Seq("Window", "ObjectHashAggregate", "Generate"))
 
     // anti-patterns per query: substrings that must NOT appear. Expand
     // is countDistinct's row-multiplying fallback — these queries are

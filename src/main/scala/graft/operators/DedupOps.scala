@@ -298,6 +298,72 @@ object DedupOps {
        |WHERE jaccard >= $jaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------- containment pairs
+
+  /** Containment gate in parts-per-million: pairs whose smaller
+    * shingle set is ≥ this fraction inside the larger one. Production
+    * containment dedup gates around 0.8-0.9; this corpus's synthetic
+    * partial overlaps sit lower, so the registered query uses 0.2 to
+    * exercise the asymmetric band (pairs far below any Jaccard
+    * threshold). */
+  val containmentPpm = 200000L
+
+  /** Asymmetric containment near-dup pairs (Broder 1997's containment
+    * coefficient): common / min(|Sa|, |Sb|) — the signal Jaccard
+    * structurally misses. A short document quoted inside a long one
+    * has tiny Jaccard (the union is dominated by the long doc) but
+    * containment ~1; this is how quote/wrapper/subset duplication is
+    * caught. Same single-shuffle posting-list shape as
+    * [[ngramJaccard]]: df window on the one shingle exchange, df=1 and
+    * viral shingles dropped before any posting list materializes,
+    * ordered pairs generated array-side. Both ratios are emitted as
+    * exact integer parts-per-million (floor division) — no
+    * float-rounding boundary to disagree on, and the threshold compare
+    * is integer on both engines. */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame =
+    containmentOf(shingleHashes(s, dir), containmentPpm, stopShingleDfCap)
+
+  /** Generic API: containment pairs over any (doc_id, hs) shingle-hash
+    * frame at the given ppm threshold. */
+  def containmentOf(hashSets: DataFrame, thresholdPpm: Long,
+      maxShingleDf: Long): DataFrame = {
+    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val postings = hashSets
+      .select(col("doc_id"), size(col("hs")).as("sh_size"), explode(col("hs")).as("h"))
+      .withColumn("df", count(lit(1)).over(byShingle))
+      .filter(col("df") >= 2 && col("df") <= maxShingleDf)
+      .groupBy(col("h"))
+      .agg(collect_list(struct(col("doc_id"), col("sh_size"))).as("ds"))
+    postings
+      .withColumn("ds", array_sort(col("ds")))
+      .select(flatten(transform(col("ds"), (a, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))),
+          b => struct(a.as("a"), b.as("b"))))).as("pairs"))
+      .select(explode(col("pairs")).as("p"))
+      .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.sh_size").as("size_a"), col("p.b.sh_size").as("size_b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("containment_ppm",
+        expr("common * 1000000 div least(size_a, size_b)"))
+      .withColumn("jaccard_ppm",
+        expr("common * 1000000 div (size_a + size_b - common)"))
+      .filter(col("containment_ppm") >= thresholdPpm)
+      .select("doc_a", "doc_b", "common", "containment_ppm", "jaccard_ppm")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val containmentSql: String = shinglesSql +
+    s"""SELECT doc_a, doc_b, common,
+       |  (common * 1000000) // least(sa, sb) AS containment_ppm,
+       |  (common * 1000000) // (sa + sb - common) AS jaccard_ppm
+       |FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS common,
+       |    CAST(len(a.sh) AS BIGINT) AS sa, CAST(len(b.sh) AS BIGINT) AS sb
+       |  FROM sh_t a JOIN sh_t b ON a.doc_id < b.doc_id)
+       |WHERE (common * 1000000) // least(sa, sb) >= $containmentPpm
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ----------------------------------------------- duplicated spans
 
   /** Flag threshold: documents with more than this fraction of their
@@ -1237,6 +1303,7 @@ object DedupOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"         -> (exactDedup _),
     "q_dedup_ngram_jaccard" -> (ngramJaccard _),
+    "q_dedup_containment"   -> (containmentPairs _),
     "q_dup_span_frac"       -> (dupSpanFrac _),
     "q_chunk_dedup"         -> (chunkDedup _),
     "q_substring_dedup"     -> (substringDedup _),
@@ -1263,6 +1330,7 @@ object DedupOps {
   def oracles: Map[String, String] = Map(
     "q_dedup_exact"         -> exactDedupSql,
     "q_dedup_ngram_jaccard" -> ngramJaccardSql,
+    "q_dedup_containment"   -> containmentSql,
     "q_dup_span_frac"       -> dupSpanFracSql,
     "q_chunk_dedup"         -> chunkDedupSql,
     "q_substring_dedup"     -> substringDedupSql,

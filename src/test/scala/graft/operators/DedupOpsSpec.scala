@@ -95,6 +95,24 @@ class DedupOpsSpec extends SparkSpec {
         s"only-two-pass ${twoPass.keySet.diff(onePass.keySet)}")
   }
 
+  test("containment: catches subset pairs invisible to jaccard, bounds hold") {
+    val pairs = DedupOps.containmentPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, common, cont, jac) =>
+      assert(a < b, "ordered pairs")
+      assert(cont >= DedupOps.containmentPpm, "threshold enforced")
+      assert(cont >= jac, "containment dominates jaccard")
+      assert(cont <= 1000000L && jac <= 1000000L && common >= 1)
+    }
+    // the asymmetric band: pairs the jaccard miner (>= 0.5) cannot see
+    val jaccardVisible = DedupOps.ngramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val asymmetric = pairs.filter(p => !jaccardVisible((p._1, p._2)))
+    assert(asymmetric.nonEmpty, "no subset-duplication pair caught")
+    assert(asymmetric.forall(_._5 < 500000L), "asymmetric pairs sit below the jaccard gate")
+  }
+
   test("simhash: near-identical documents collide at low hamming") {
     import spark.implicits._
     // plant a near-dup corpus: doc + one-word-changed copy
