@@ -189,7 +189,10 @@ object Explain {
       // containment: same posting-list inverted-index shape as the
       // jaccard miner — df window on the one shingle exchange, pairs
       // generated array-side
-      "q_dedup_containment"  -> Seq("Window", "ObjectHashAggregate", "Generate"))
+      "q_dedup_containment"  -> Seq("Window", "ObjectHashAggregate", "Generate"),
+      // transition matrix: one per-user lag window + one |types|^2-
+      // bounded hash agg; type-sized totals broadcast back
+      "q_event_transitions"  -> Seq("Window", "HashAggregate", "BroadcastHashJoin"))
 
     // anti-patterns per query: substrings that must NOT appear. Expand
     // is countDistinct's row-multiplying fallback — these queries are

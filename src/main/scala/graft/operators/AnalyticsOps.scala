@@ -546,7 +546,54 @@ object AnalyticsOps {
       |WHERE dau.day >= d0 + 6
       |ORDER BY dau.day""".stripMargin
 
+  // ------------------------------------------ behavior transitions
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: for every (from, to) event-type pair, how often a
+    * user's next action follows the previous one, with the row-
+    * conditional probability P(to|from) as exact integer ppm (floor
+    * division — no float boundary between engines).
+    *
+    * Scale shape: ONE per-user window (lag over (ts, event_id) — the
+    * id tiebreak makes simultaneous events deterministic) feeding ONE
+    * hash aggregation whose output is bounded by |types|², then the
+    * type-sized totals frame broadcasts back. The user-keyed exchange
+    * is the same partitioning sessionization uses — on a user-bucketed
+    * event table it disappears entirely (sources.Bucketing). */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tr = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("from_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val totals = tr.groupBy(col("from_type")).agg(sum(col("n_trans")).as("n_from"))
+    tr.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        expr("n_trans * 1000000 div n_from").as("p_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val eventTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS from_type
+      |  FROM events),
+      |tr AS (
+      |  SELECT from_type, event_type AS to_type, count(*) AS n_trans
+      |  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+      |        FROM tr GROUP BY 1)
+      |SELECT from_type, to_type, n_trans,
+      |  (n_trans * 1000000) // n_from AS p_ppm
+      |FROM tr JOIN tot USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_transitions" -> (eventTransitions _),
     "q_dau_wau"           -> (dauWau _),
     "q_retention_cohorts" -> (retentionCohorts _),
     "q_funnel"            -> (funnel _),
@@ -568,6 +615,7 @@ object AnalyticsOps {
     "q_approx_quantiles"  -> (approxQuantiles _))
 
   def oracles: Map[String, String] = Map(
+    "q_event_transitions" -> eventTransitionsSql,
     "q_dau_wau"           -> dauWauSql,
     "q_retention_cohorts" -> retentionCohortsSql,
     "q_funnel"            -> funnelSql,
