@@ -73,7 +73,9 @@ object Stress {
       "q_stratified_sample", "q_dau_wau", "q_retention_cohorts",
       "q_bm25_topk", "q_phrase_search", "q_rag_chunks",
       "q_leakage_safe_split", "q_rank_fusion", "q_embed_outliers",
-      "q_heavy_hitters", "q_image_meta", "q_media_catalog")
+      "q_heavy_hitters", "q_image_meta", "q_media_catalog",
+      "q_lang_rebalance", "q_nb_classify", "q_graph_pagerank",
+      "q_dedup_containment", "q_event_transitions")
     val heavies: Seq[String] =
       if (args.length > 2) args.drop(2).toSeq else defaults
 

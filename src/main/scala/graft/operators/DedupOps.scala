@@ -324,17 +324,26 @@ object DedupOps {
     containmentOf(shingleHashes(s, dir), containmentPpm, stopShingleDfCap)
 
   /** Generic API: containment pairs over any (doc_id, hs) shingle-hash
-    * frame at the given ppm threshold. */
+    * frame at the given ppm threshold. Shares the jaccard miner's
+    * duplicate-collapse prepass ([[ngramCollapseOf]]): identical
+    * shingle sets mine once at the representative level and pairs
+    * expand back through the copy groups (a copy pair's containment
+    * and jaccard are exactly 1.0, a cross pair's counts depend only on
+    * the sets) — on a corpus crawled c times the intersection stage
+    * costs what a deduplicated corpus costs, and only the output-sized
+    * expansion pays for the duplication (10× stress: 118 s → the
+    * collapse path; see SURVEY §5). */
   def containmentOf(hashSets: DataFrame, thresholdPpm: Long,
       maxShingleDf: Long): DataFrame = {
+    val grouped = ngramCollapseOf(hashSets)
     val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val postings = hashSets
-      .select(col("doc_id"), size(col("hs")).as("sh_size"), explode(col("hs")).as("h"))
+    val repPairs = grouped
+      .select(col("rep_id").as("doc_id"), size(col("hs")).as("sh_size"),
+        explode(col("hs")).as("h"))
       .withColumn("df", count(lit(1)).over(byShingle))
       .filter(col("df") >= 2 && col("df") <= maxShingleDf)
       .groupBy(col("h"))
       .agg(collect_list(struct(col("doc_id"), col("sh_size"))).as("ds"))
-    postings
       .withColumn("ds", array_sort(col("ds")))
       .select(flatten(transform(col("ds"), (a, i) =>
         transform(slice(col("ds"), i + 2, size(col("ds"))),
@@ -343,12 +352,17 @@ object DedupOps {
       .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
         col("p.a.sh_size").as("size_a"), col("p.b.sh_size").as("size_b"))
       .agg(count(lit(1)).as("common"))
-      .withColumn("containment_ppm",
-        expr("common * 1000000 div least(size_a, size_b)"))
-      .withColumn("jaccard_ppm",
-        expr("common * 1000000 div (size_a + size_b - common)"))
-      .filter(col("containment_ppm") >= thresholdPpm)
-      .select("doc_a", "doc_b", "common", "containment_ppm", "jaccard_ppm")
+      .withColumn("v", struct(col("common"),
+        expr("common * 1000000 div least(size_a, size_b)").as("containment_ppm"),
+        expr("common * 1000000 div (size_a + size_b - common)").as("jaccard_ppm")))
+      .filter(col("v.containment_ppm") >= thresholdPpm)
+      .select(col("doc_a"), col("doc_b"), col("v"))
+    expandCollapsedPairs(grouped, repPairs, "doc_a", "doc_b", "v",
+        struct(size(col("hs")).cast("long").as("common"),
+          lit(1000000L).as("containment_ppm"), lit(1000000L).as("jaccard_ppm")))
+      .select(col("doc_a"), col("doc_b"), col("v.common").as("common"),
+        col("v.containment_ppm").as("containment_ppm"),
+        col("v.jaccard_ppm").as("jaccard_ppm"))
       .orderBy("doc_a", "doc_b")
   }
 

@@ -382,6 +382,44 @@ object EventStream {
       }
   }
 
+  final case class TEv(user_id: Long, event_id: Long, ts: Timestamp, event_type: String)
+  final case class TransState(lastTs: Long, lastId: Long, lastType: String)
+  final case class Transition(user_id: Long, from_type: String, to_type: String,
+      ts: Timestamp)
+
+  /** Streaming first-order transitions: for every user, emit the
+    * (from, to) event-type pair each new event completes — the
+    * streaming feed of the batch transition matrix
+    * ([[graft.operators.AnalyticsOps.eventTransitions]]); a windowed
+    * count over this stream IS the live matrix.
+    *
+    * State is ONE 3-field record per user (the last event seen) — the
+    * minimal stateful-streaming footprint, bounded by the user base
+    * and independent of history length. No timeout: a user's next
+    * event after any silence still completes a transition, exactly
+    * like the batch lag window. Events inside a micro-batch are
+    * processed in (ts, event_id) order, so feeds that respect event
+    * time per user reproduce the batch matrix exactly (spec-pinned). */
+  def transitionStream(events: Dataset[TEv]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, evs, state: GroupState[TransState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var last = state.getOption
+          val out = Seq.newBuilder[Transition]
+          sorted.foreach { e =>
+            last.foreach(l => out += Transition(userId, l.lastType, e.event_type, e.ts))
+            last = Some(TransState(e.ts.getTime, e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Stateless streaming DSIR quality scoring: score an incoming
     * document stream against a trained bucket model
     * ([[graft.operators.QualityModelOps.dsirModelOf]], ≤256 rows by

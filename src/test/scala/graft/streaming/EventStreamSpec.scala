@@ -101,6 +101,35 @@ class EventStreamSpec extends SparkSpec {
     assert(got == Set((1L, 2, 3.0)))
   }
 
+  test("streaming transitions aggregate to the batch transition matrix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .as[EventStream.TEv].collect().toSeq
+
+    val stream = MemoryStream[EventStream.TEv]
+    // two micro-batches split by event time per user, so cross-batch
+    // state carry is exercised, not just the in-batch sort
+    val cut = rows.map(_.ts.getTime).sorted.apply(rows.length / 2)
+    stream.addData(rows.filter(_.ts.getTime < cut))
+    val q = EventStream.transitionStream(stream.toDS())
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(rows.filter(_.ts.getTime >= cut))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("transitions")
+      .groupBy("from_type", "to_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.operators.AnalyticsOps.eventTransitions(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+  }
+
   test("stream-stream attribution join matches clicks into purchase windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
