@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -34,14 +33,18 @@ object ClassifierOps {
     *   - PREDICT the argmax class (ties → first class name).
     *
     * Scale shape: ONE explode feeds both training counts and eval
-    * scoring (the tokenization exchange is reused); the model is
-    * vocabulary-sized so it stays a planner-decided equi-join (AQE
+    * scoring (the tokenization exchange is reused); the model pivots
+    * to ONE row per word (a class→count map — classes are few, words
+    * are many) so the eval side joins it once per word, not once per
+    * (word, class), and stays a planner-decided equi-join (AQE
     * broadcasts it while it fits — a web-scale vocabulary must not be
-    * hand-broadcast), while the class list, class totals, priors and V
-    * are class-count-sized and explicitly broadcast; the only doc-keyed
-    * exchange is the per-(doc, class) rollup. Labeling a 100 TB crawl
-    * is one scan + one rollup — exactly the production fastText shape
-    * with the model table in place of the binary. */
+    * hand-broadcast). Class-sized stats (priors, totals, V) collapse
+    * to a 1-row broadcast; per-class scoring AND the argmax then run
+    * map-side over the per-doc term list (a comparator sort of
+    * |classes| structs) — the only doc-keyed exchange is the one
+    * per-doc rollup, with no ranking window after it. Labeling a
+    * 100 TB crawl is one scan + one rollup — exactly the production
+    * fastText shape with the model table in place of the binary. */
   def nbClassify(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(s, Tables.documents(s, dir))
       .withColumn("is_train",
@@ -52,37 +55,49 @@ object ClassifierOps {
       .agg(count(lit(1)).as("m"))
     val model = dw.filter(col("is_train"))
       .groupBy(col("lang").as("l"), col("w")).agg(sum(col("m")).as("c"))
+    val modelByWord = model.groupBy(col("w"))
+      .agg(map_from_entries(collect_list(struct(col("l"), col("c")))).as("cs"))
     val nl = model.groupBy(col("l")).agg(sum(col("c")).as("n_l"))
     val vocab = model.agg(count_distinct(col("w")).as("v"))
     val priors = docs.filter(col("is_train"))
       .groupBy(col("lang").as("l")).agg(count(lit(1)).as("d_l"))
     val ptot = priors.agg(sum(col("d_l")).as("d_tot"), count(lit(1)).as("n_langs"))
+    // every class-level constant in ONE broadcast row: the class list
+    // with per-class token totals and smoothed log priors
+    val classes = priors.join(nl, Seq("l")).crossJoin(ptot)
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("l"), col("n_l"),
+        (log(col("d_l") + lit(1)) - log(col("d_tot") + col("n_langs"))).as("lp"))))
+        .as("ls"))
 
-    val scored = dw.filter(!col("is_train"))
-      .crossJoin(broadcast(priors.select(col("l"))))
-      .join(model, Seq("l", "w"), "left")
-      .join(broadcast(nl), Seq("l"))
+    dw.filter(!col("is_train"))
+      .join(modelByWord, Seq("w"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(collect_list(struct(col("m"), col("cs"))).as("terms"))
+      .crossJoin(broadcast(classes))
       .crossJoin(broadcast(vocab))
-      .select(col("doc_id"), col("lang"), col("l"), col("m"),
-        coalesce(col("c"), lit(0L)).as("c0"), col("n_l"), col("v"))
-      .groupBy(col("doc_id"), col("lang"), col("l"))
-      .agg(aggregate(
-        array_sort(collect_list(struct(col("c0"), col("m"), col("n_l"), col("v")))),
-        lit(0.0),
-        (acc, x) => acc + x.getField("m") *
-          (log(x.getField("c0") + lit(1)) - log(x.getField("n_l") + x.getField("v"))))
-        .as("ll"))
-      .join(broadcast(priors), Seq("l"))
-      .crossJoin(broadcast(ptot))
-      .select(col("doc_id"), col("lang"), col("l"),
-        (col("ll") + log(col("d_l") + lit(1)) - log(col("d_tot") + col("n_langs")))
-          .as("score"))
-    val best = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("l"))
-    scored.withColumn("rn", row_number().over(best))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang"), col("l").as("pred_lang"),
-        (col("l") === col("lang")).as("correct"))
+      // per-class sorted-fold log-likelihood + prior, then argmax by
+      // (score DESC, class ASC) via a comparator sort — all map-side
+      .withColumn("best", element_at(array_sort(
+        transform(col("ls"), cl => struct(
+          (aggregate(
+            array_sort(transform(col("terms"), t => struct(
+              coalesce(element_at(t.getField("cs"), cl.getField("l")), lit(0L)).as("c0"),
+              t.getField("m").as("m"),
+              cl.getField("n_l").as("n_l"),
+              col("v").as("v")))),
+            lit(0.0),
+            (acc, x) => acc + x.getField("m") *
+              (log(x.getField("c0") + lit(1)) - log(x.getField("n_l") + x.getField("v"))))
+            + cl.getField("lp")).as("score"),
+          cl.getField("l").as("l"))),
+        (a, b) => when(a.getField("score") > b.getField("score"), -1)
+          .when(a.getField("score") < b.getField("score"), 1)
+          .when(a.getField("l") < b.getField("l"), -1)
+          .when(a.getField("l") > b.getField("l"), 1)
+          .otherwise(0)), 1))
+      .select(col("doc_id"), col("lang"), col("best.l").as("pred_lang"),
+        (col("best.l") === col("lang")).as("correct"))
       .orderBy("doc_id")
   }
 
