@@ -192,7 +192,10 @@ object Explain {
       "q_dedup_containment"  -> Seq("Window", "ObjectHashAggregate", "Generate"),
       // transition matrix: one per-user lag window + one |types|^2-
       // bounded hash agg; type-sized totals broadcast back
-      "q_event_transitions"  -> Seq("Window", "HashAggregate", "BroadcastHashJoin"))
+      "q_event_transitions"  -> Seq("Window", "HashAggregate", "BroadcastHashJoin"),
+      // KL drift: corpus counts roll up from the same exploded frame,
+      // the source rollup is the sorted collect_list fold
+      "q_source_kl"          -> Seq("HashAggregate", "ObjectHashAggregate"))
 
     // anti-patterns per query: substrings that must NOT appear. Expand
     // is countDistinct's row-multiplying fallback — these queries are

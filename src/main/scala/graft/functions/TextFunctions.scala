@@ -604,7 +604,71 @@ object TextFunctions {
       .orderBy("rank")
   }
 
+  // ------------------------------------------ source KL divergence
+
+  /** Per-source distribution drift: KL(p_source ‖ p_corpus) over word
+    * unigrams — the corpus-health diagnostic that tells which source's
+    * token distribution diverges from the blend (a spam source, a
+    * different register, a template farm). No smoothing needed: the
+    * sum runs over the source's own words, where both p_s and p_c are
+    * positive by construction.
+    *
+    * Deterministic like its siblings: counts are exact integers, the
+    * per-source fold is sorted (SURVEY §6), the compared value rounds
+    * to 6 dp. Scale shape: ONE explode feeds the (source, word) counts
+    * and the corpus rollup (ReusedExchange); the word-keyed join is
+    * planner-decided (vocabulary-sized); the final rollup is bounded
+    * by |sources|; corpus totals ride a 1-row broadcast. */
+  def sourceKl(s: SparkSession, dir: String): DataFrame = {
+    val sw = Tables.spread(s, Tables.documents(s, dir))
+      .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("cs"))
+    val cw = sw.groupBy(col("word")).agg(sum(col("cs")).as("cc"))
+    val nc = cw.agg(sum(col("cc")).as("n_corpus"))
+    sw.join(cw, Seq("word"))
+      .crossJoin(broadcast(nc))
+      .groupBy(col("source"))
+      .agg(sum(col("cs")).as("n_tokens"),
+        aggregate(
+          array_sort(collect_list(struct(col("cs"), col("cc"), col("n_corpus")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("cs") *
+            (log(x.getField("cs")) - log(x.getField("cc")) + log(x.getField("n_corpus"))))
+          .as("klTerms"))
+      .select(col("source"), col("n_tokens"),
+        round(col("klTerms") / col("n_tokens") - log(col("n_tokens")), 6)
+          .as("kl_nats"))
+      .orderBy("source")
+  }
+
+  /** The fold accumulates Σ c_s·(ln c_s − ln c_c + ln n_c); since
+    * Σ c_s = n_s, dividing by n_s and subtracting ln n_s completes
+    * KL = Σ (c_s/n_s)·ln((c_s/n_s)/(c_c/n_c)). */
+  val sourceKlSql: String =
+    """WITH w AS (
+      |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS word
+      |  FROM documents),
+      |sw AS (SELECT source, word, count(*) AS cs FROM w GROUP BY 1, 2),
+      |cwv AS (SELECT *, CAST(sum(cs) OVER (PARTITION BY word) AS BIGINT) AS cc
+      |        FROM sw),
+      |nc AS (SELECT CAST(sum(cs) AS BIGINT) AS n_corpus FROM sw),
+      |per AS (
+      |  SELECT source,
+      |    CAST(sum(cs) AS BIGINT) AS n_tokens,
+      |    list(struct_pack(cs := cs, cc := cc, nc := n_corpus)
+      |      ORDER BY cs, cc, nc) AS terms
+      |  FROM cwv CROSS JOIN nc GROUP BY 1)
+      |SELECT source, n_tokens,
+      |  round(list_reduce(list_prepend(0.0, list_transform(terms, t ->
+      |    CAST(t.cs AS DOUBLE) * (ln(CAST(t.cs AS DOUBLE))
+      |      - ln(CAST(t.cc AS DOUBLE)) + ln(CAST(t.nc AS DOUBLE))))),
+      |    (acc, x) -> acc + x) / n_tokens
+      |    - ln(CAST(n_tokens AS DOUBLE)), 6) AS kl_nats
+      |FROM per ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_kl"       -> (sourceKl _),
     "q_heavy_hitters"   -> (heavyHitterTokens _),
     "q_top_ngrams"      -> (topNgrams _),
     "q_token_cms"       -> (tokenCms _),
@@ -619,6 +683,7 @@ object TextFunctions {
     "q_fingerprint"   -> (fingerprint _))
 
   def oracles: Map[String, String] = Map(
+    "q_source_kl"       -> sourceKlSql,
     "q_top_ngrams"      -> topNgramsSql,
     "q_token_cms"       -> tokenCmsSql,
     "q_gopher_filter"   -> gopherFilterSql,
