@@ -195,7 +195,10 @@ object Explain {
       "q_event_transitions"  -> Seq("Window", "HashAggregate", "BroadcastHashJoin"),
       // KL drift: corpus counts roll up from the same exploded frame,
       // the source rollup is the sorted collect_list fold
-      "q_source_kl"          -> Seq("HashAggregate", "ObjectHashAggregate"))
+      "q_source_kl"          -> Seq("HashAggregate", "ObjectHashAggregate"),
+      // semantic gate: eval vectors ride a broadcast, the corpus scan
+      // stays map-side (the embedding analog of the n-gram probe)
+      "q_semantic_decontam"  -> Seq("BroadcastNestedLoopJoin"))
 
     // anti-patterns per query: substrings that must NOT appear. Expand
     // is countDistinct's row-multiplying fallback — these queries are

@@ -562,6 +562,65 @@ object PipelineOps {
        |WHERE doc_id % 97 <> 0
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------- semantic decontamination
+
+  /** Semantic contamination gate threshold — cosine at which a corpus
+    * embedding counts as a paraphrase-level copy of an eval-set
+    * vector. Production gates sit near 0.9 on real sentence
+    * embeddings; the synthetic vectors' similarity ceiling is lower
+    * (like [[DedupOps.cosineThreshold]]'s 0.4), so 0.35 keeps the
+    * flagged band non-degenerate at every test scale. */
+  val semanticCosine: Double = 0.35
+
+  /** Embedding-level decontamination: flag corpus vectors whose cosine
+    * to ANY eval-set embedding (vec_id < 10, the benchmark stand-in)
+    * reaches [[semanticCosine]] — the paraphrase-contamination catch
+    * that n-gram gates ([[contamination]]) structurally miss: a
+    * reworded benchmark answer shares no 3-gram but sits next to the
+    * eval vector in embedding space (the SemDeDup/phi-style recipe).
+    *
+    * Scale shape: the eval set is KBs against a 100 TB corpus, so it
+    * rides a broadcast and the scan stays map-side (the exact analog
+    * of the n-gram gate's broadcast probe); the per-vector best match
+    * is a window over |eval| rows. Exact by construction — cosines via
+    * the same codegen dot the hash-green embedding family uses, so the
+    * brute-force oracle compares bit-identically. */
+  def semanticDecontam(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.dot
+    val e = Tables.spread(s, Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val q = e.filter(col("vec_id") < AnnOps.nQueries)
+      .select(col("vec_id").as("eval_id"), col("v").as("qv"), col("norm").as("qn"))
+    val best = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("eval_id"))
+    e.filter(col("vec_id") >= AnnOps.nQueries)
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", dot(col("v"), col("qv")) / (col("norm") * col("qn")))
+      .withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1 && col("cosine") >= semanticCosine)
+      .select(col("vec_id"), col("eval_id"), col("cosine"))
+      .orderBy("vec_id")
+  }
+
+  val semanticDecontamSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |      CAST(embedding AS DOUBLE[]))) AS norm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS eval_id, v AS qv, norm AS qn FROM e
+       |      WHERE vec_id < ${AnnOps.nQueries}),
+       |scored AS (
+       |  SELECT c.vec_id, q.eval_id,
+       |    list_dot_product(c.v, q.qv) / (c.norm * q.qn) AS cosine
+       |  FROM e c CROSS JOIN q WHERE c.vec_id >= ${AnnOps.nQueries}),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY cosine DESC, eval_id) AS rn FROM scored)
+       |SELECT vec_id, eval_id, cosine FROM r
+       |WHERE rn = 1 AND cosine >= $semanticCosine
+       |ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------ URL canonical
 
   /** URL canonicalization for crawl dedup: lowercase the host, strip a
@@ -841,6 +900,7 @@ object PipelineOps {
     "q_pack_sequences" -> (packSequences _),
     "q_contamination"  -> (contamination _),
     "q_contamination_bloom" -> (contaminationBloom _),
+    "q_semantic_decontam" -> (semanticDecontam _),
     "q_url_canonical"  -> (urlCanonical _),
     "q_corpus_report"  -> (corpusReport _),
     "q_curate_pipeline" -> (curatePipeline _))
@@ -856,6 +916,7 @@ object PipelineOps {
     "q_pack_sequences" -> packSequencesSql,
     "q_contamination"  -> contaminationSql,
     "q_contamination_bloom" -> contaminationSql,
+    "q_semantic_decontam" -> semanticDecontamSql,
     "q_url_canonical"  -> urlCanonicalSql,
     "q_corpus_report"  -> corpusReportSql,
     "q_curate_pipeline" -> curatePipelineSql)

@@ -56,6 +56,31 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("semantic decontamination flags exactly the above-threshold corpus vectors") {
+    val got = PipelineOps.semanticDecontam(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    // brute-force recomputation
+    val vecs = graft.Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val (evals, corpus) = vecs.partition(_._1 < AnnOps.nQueries)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = corpus.flatMap { case (id, v) =>
+      val best = evals.map { case (qid, qv) => (cos(v, qv), qid) }
+        .maxBy { case (c, qid) => (c, -qid) }
+      if (best._1 >= PipelineOps.semanticCosine) Some((id, best._2)) else None
+    }.toSet
+    assert(got.map(p => (p._1, p._2)).toSet === expected)
+    got.foreach { case (_, eid, c) =>
+      assert(eid < AnnOps.nQueries && c >= PipelineOps.semanticCosine)
+    }
+  }
+
   test("domain cap bounds every source at the cap") {
     val capped = PipelineOps.domainCapped(spark, sfDir)
     val perSource = capped.groupBy("source").count().collect()
