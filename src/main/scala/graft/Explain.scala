@@ -198,7 +198,10 @@ object Explain {
       "q_source_kl"          -> Seq("HashAggregate", "ObjectHashAggregate"),
       // semantic gate: eval vectors ride a broadcast, the corpus scan
       // stays map-side (the embedding analog of the n-gram probe)
-      "q_semantic_decontam"  -> Seq("BroadcastNestedLoopJoin"))
+      "q_semantic_decontam"  -> Seq("BroadcastNestedLoopJoin"),
+      // ensemble: the components' audited plans joined on doc_id; the
+      // model-sized frames still broadcast inside their components
+      "q_quality_ensemble"   -> Seq("BroadcastHashJoin", "ObjectHashAggregate"))
 
     // anti-patterns per query: substrings that must NOT appear. Expand
     // is countDistinct's row-multiplying fallback — these queries are

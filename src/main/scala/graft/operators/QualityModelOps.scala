@@ -357,13 +357,70 @@ object QualityModelOps {
           .as("log_ratio"))
   }
 
+  // --------------------------------------------- ensemble gate
+
+  /** The full quality cascade in ONE plan — the CCNet/RefinedWeb
+    * filtering recipe end to end: Gopher document-shape rules,
+    * repetition signals, per-language LM-perplexity buckets, and the
+    * DSIR target-likeness signal, joined into a per-document verdict
+    * with the per-signal audit trail a pipeline operator needs to see
+    * WHY a document was cut. keep = shape rules pass AND not
+    * repetition-flagged AND not in the perplexity tail; target_like
+    * rides along as the resampling signal (DSIR reweights rather than
+    * gates).
+    *
+    * Scale shape: each component keeps its own audited plan (broadcast
+    * models, map-side rules — see the individual rows); the ensemble
+    * adds only doc-keyed equi-joins of conformly-partitioned per-doc
+    * frames. Documents too short to featurize are kept gate-decidable:
+    * dsir joins left with a false default. */
+  def qualityEnsemble(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val gopher = TextFunctions.gopherFilter(s, dir)
+      .select(col("doc_id"), col("keep").as("gopher_keep"))
+    val rep = TextFunctions.repetitionScore(s, dir)
+      .select(col("doc_id"), col("flagged").as("rep_flag"))
+    val ppl = pplBuckets(s, dir).select(col("doc_id"), col("ppl_bucket"))
+    val dsir = dsirWeights(s, dir).select(col("doc_id"), col("target_like"))
+    gopher
+      .join(rep, Seq("doc_id"))
+      .join(ppl, Seq("doc_id"))
+      .join(dsir, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("gopher_keep"), col("rep_flag"),
+        col("ppl_bucket"),
+        coalesce(col("target_like"), lit(false)).as("target_like"),
+        (col("gopher_keep") && !col("rep_flag") && col("ppl_bucket") =!= "tail")
+          .as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the component oracles verbatim as CTE bodies (each is a
+    * hash-green row on its own), joined on doc_id. */
+  lazy val qualityEnsembleSql: String = {
+    import graft.functions.TextFunctions
+    s"""WITH g AS (${TextFunctions.gopherFilterSql}),
+       |r AS (${TextFunctions.repetitionScoreSql}),
+       |p AS ($pplBucketsSql),
+       |d AS ($dsirWeightsSql)
+       |SELECT g.doc_id, g.keep AS gopher_keep, r.flagged AS rep_flag,
+       |  p.ppl_bucket, COALESCE(d.target_like, false) AS target_like,
+       |  (g.keep AND NOT r.flagged AND p.ppl_bucket <> 'tail') AS keep
+       |FROM g
+       |JOIN r USING (doc_id)
+       |JOIN p USING (doc_id)
+       |LEFT JOIN d USING (doc_id)
+       |ORDER BY g.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lm_perplexity" -> (lmPerplexity _),
     "q_ppl_buckets"   -> (pplBuckets _),
-    "q_dsir_weights"  -> (dsirWeights _))
+    "q_dsir_weights"  -> (dsirWeights _),
+    "q_quality_ensemble" -> (qualityEnsemble _))
 
   def oracles: Map[String, String] = Map(
     "q_lm_perplexity" -> lmPerplexitySql,
     "q_ppl_buckets"   -> pplBucketsSql,
-    "q_dsir_weights"  -> dsirWeightsSql)
+    "q_dsir_weights"  -> dsirWeightsSql,
+    "q_quality_ensemble" -> qualityEnsembleSql)
 }

@@ -51,6 +51,19 @@ class QualityModelOpsSpec extends SparkSpec {
     assert(byRef(true) > byRef(false))
   }
 
+  test("quality ensemble: verdict is exactly the conjunction of its audited signals") {
+    val rows = QualityModelOps.qualityEnsemble(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getString(3), r.getBoolean(4), r.getBoolean(5)))
+    assert(rows.length === graft.Tables.documents(spark, sfDir).count(),
+      "one verdict per document")
+    rows.foreach { case (id, gk, rf, bucket, _, keep) =>
+      assert(keep === (gk && !rf && bucket != "tail"), s"doc $id verdict drifts")
+    }
+    // the cascade actually separates: both kept and cut documents exist
+    assert(rows.exists(_._6) && rows.exists(!_._6), "degenerate gate")
+  }
+
   test("both scores are deterministic across runs") {
     def digest(df: org.apache.spark.sql.DataFrame): String =
       df.select(md5(concat_ws("#", df.columns.map(c => col(c).cast("string")): _*))
