@@ -201,7 +201,12 @@ object Explain {
       "q_semantic_decontam"  -> Seq("BroadcastNestedLoopJoin"),
       // ensemble: the components' audited plans joined on doc_id; the
       // model-sized frames still broadcast inside their components
-      "q_quality_ensemble"   -> Seq("BroadcastHashJoin", "ObjectHashAggregate"))
+      "q_quality_ensemble"   -> Seq("BroadcastHashJoin", "ObjectHashAggregate"),
+      // PMI: three hash aggs off one bigram explode, top-k heap
+      "q_pmi_collocations"   -> Seq("HashAggregate", "TakeOrderedAndProject"),
+      // backoff LM: count tables are hash aggs joined back as plain
+      // equi-joins (a web-scale trigram table is never hand-broadcast)
+      "q_backoff_score"      -> Seq("HashAggregate", "ObjectHashAggregate"))
 
     // anti-patterns per query: substrings that must NOT appear. Expand
     // is countDistinct's row-multiplying fallback — these queries are

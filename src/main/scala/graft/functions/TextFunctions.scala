@@ -567,6 +567,79 @@ object TextFunctions {
        |  FROM (SELECT unnest(sh) AS s FROM sh_t) GROUP BY 1)
        |ORDER BY df DESC, ngram ASC LIMIT $topNgramsK""".stripMargin
 
+  // ---------------------------------------- PMI collocations
+
+  /** Minimum bigram count for a collocation candidate — the standard
+    * floor that keeps one-off juxtapositions of two rare words from
+    * topping the PMI board. */
+  val pmiMinCount = 5L
+  val pmiTopK = 100
+
+  /** Top word-pair collocations by pointwise mutual information — the
+    * phrase-mining step (word2vec's phrase pass, Mikolov et al. 2013):
+    * pmi(w1, w2) = ln(c12·N / (c1·c2)) over adjacent word pairs, with
+    * c1/c2 the first-/second-position word counts from the same bigram
+    * stream and N the bigram total. High PMI = the words co-occur far
+    * more than their frequencies predict = a phrase to merge before
+    * tokenizer/embedding training.
+    *
+    * Scale shape: one bigram explode (the shared [[QualityModelOps]]
+    * tokenization), three hash aggregations off it (bigram, left-word,
+    * right-word counts — map-side partials collapse Zipfian hot keys),
+    * position counts rejoin the ≥-minCount bigram frame as plain
+    * planner-decided equi-joins, N rides a 1-row broadcast, and the
+    * top-k is a per-partition heap (TakeOrderedAndProject) — no global
+    * sort. Exact-integer counts; ln on identical doubles both engines;
+    * tie-break by bigram text. */
+  def pmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val bg = graft.Tables.spread(s, graft.Tables.documents(s, dir))
+      .select(explode(graft.operators.QualityModelOps.bigramsCol).as("bg"))
+    val cb = bg.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val cl = bg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(count(lit(1)).as("c1"))
+    val cr = bg.groupBy(substring_index(col("bg"), " ", -1).as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val n = cb.agg(sum(col("c12")).as("n"))
+    cb.filter(col("c12") >= pmiMinCount)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(cl, Seq("w1"))
+      .join(cr, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("bg"), col("c12"), col("c1"), col("c2"),
+        (log(col("c12")) + log(col("n")) - log(col("c1")) - log(col("c2")))
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("bg").asc)
+      .limit(pmiTopK)
+      .select(col("bg"), col("c12"), col("c1"), col("c2"),
+        round(col("pmi"), 6).as("pmi"))
+  }
+
+  val pmiCollocationsSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents),
+       |bg AS (
+       |  SELECT unnest(list_transform(range(len(ws) - 1),
+       |    i -> ws[i+1] || ' ' || ws[i+2])) AS bg
+       |  FROM w),
+       |cb AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY 1),
+       |cl AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+       |       FROM bg GROUP BY 1),
+       |cr AS (SELECT split_part(bg, ' ', 2) AS w2, count(*) AS c2
+       |       FROM bg GROUP BY 1),
+       |n AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM cb)
+       |SELECT bg, c12, c1, c2, round(pmi, 6) AS pmi FROM (
+       |  SELECT cb.bg, cb.c12, cl.c1, cr.c2,
+       |    ln(CAST(cb.c12 AS DOUBLE)) + ln(CAST(n.n AS DOUBLE))
+       |      - ln(CAST(cl.c1 AS DOUBLE)) - ln(CAST(cr.c2 AS DOUBLE)) AS pmi
+       |  FROM cb
+       |  JOIN cl ON cl.w1 = split_part(cb.bg, ' ', 1)
+       |  JOIN cr ON cr.w2 = split_part(cb.bg, ' ', 2)
+       |  CROSS JOIN n
+       |  WHERE cb.c12 >= $pmiMinCount)
+       |ORDER BY pmi DESC, bg ASC LIMIT $pmiTopK""".stripMargin
+
   // -------------------------------------- bounded heavy hitters
 
   /** Summary capacity of the heavy-hitters sketch query. */
@@ -669,6 +742,7 @@ object TextFunctions {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_kl"       -> (sourceKl _),
+    "q_pmi_collocations" -> (pmiCollocations _),
     "q_heavy_hitters"   -> (heavyHitterTokens _),
     "q_top_ngrams"      -> (topNgrams _),
     "q_token_cms"       -> (tokenCms _),
@@ -684,6 +758,7 @@ object TextFunctions {
 
   def oracles: Map[String, String] = Map(
     "q_source_kl"       -> sourceKlSql,
+    "q_pmi_collocations" -> pmiCollocationsSql,
     "q_top_ngrams"      -> topNgramsSql,
     "q_token_cms"       -> tokenCmsSql,
     "q_gopher_filter"   -> gopherFilterSql,

@@ -176,6 +176,165 @@ object QualityModelOps {
     (cb, cw)
   }
 
+  // --------------------------------------- Stupid Backoff trigram LM
+
+  /** Backoff discount α (Brants et al. 2007, arXiv on "Large Language
+    * Models in Machine Translation" — the web-scale LM recipe that
+    * drops normalization for distributability). */
+  val backoffAlpha = 0.4
+
+  /** word-trigram list via one shared split, guarded for <3-word
+    * documents like [[bigramsCol]]. */
+  private[graft] def trigramsCol = element_at(
+    transform(array(wordsCol), ws =>
+      when(size(ws) >= 3,
+        transform(sequence(lit(0), size(ws) - 3),
+          i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2),
+            element_at(ws, i + 3))))
+        .otherwise(array().cast("array<string>"))), 1)
+
+  /** Mean Stupid-Backoff trigram log-score per document — the
+    * web-scale LM scoring recipe: relative frequencies with a fixed
+    * α = 0.4 backoff instead of normalized smoothing, which is what
+    * makes the model embarrassingly distributable (every count table
+    * is an independent hash aggregation; no per-context normalization
+    * pass). S(w₃|w₁w₂) = c(w₁w₂w₃)/c(w₁w₂), backing off to
+    * α·c(w₂w₃)/c(w₂), then α²·c(w₃)/N, then an α²/(N+V) OOV floor.
+    *
+    * Branch selection depends only on EXACT integer counts, so both
+    * engines take identical branches; the per-doc fold is sorted and
+    * the output rounds to 6 dp (the ln-ulp discipline of its
+    * siblings). Scale shape: ONE trigram explode feeds the doc
+    * multiplicities and all model rollups (trained on [[refSources]]);
+    * the trigram/bigram/unigram tables join back as planner-decided
+    * equi-joins (a web-scale trigram table must never be
+    * hand-broadcast — this is the point of Stupid Backoff); totals
+    * ride a 1-row broadcast. */
+  def backoffScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(s, Tables.documents(s, dir))
+    val tg = docs
+      .select(col("source"), col("doc_id"), explode(trigramsCol).as("tg"))
+      .groupBy(col("doc_id"), col("source"), col("tg"))
+      .agg(count(lit(1)).as("m"))
+    val ref = tg.filter(col("source").isin(refSources: _*))
+    val ct = ref.groupBy(col("tg")).agg(sum(col("m")).as("ct"))
+    // bigram/unigram tables from the same reference slice, via the
+    // bigram tokenization (positions align with trigram contexts up to
+    // the final bigram, which backoff never asks for a context count)
+    val refBg = docs.filter(col("source").isin(refSources: _*))
+      .select(explode(bigramsCol).as("bg"))
+    val cb = refBg.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val refW = docs.filter(col("source").isin(refSources: _*))
+      .select(explode(wordsCol).as("w"))
+    val cw = refW.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val totals = cw.agg(sum(col("cw")).as("n"), count(lit(1)).as("v"))
+
+    val ctx2 = substring_index(col("tg"), " ", 2)
+    val bg23 = substring_index(col("tg"), " ", -2)
+    val w2 = substring_index(substring_index(col("tg"), " ", 2), " ", -1)
+    val w3 = substring_index(col("tg"), " ", -1)
+    val la = log(lit(backoffAlpha))
+    val scored = tg
+      .join(ct, Seq("tg"), "left")
+      .join(cb.select(col("bg").as("ctx"), col("cb").as("cctx")),
+        ctx2 === col("ctx"), "left")
+      .join(cb.select(col("bg").as("b23"), col("cb").as("cb23")),
+        bg23 === col("b23"), "left")
+      .join(cw.select(col("w").as("w2k"), col("cw").as("cw2")),
+        w2 === col("w2k"), "left")
+      .join(cw.select(col("w").as("w3k"), col("cw").as("cw3")),
+        w3 === col("w3k"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("m"),
+        coalesce(col("ct"), lit(0L)).as("ct0"),
+        coalesce(col("cctx"), lit(0L)).as("cctx0"),
+        coalesce(col("cb23"), lit(0L)).as("cb0"),
+        coalesce(col("cw2"), lit(0L)).as("cw20"),
+        coalesce(col("cw3"), lit(0L)).as("cw30"),
+        col("n"), col("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_trigrams"),
+        aggregate(
+          array_sort(collect_list(struct(col("ct0"), col("cctx0"), col("cb0"),
+            col("cw20"), col("cw30"), col("m"), col("n"), col("v")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("m") * (
+            when(x.getField("ct0") > 0,
+              log(x.getField("ct0")) - log(x.getField("cctx0")))
+            .when(x.getField("cb0") > 0,
+              la + log(x.getField("cb0")) - log(x.getField("cw20")))
+            .when(x.getField("cw30") > 0,
+              la + la + log(x.getField("cw30")) - log(x.getField("n")))
+            .otherwise(la + la - log(x.getField("n") + x.getField("v")))))
+          .as("ls_sum"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_trigrams"),
+        round(col("ls_sum") / col("n_trigrams"), 6).as("mean_log_score"))
+      .orderBy("doc_id")
+  }
+
+  val backoffScoreSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents),
+       |tg AS (
+       |  SELECT doc_id, source, tg, count(*) AS m FROM (
+       |    SELECT doc_id, source, unnest(list_transform(range(len(ws) - 2),
+       |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS tg
+       |    FROM w)
+       |  GROUP BY 1, 2, 3),
+       |ct AS (SELECT tg, CAST(sum(m) AS BIGINT) AS ct FROM tg
+       |       WHERE source IN $refSourcesSql GROUP BY 1),
+       |cb AS (
+       |  SELECT bg, count(*) AS cb FROM (
+       |    SELECT unnest(list_transform(range(len(ws) - 1),
+       |      i -> ws[i+1] || ' ' || ws[i+2])) AS bg
+       |    FROM w WHERE source IN $refSourcesSql)
+       |  GROUP BY 1),
+       |cwt AS (
+       |  SELECT wrd, count(*) AS cw FROM (
+       |    SELECT unnest(ws) AS wrd FROM w WHERE source IN $refSourcesSql)
+       |  GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n, count(*) AS v FROM cwt),
+       |per AS (
+       |  SELECT doc_id,
+       |    CAST(sum(m) AS BIGINT) AS n_trigrams,
+       |    list(struct_pack(ct0 := ct0, cctx0 := cctx0, cb0 := cb0,
+       |      cw20 := cw20, cw30 := cw30, m := m, n := n, v := v)
+       |      ORDER BY ct0, cctx0, cb0, cw20, cw30, m, n, v) AS terms
+       |  FROM (
+       |    SELECT tg.doc_id, tg.m,
+       |      coalesce(ct.ct, 0) AS ct0,
+       |      coalesce(cx.cb, 0) AS cctx0,
+       |      coalesce(c23.cb, 0) AS cb0,
+       |      coalesce(w2c.cw, 0) AS cw20,
+       |      coalesce(w3c.cw, 0) AS cw30,
+       |      tot.n, tot.v
+       |    FROM tg
+       |    LEFT JOIN ct USING (tg)
+       |    LEFT JOIN cb cx ON cx.bg =
+       |      split_part(tg.tg, ' ', 1) || ' ' || split_part(tg.tg, ' ', 2)
+       |    LEFT JOIN cb c23 ON c23.bg =
+       |      split_part(tg.tg, ' ', 2) || ' ' || split_part(tg.tg, ' ', 3)
+       |    LEFT JOIN cwt w2c ON w2c.wrd = split_part(tg.tg, ' ', 2)
+       |    LEFT JOIN cwt w3c ON w3c.wrd = split_part(tg.tg, ' ', 3)
+       |    CROSS JOIN tot)
+       |  GROUP BY 1)
+       |SELECT d.doc_id, per.n_trigrams,
+       |  round(list_reduce(list_prepend(0.0, list_transform(per.terms, t ->
+       |    CAST(t.m AS DOUBLE) * (CASE
+       |      WHEN t.ct0 > 0 THEN ln(CAST(t.ct0 AS DOUBLE)) - ln(CAST(t.cctx0 AS DOUBLE))
+       |      WHEN t.cb0 > 0 THEN ln(CAST($backoffAlpha AS DOUBLE))
+       |        + ln(CAST(t.cb0 AS DOUBLE)) - ln(CAST(t.cw20 AS DOUBLE))
+       |      WHEN t.cw30 > 0 THEN 2 * ln(CAST($backoffAlpha AS DOUBLE))
+       |        + ln(CAST(t.cw30 AS DOUBLE)) - ln(CAST(t.n AS DOUBLE))
+       |      ELSE 2 * ln(CAST($backoffAlpha AS DOUBLE))
+       |        - ln(CAST(t.n AS DOUBLE) + t.v) END))),
+       |    (acc, x) -> acc + x) / per.n_trigrams, 6) AS mean_log_score
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // --------------------------------------- CCNet perplexity buckets
 
   /** CCNet's head/middle/tail split (arXiv:1911.00359 §4.3): documents
@@ -416,11 +575,13 @@ object QualityModelOps {
     "q_lm_perplexity" -> (lmPerplexity _),
     "q_ppl_buckets"   -> (pplBuckets _),
     "q_dsir_weights"  -> (dsirWeights _),
+    "q_backoff_score" -> (backoffScore _),
     "q_quality_ensemble" -> (qualityEnsemble _))
 
   def oracles: Map[String, String] = Map(
     "q_lm_perplexity" -> lmPerplexitySql,
     "q_ppl_buckets"   -> pplBucketsSql,
     "q_dsir_weights"  -> dsirWeightsSql,
+    "q_backoff_score" -> backoffScoreSql,
     "q_quality_ensemble" -> qualityEnsembleSql)
 }

@@ -51,6 +51,31 @@ class QualityModelOpsSpec extends SparkSpec {
     assert(byRef(true) > byRef(false))
   }
 
+  test("stupid backoff: scores are log-probabilities of sub-1 ratios, trigram counts line up") {
+    val scored = QualityModelOps.backoffScore(spark, sfDir).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    val words = docs.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    scored.foreach { case (id, nTri, score) =>
+      val nw = words(id)
+      if (nw >= 3) {
+        assert(nTri === nw - 2, s"doc $id trigram count")
+        assert(score < 0, s"doc $id score $score not a log of a sub-1 ratio")
+      } else assert(nTri === -1L && score.isNaN, s"short doc $id should be unscored")
+    }
+  }
+
+  test("stupid backoff: reference-slice docs score higher than out-of-slice docs") {
+    val bySource = QualityModelOps.backoffScore(spark, sfDir)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .filter(col("mean_log_score").isNotNull)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Double]("mean_log_score")))
+    val (ref, rest) = bySource.partition(p => QualityModelOps.refSources.contains(p._1))
+    val refMean = ref.map(_._2).sum / ref.length
+    val restMean = rest.map(_._2).sum / rest.length
+    assert(refMean > restMean, s"in-domain $refMean not above out-of-domain $restMean")
+  }
+
   test("quality ensemble: verdict is exactly the conjunction of its audited signals") {
     val rows = QualityModelOps.qualityEnsemble(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
