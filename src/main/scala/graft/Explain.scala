@@ -206,7 +206,11 @@ object Explain {
       "q_pmi_collocations"   -> Seq("HashAggregate", "TakeOrderedAndProject"),
       // backoff LM: count tables are hash aggs joined back as plain
       // equi-joins (a web-scale trigram table is never hand-broadcast)
-      "q_backoff_score"      -> Seq("HashAggregate", "ObjectHashAggregate"))
+      "q_backoff_score"      -> Seq("HashAggregate", "ObjectHashAggregate"),
+      // co-occurrence: map-side pair lambda + ONE hash agg + heap —
+      // never a positions self-join
+      "q_cooccurrence"       -> Seq("Generate", "HashAggregate",
+        "TakeOrderedAndProject"))
 
     // anti-patterns per query: substrings that must NOT appear. Expand
     // is countDistinct's row-multiplying fallback — these queries are

@@ -640,6 +640,66 @@ object TextFunctions {
        |  WHERE cb.c12 >= $pmiMinCount)
        |ORDER BY pmi DESC, bg ASC LIMIT $pmiTopK""".stripMargin
 
+  // ------------------------------------ windowed co-occurrence
+
+  /** Co-occurrence window radius and the integer distance weights:
+    * GloVe weights pairs 1/d by distance; scaling by lcm(1..4) = 12
+    * makes every weight an exact integer (12, 6, 4, 3), so the count
+    * matrix is hash-exact with no float summation anywhere. */
+  val coocWindow = 4
+  val coocMinWeight = 60L
+  val coocTopK = 100
+
+  /** GloVe-style co-occurrence matrix builder (Pennington et al.
+    * 2014): for every token pair within [[coocWindow]] positions,
+    * accumulate the integer distance weight; pairs are canonicalized
+    * unordered (GloVe's X is symmetric). The board view keeps the
+    * strongest [[coocTopK]] cells above [[coocMinWeight]] — the full
+    * matrix is the training artifact; the floor is what bounds it at
+    * corpus scale (Zipf: almost all cells are tiny).
+    *
+    * Scale shape: pair generation is MAP-SIDE (a per-row lambda over
+    * the let-bound token array emits ≤ window pairs per token — never
+    * a positions self-join), the matrix is ONE hash aggregation whose
+    * map-side partials collapse the Zipfian hot cells, and the top-k
+    * is a per-partition heap. */
+  def cooccurrence(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.Tables.spread(s, graft.Tables.documents(s, dir))
+      .select(explode(element_at(transform(
+        array(split(trim(col("text")), "\\s+")), ws =>
+          flatten(transform(sequence(lit(0), size(ws) - 1), i =>
+            when(size(ws) - i >= 2,
+              transform(sequence(lit(1), least(lit(coocWindow), size(ws) - 1 - i)),
+                d => struct(
+                  least(element_at(ws, i + 1), element_at(ws, i + d + 1)).as("wa"),
+                  greatest(element_at(ws, i + 1), element_at(ws, i + d + 1)).as("wb"),
+                  element_at(array(lit(12L), lit(6L), lit(4L), lit(3L)), d).as("wt"))))
+              .otherwise(array().cast("array<struct<wa:string,wb:string,wt:bigint>>"))))),
+        1)).as("p"))
+    pairs
+      .groupBy(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      .agg(sum(col("p.wt")).as("weight"))
+      .filter(col("weight") >= coocMinWeight)
+      .orderBy(col("weight").desc, col("wa").asc, col("wb").asc)
+      .limit(coocTopK)
+  }
+
+  val cooccurrenceSql: String =
+    s"""WITH w AS (
+       |  SELECT string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+       |p AS (
+       |  SELECT unnest(flatten(list_transform(range(len(ws)), i ->
+       |    list_transform(range(1, least($coocWindow, len(ws) - 1 - i) + 1), d ->
+       |      struct_pack(
+       |        wa := least(ws[i+1], ws[i+d+1]),
+       |        wb := greatest(ws[i+1], ws[i+d+1]),
+       |        wt := ([12, 6, 4, 3])[d]))))) AS p
+       |  FROM w)
+       |SELECT p.wa AS wa, p.wb AS wb, CAST(sum(p.wt) AS BIGINT) AS weight
+       |FROM p GROUP BY 1, 2
+       |HAVING CAST(sum(p.wt) AS BIGINT) >= $coocMinWeight
+       |ORDER BY weight DESC, wa ASC, wb ASC LIMIT $coocTopK""".stripMargin
+
   // -------------------------------------- bounded heavy hitters
 
   /** Summary capacity of the heavy-hitters sketch query. */
@@ -743,6 +803,7 @@ object TextFunctions {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_kl"       -> (sourceKl _),
     "q_pmi_collocations" -> (pmiCollocations _),
+    "q_cooccurrence"    -> (cooccurrence _),
     "q_heavy_hitters"   -> (heavyHitterTokens _),
     "q_top_ngrams"      -> (topNgrams _),
     "q_token_cms"       -> (tokenCms _),
@@ -759,6 +820,7 @@ object TextFunctions {
   def oracles: Map[String, String] = Map(
     "q_source_kl"       -> sourceKlSql,
     "q_pmi_collocations" -> pmiCollocationsSql,
+    "q_cooccurrence"    -> cooccurrenceSql,
     "q_top_ngrams"      -> topNgramsSql,
     "q_token_cms"       -> tokenCmsSql,
     "q_gopher_filter"   -> gopherFilterSql,
