@@ -156,10 +156,20 @@ object FeedstockDataWriter {
 
 class FeedstockScanBuilder(path: String, full: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = full
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var limit: Int = -1
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  /** LIMIT reaches the reader: each partition stops parsing after
+    * `limit` surviving lines (pushed filters still apply first), so a
+    * `LIMIT k` over a TB-scale feedstock directory reads ~k lines per
+    * file instead of every byte. Partial push — Spark keeps its global
+    * Limit operator; the reader's cap is a per-partition I/O bound,
+    * which is exactly the split of work a distributed LIMIT wants. */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed(): Boolean = true
 
   /** Accept simple predicates on top-level leaf columns; they are
     * evaluated against the parsed JSON node BEFORE row conversion, so
@@ -177,7 +187,7 @@ class FeedstockScanBuilder(path: String, full: StructType)
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
-  override def build(): Scan = new FeedstockScan(path, required, full, pushed,
+  override def build(): Scan = new FeedstockScan(path, required, full, pushed, limit,
     // driver-side: capture the session's Hadoop conf (spark.hadoop.*,
     // fs credentials) for both split listing and the executor readers
     new SerializableConfiguration(
@@ -307,13 +317,14 @@ object FeedstockFilters {
 }
 
 class FeedstockScan(path: String, required: StructType, full: StructType,
-    pushed: Array[org.apache.spark.sql.sources.Filter],
+    pushed: Array[org.apache.spark.sql.sources.Filter], limit: Int,
     conf: SerializableConfiguration) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-feedstock $path ReadSchema: ${required.catalogString}" +
-      s" PushedFilters: [${pushed.mkString(", ")}]"
+      s" PushedFilters: [${pushed.mkString(", ")}]" +
+      (if (limit >= 0) s" PushedLimit: $limit" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = new Path(path).getFileSystem(conf.value)
@@ -331,17 +342,18 @@ class FeedstockScan(path: String, required: StructType, full: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    FeedstockReaderFactory(required, full, pushed, conf)
+    FeedstockReaderFactory(required, full, pushed, limit, conf)
 }
 
 case class FeedstockInputPartition(file: String) extends InputPartition
 
 case class FeedstockReaderFactory(required: StructType, full: StructType,
-    pushed: Array[org.apache.spark.sql.sources.Filter],
+    pushed: Array[org.apache.spark.sql.sources.Filter], limit: Int,
     conf: SerializableConfiguration) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new FeedstockPartitionReader(
-      partition.asInstanceOf[FeedstockInputPartition].file, required, full, pushed, conf.value)
+      partition.asInstanceOf[FeedstockInputPartition].file, required, full, pushed,
+      limit, conf.value)
 }
 
 /** Streams one JSON-lines file, converting each line to an InternalRow
@@ -350,8 +362,10 @@ case class FeedstockReaderFactory(required: StructType, full: StructType,
   * and rejected lines never become rows. */
 class FeedstockPartitionReader(file: String, required: StructType,
     full: StructType,
-    pushed: Array[org.apache.spark.sql.sources.Filter], conf: Configuration)
+    pushed: Array[org.apache.spark.sql.sources.Filter], limit: Int,
+    conf: Configuration)
     extends PartitionReader[InternalRow] {
+  private var emitted = 0
   private val mapper = new ObjectMapper()
   // resolved paths + typed literals, once per reader, not per line
   private val preds = pushed.map(FeedstockFilters.compile(_, full))
@@ -362,6 +376,9 @@ class FeedstockPartitionReader(file: String, required: StructType,
   private var row: InternalRow = _
 
   override def next(): Boolean = {
+    // pushed LIMIT: stop reading the file once this partition has
+    // produced its cap — lines past it are never parsed
+    if (limit >= 0 && emitted >= limit) { row = null; return false }
     var node: JsonNode = null
     var done = false
     while (!done) {
@@ -375,7 +392,7 @@ class FeedstockPartitionReader(file: String, required: StructType,
       }
     }
     if (node == null) { row = null; false }
-    else { row = FeedstockPartitionReader.convert(node, required); true }
+    else { row = FeedstockPartitionReader.convert(node, required); emitted += 1; true }
   }
 
   override def get(): InternalRow = row

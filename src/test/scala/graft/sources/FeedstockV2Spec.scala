@@ -35,6 +35,27 @@ class FeedstockV2Spec extends SparkSpec {
       graft.Tables.documents(spark, sfDir).count())
   }
 
+  test("limit pushdown: the reader stops parsing the file at its cap") {
+    // one file: 3 good lines, then a line that would crash the JSON
+    // parser. With LIMIT 3 pushed, the reader must never reach it.
+    val dir = java.nio.file.Files.createTempDirectory("feedstock-limit")
+    val f = dir.resolve("data.jsonl")
+    val good = (1 to 3).map(i =>
+      s"""{"dataset": "d", "record": {"doc_id": $i, "text": "t$i", "lang": "en"}}""")
+    java.nio.file.Files.writeString(f,
+      (good :+ "{ this is not json").mkString("\n"))
+
+    val q = spark.read.format("graft-feedstock").load(dir.toString).limit(3)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 3"), plan.take(800))
+    // without the pushdown this collect would throw on line 4
+    assert(q.collect().length === 3)
+    // and a full scan of the same file DOES reach the bad line
+    intercept[Exception] {
+      spark.read.format("graft-feedstock").load(dir.toString).collect()
+    }
+  }
+
   test("DSv2 write + read round trip through the connector") {
     val docs = graft.Tables.documents(spark, sfDir)
     val feedstock = FeedstockSource.fromDocuments(docs)
