@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count => V2Count, CountStar, Max => V2Max, Min => V2Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -156,7 +157,8 @@ object FeedstockDataWriter {
 
 class FeedstockScanBuilder(path: String, full: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var limit: Int = -1
@@ -187,12 +189,63 @@ class FeedstockScanBuilder(path: String, full: StructType)
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
-  override def build(): Scan = new FeedstockScan(path, required, full, pushed, limit,
+  /** Global COUNT/MIN/MAX collapse into the readers: each partition
+    * scans its file once and emits ONE partial-aggregate row (pushed
+    * filters still apply line-by-line first), so `SELECT count(*),
+    * max(ts) FROM feedstock` moves a handful of longs per file instead
+    * of every row. Partial push — Spark's final aggregate merges the
+    * per-partition rows (sum of counts, min of mins, max of maxs), so
+    * the reader only needs per-file accumulators. GROUP BY, DISTINCT
+    * and non-leaf columns stay Spark-side. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean = false
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (limit >= 0 || agg.groupByExpressions().nonEmpty) return false
+    def pathOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case n: org.apache.spark.sql.connector.expressions.NamedReference =>
+          Some(n.fieldNames().mkString("."))
+        case _ => None
+      }
+    val specs: Array[Option[FeedstockAgg]] = agg.aggregateExpressions().map {
+      case _: CountStar => Some(AggCountStar: FeedstockAgg)
+      case c: V2Count if !c.isDistinct =>
+        pathOf(c.column()).filter(FeedstockFilters.leafType(_, full).isDefined)
+          .map(AggCount(_): FeedstockAgg)
+      case m: V2Min =>
+        pathOf(m.column()).flatMap(p =>
+          FeedstockFilters.leafType(p, full).map(AggMin(p, _): FeedstockAgg))
+      case m: V2Max =>
+        pathOf(m.column()).flatMap(p =>
+          FeedstockFilters.leafType(p, full).map(AggMax(p, _): FeedstockAgg))
+      case _ => None
+    }
+    if (specs.nonEmpty && specs.forall(_.isDefined)) {
+      aggs = Some(specs.map(_.get).toSeq)
+      required = StructType(aggs.get.zipWithIndex.map {
+        case (AggCountStar, i)  => StructField(s"agg_$i", LongType, nullable = false)
+        case (AggCount(_), i)   => StructField(s"agg_$i", LongType, nullable = false)
+        case (AggMin(_, dt), i) => StructField(s"agg_$i", dt)
+        case (AggMax(_, dt), i) => StructField(s"agg_$i", dt)
+      }.toArray)
+      true
+    } else false
+  }
+  private var aggs: Option[Seq[FeedstockAgg]] = None
+
+  override def build(): Scan = new FeedstockScan(path, required, full, pushed, limit, aggs,
     // driver-side: capture the session's Hadoop conf (spark.hadoop.*,
     // fs credentials) for both split listing and the executor readers
     new SerializableConfiguration(
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
 }
+
+/** Pushed partial-aggregate shapes the feedstock reader can fold
+  * per-file. */
+private[sources] sealed trait FeedstockAgg extends Serializable
+private[sources] case object AggCountStar extends FeedstockAgg
+private[sources] final case class AggCount(path: String) extends FeedstockAgg
+private[sources] final case class AggMin(path: String, dt: DataType) extends FeedstockAgg
+private[sources] final case class AggMax(path: String, dt: DataType) extends FeedstockAgg
 
 /** THE single JSON-leaf → Catalyst coercion, shared by the row
   * converter ([[FeedstockPartitionReader.convert]]) and the pushed-
@@ -318,13 +371,15 @@ object FeedstockFilters {
 
 class FeedstockScan(path: String, required: StructType, full: StructType,
     pushed: Array[org.apache.spark.sql.sources.Filter], limit: Int,
+    aggs: Option[Seq[FeedstockAgg]],
     conf: SerializableConfiguration) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-feedstock $path ReadSchema: ${required.catalogString}" +
       s" PushedFilters: [${pushed.mkString(", ")}]" +
-      (if (limit >= 0) s" PushedLimit: $limit" else "")
+      (if (limit >= 0) s" PushedLimit: $limit" else "") +
+      aggs.map(a => s" PushedAggregates: [${a.mkString(", ")}]").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = new Path(path).getFileSystem(conf.value)
@@ -342,18 +397,111 @@ class FeedstockScan(path: String, required: StructType, full: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    FeedstockReaderFactory(required, full, pushed, limit, conf)
+    FeedstockReaderFactory(required, full, pushed, limit, aggs, conf)
 }
 
 case class FeedstockInputPartition(file: String) extends InputPartition
 
 case class FeedstockReaderFactory(required: StructType, full: StructType,
     pushed: Array[org.apache.spark.sql.sources.Filter], limit: Int,
+    aggs: Option[Seq[FeedstockAgg]],
     conf: SerializableConfiguration) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new FeedstockPartitionReader(
-      partition.asInstanceOf[FeedstockInputPartition].file, required, full, pushed,
-      limit, conf.value)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[FeedstockInputPartition].file
+    aggs match {
+      case Some(specs) =>
+        new FeedstockAggReader(file, full, pushed, specs, conf.value)
+      case None =>
+        new FeedstockPartitionReader(file, required, full, pushed, limit, conf.value)
+    }
+  }
+}
+
+/** Folds one file into ONE partial-aggregate row. Values coerce
+  * through the same [[FeedstockLeaf]] as the row converter and compare
+  * with Spark's own orderings (unsigned UTF-8 bytes for strings,
+  * SQLOrderingUtil for doubles), so the merged result is identical to
+  * aggregating the converted rows. */
+class FeedstockAggReader(file: String, full: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    specs: Seq[FeedstockAgg], conf: Configuration)
+    extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private val preds = pushed.map(FeedstockFilters.compile(_, full))
+  private var emitted = false
+  private var row: InternalRow = _
+
+  private def leaf(node: JsonNode, path: Array[String]): JsonNode = {
+    var cur = node
+    var i = 0
+    while (i < path.length && cur != null) { cur = cur.get(path(i)); i += 1 }
+    if (cur == null || cur.isNull) null else cur
+  }
+
+  private def cmp(dt: DataType, a: Any, b: Any): Int = dt match {
+    case IntegerType => java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case LongType    => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case DoubleType  => org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+      .compareDoubles(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case BooleanType => java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+    case _ => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+  }
+
+  override def next(): Boolean = {
+    if (emitted) return false
+    val paths = specs.map {
+      case AggCount(p)  => p.split("\\.")
+      case AggMin(p, _) => p.split("\\.")
+      case AggMax(p, _) => p.split("\\.")
+      case AggCountStar => Array.empty[String]
+    }
+    val counts = Array.fill(specs.length)(0L)
+    val extremes = Array.fill[Any](specs.length)(null)
+    val path = new Path(file)
+    val in = path.getFileSystem(conf).open(path)
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      var line = reader.readLine()
+      while (line != null) {
+        if (line.trim.nonEmpty) {
+          val node = mapper.readTree(line)
+          if (preds.forall(_(node))) {
+            var i = 0
+            while (i < specs.length) {
+              specs(i) match {
+                case AggCountStar => counts(i) += 1
+                case AggCount(_)  => if (leaf(node, paths(i)) != null) counts(i) += 1
+                case AggMin(_, dt) =>
+                  val n = leaf(node, paths(i))
+                  if (n != null) {
+                    val v = FeedstockLeaf.coerce(n, dt)
+                    if (extremes(i) == null || cmp(dt, v, extremes(i)) < 0) extremes(i) = v
+                  }
+                case AggMax(_, dt) =>
+                  val n = leaf(node, paths(i))
+                  if (n != null) {
+                    val v = FeedstockLeaf.coerce(n, dt)
+                    if (extremes(i) == null || cmp(dt, v, extremes(i)) > 0) extremes(i) = v
+                  }
+              }
+              i += 1
+            }
+          }
+        }
+        line = reader.readLine()
+      }
+    } finally reader.close()
+    row = new GenericInternalRow(specs.zipWithIndex.map {
+      case (AggCountStar | AggCount(_), i) => counts(i): Any
+      case (_, i) => extremes(i)
+    }.toArray)
+    emitted = true
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
 }
 
 /** Streams one JSON-lines file, converting each line to an InternalRow

@@ -56,6 +56,38 @@ class FeedstockV2Spec extends SparkSpec {
     }
   }
 
+  test("aggregate pushdown: count/min/max fold per-file, merged result exact") {
+    val dir = writtenDir()
+    val q = spark.read.format("graft-feedstock").load(dir)
+      .agg(count(lit(1)).as("n"),
+        min(col("record.doc_id")).as("lo"),
+        max(col("record.doc_id")).as("hi"),
+        max(col("record.lang")).as("lz"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"), plan.take(1200))
+    val r = q.collect()(0)
+    val docs = graft.Tables.documents(spark, sfDir)
+    assert(r.getLong(0) === docs.count())
+    assert(r.getLong(1) === 0L)
+    assert(r.getLong(2) === docs.count() - 1)
+    assert(r.getString(3) ===
+      docs.agg(max(col("lang"))).collect()(0).getString(0))
+  }
+
+  test("aggregate pushdown composes with pushed filters") {
+    val dir = writtenDir()
+    val q = spark.read.format("graft-feedstock").load(dir)
+      .filter(col("record.lang") === "en")
+      .agg(count(lit(1)).as("n"), min(col("record.doc_id")).as("lo"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"), plan.take(1200))
+    assert(plan.contains("EqualTo(record.lang,en)"), plan.take(1200))
+    val r = q.collect()(0)
+    val en = graft.Tables.documents(spark, sfDir).filter(col("lang") === "en")
+    assert(r.getLong(0) === en.count())
+    assert(r.getLong(1) === en.agg(min("doc_id")).collect()(0).getLong(0))
+  }
+
   test("DSv2 write + read round trip through the connector") {
     val docs = graft.Tables.documents(spark, sfDir)
     val feedstock = FeedstockSource.fromDocuments(docs)
