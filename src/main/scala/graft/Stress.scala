@@ -77,7 +77,7 @@ object Stress {
       "q_lang_rebalance", "q_nb_classify", "q_graph_pagerank",
       "q_dedup_containment", "q_event_transitions",
       "q_source_kl", "q_pmi_collocations", "q_backoff_score",
-      "q_quality_ensemble", "q_semantic_decontam")
+      "q_quality_ensemble", "q_semantic_decontam", "q_cooccurrence")
     val heavies: Seq[String] =
       if (args.length > 2) args.drop(2).toSeq else defaults
 

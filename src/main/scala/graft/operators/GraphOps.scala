@@ -49,8 +49,14 @@ object GraphOps {
     * the per-iteration exchange disappears (see sources.Bucketing);
     * the exact brute-force edges here keep the oracle hash-checkable. */
   def pagerank(s: SparkSession, dir: String): DataFrame = {
+    // materialize the edge list once: every iteration joins it, and
+    // without the checkpoint each join re-derives the (expensive)
+    // kNN-mining subtree — the same eager-cut discipline as
+    // DedupOps.ngramCollapseOf. In production this IS the persisted
+    // kNN-graph table.
     val edges = AnnOps.knnGraph(s, dir)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint()
     val nodes = Tables.embeddings(s, dir).select(col("vec_id"))
     val n = nodes.agg(count(lit(1)).as("n"))
     val base = nodes.crossJoin(broadcast(n))
