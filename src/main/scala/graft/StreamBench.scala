@@ -74,6 +74,26 @@ object StreamBench {
       EventStream.substringCutStream(df, windowIdx, DedupOps.substringW))
     run("heavy_hitters", "update")(df =>
       EventStream.heavyHitterStream(df, 32))
+
+    // ---- stateful per-user transition feed over the event stream
+    // (events/s, not docs/s: the state is one record per user)
+    locally {
+      val evRows: Seq[EventStream.TEv] = (0 until mult).flatMap { i =>
+        Tables.events(spark, srcDir)
+          .select(col("user_id") + lit(i * shift), col("event_id") + lit(i * shift),
+            col("ts"), col("event_type"))
+          .as[(Long, Long, java.sql.Timestamp, String)].collect()
+          .map(t => EventStream.TEv(t._1, t._2, t._3, t._4))
+      }
+      val stream = MemoryStream[EventStream.TEv]
+      stream.addData(evRows)
+      val q = EventStream.transitionStream(stream.toDS())
+        .writeStream.format("noop").outputMode("append").start()
+      val t0 = System.nanoTime()
+      try q.processAllAvailable() finally q.stop()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"== ${"transitions"}%-22s ${evRows.size}%8d evs   $dt%7.2f s  ${evRows.size / dt}%9.0f evs/s")
+    }
     spark.stop()
   }
 }
