@@ -210,7 +210,10 @@ object Explain {
       // co-occurrence: map-side pair lambda + ONE hash agg + heap —
       // never a positions self-join
       "q_cooccurrence"       -> Seq("Generate", "HashAggregate",
-        "TakeOrderedAndProject"))
+        "TakeOrderedAndProject"),
+      // duplication profile: two bounded hash rollups off the cached
+      // cluster map
+      "q_dup_profile"        -> Seq("HashAggregate"))
 
     // anti-patterns per query: substrings that must NOT appear. Expand
     // is countDistinct's row-multiplying fallback — these queries are

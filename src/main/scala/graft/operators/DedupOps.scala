@@ -787,6 +787,42 @@ object DedupOps {
        |  min(r) = id AS is_canonical
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------- duplication profile
+
+  /** The crawl's duplication profile: how many near-dup clusters of
+    * each size exist, and what share of the corpus sits in them — the
+    * audit chart a dedup pass is judged by (a healthy crawl is mostly
+    * singletons; a tail of big clusters is template spam). Composes
+    * the persisted cluster map with a two-level rollup: per-cluster
+    * sizes (bounded keys — copy groups, not Zipfian), then a
+    * |distinct sizes|-bounded distribution; corpus share as exact
+    * integer ppm. */
+  def dupProfile(s: SparkSession, dir: String): DataFrame = {
+    val sizes = clusterMapFor(s, dir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    val total = sizes.agg(sum(col("cluster_size")).as("n_docs"))
+    sizes.groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(total))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs_in"),
+        expr("(cluster_size * n_clusters * 1000000) div n_docs").as("corpus_ppm"))
+      .orderBy("cluster_size")
+  }
+
+  /** Oracle: the recursive-CTE cluster map + the same rollup. */
+  lazy val dupProfileSql: String =
+    dedupClustersSql.replaceFirst(
+      "SELECT id AS doc_id, min\\(r\\) AS cluster_id,[\\s\\S]*$",
+      """, cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cluster_size) AS BIGINT) AS n_docs FROM sizes)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs_in,
+        |  (cluster_size * count(*) * 1000000) // n_docs AS corpus_ppm
+        |FROM sizes CROSS JOIN tot
+        |GROUP BY cluster_size, n_docs
+        |ORDER BY cluster_size""".stripMargin)
+
   // ----------------------------------------------- keep rule
 
   /** The production step after clustering: pick ONE survivor per
@@ -1318,6 +1354,7 @@ object DedupOps {
     "q_dedup_exact"         -> (exactDedup _),
     "q_dedup_ngram_jaccard" -> (ngramJaccard _),
     "q_dedup_containment"   -> (containmentPairs _),
+    "q_dup_profile"         -> (dupProfile _),
     "q_dup_span_frac"       -> (dupSpanFrac _),
     "q_chunk_dedup"         -> (chunkDedup _),
     "q_substring_dedup"     -> (substringDedup _),
@@ -1345,6 +1382,7 @@ object DedupOps {
     "q_dedup_exact"         -> exactDedupSql,
     "q_dedup_ngram_jaccard" -> ngramJaccardSql,
     "q_dedup_containment"   -> containmentSql,
+    "q_dup_profile"         -> dupProfileSql,
     "q_dup_span_frac"       -> dupSpanFracSql,
     "q_chunk_dedup"         -> chunkDedupSql,
     "q_substring_dedup"     -> substringDedupSql,

@@ -113,6 +113,21 @@ class DedupOpsSpec extends SparkSpec {
     assert(asymmetric.forall(_._5 < 500000L), "asymmetric pairs sit below the jaccard gate")
   }
 
+  test("duplication profile: sizes partition the corpus, ppm sums within floor slack") {
+    val rows = DedupOps.dupProfile(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_._3).sum === nDocs, "every doc sits in exactly one cluster")
+    assert(rows.exists(_._1 == 1L), "a healthy corpus has singletons")
+    assert(rows.exists(_._1 > 1L), "the planted dups form real clusters")
+    rows.foreach { case (sz, nc, nd, ppm) =>
+      assert(nd === sz * nc)
+      assert(ppm === nd * 1000000L / nDocs)
+    }
+    val ppmSum = rows.map(_._4).sum
+    assert(ppmSum <= 1000000L && ppmSum > 1000000L - rows.length)
+  }
+
   test("simhash: near-identical documents collide at low hamming") {
     import spark.implicits._
     // plant a near-dup corpus: doc + one-word-changed copy
