@@ -95,25 +95,41 @@ case class HeavyHittersAgg(
     buf
   }
 
+  private def minCountOf(buf: mutable.LongMap[(Long, Long)]): Long = {
+    var minCount = Long.MaxValue
+    buf.foreachEntry { (_, v) => if (v._1 < minCount) minCount = v._1 }
+    minCount
+  }
+
   override def merge(buf: mutable.LongMap[(Long, Long)], other: mutable.LongMap[(Long, Long)]): mutable.LongMap[(Long, Long)] = {
-    // mergeable-summaries combine (Agarwal et al. 2013): a key absent
-    // from one side is counted AT MOST that side's minimum there; the
-    // standard conservative merge sums shared counters and keeps the
-    // top `capacity`, folding each survivor's uncertainty into err
-    other.foreachEntry { (k, v) =>
-      buf.get(k) match {
-        case Some((c, e)) => buf.update(k, (c + v._1, e + v._2))
-        case None => buf.update(k, v)
+    // mergeable-summaries combine (Agarwal et al. 2013): a key ABSENT
+    // from an at-capacity side may still have occurred up to that
+    // side's minimum counter there (it could have been evicted), so
+    // the conservative combine credits the absent side's minimum to
+    // BOTH count and err. A side below capacity never evicted, so
+    // absence there really means zero — no credit. Only after this
+    // does the top-`capacity` cut run; the overestimate and coverage
+    // guarantees then survive any partitioning/merge order.
+    val minBuf = if (buf.size >= capacity) minCountOf(buf) else 0L
+    val minOther = if (other.size >= capacity) minCountOf(other) else 0L
+    val out = mutable.LongMap.empty[(Long, Long)]
+    buf.foreachEntry { (k, v) =>
+      other.get(k) match {
+        case Some((c2, e2)) => out.update(k, (v._1 + c2, v._2 + e2))
+        case None => out.update(k, (v._1 + minOther, v._2 + minOther))
       }
     }
-    if (buf.size > capacity) {
-      val kept = buf.toSeq
+    other.foreachEntry { (k, v) =>
+      if (!buf.contains(k)) out.update(k, (v._1 + minBuf, v._2 + minBuf))
+    }
+    if (out.size > capacity) {
+      val kept = out.toSeq
         .sortBy { case (k, (c, _)) => (-c, k) }
         .take(capacity)
-      buf.clear()
-      kept.foreach { case (k, v) => buf.update(k, v) }
+      out.clear()
+      kept.foreach { case (k, v) => out.update(k, v) }
     }
-    buf
+    out
   }
 
   override def eval(buf: mutable.LongMap[(Long, Long)]): Any = {

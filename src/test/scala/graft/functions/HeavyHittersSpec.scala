@@ -48,6 +48,40 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("conservative merge never undercounts a key evicted on one side") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    // Capacity 2. Side A sees [1,2,3]: key 1 is evicted by 3's arrival,
+    // leaving {2:(1,0), 3:(2,1)}. Side B sees [1]: {1:(1,0)}. A naive
+    // merge + truncate would report count(1)=1 < true 2; the
+    // conservative combine must credit side A's minimum (1) to key 1.
+    val agg = HeavyHittersAgg(BoundReference(0, LongType, nullable = false), capacity = 2)
+    def feed(keys: Seq[Long]) = {
+      val b = agg.createAggregationBuffer()
+      keys.foreach(k => agg.update(b, InternalRow(k)))
+      b
+    }
+    val merged = agg.merge(feed(Seq(1L, 2L, 3L)), feed(Seq(1L)))
+    val exactCounts = Map(1L -> 2L, 2L -> 1L, 3L -> 1L)
+    merged.foreachEntry { (k, v) =>
+      val t = exactCounts(k)
+      assert(v._1 >= t, s"merged undercount for $k: ${v._1} < $t")
+      assert(v._1 - v._2 <= t, s"merged err bound broken for $k")
+    }
+    // coverage: n=4, capacity=2 — key 1 (freq 2 > 4/2 is false; freq 2 == 2)
+    // isn't forced by coverage, so pin the undercount fix directly:
+    assert(merged.contains(1L) && merged(1L)._1 >= 2L,
+      "key present on the small side must not undercount after merge")
+    // symmetric orientation: small side as the accumulating buffer
+    val mergedSym = agg.merge(feed(Seq(1L)), feed(Seq(1L, 2L, 3L)))
+    assert(mergedSym.contains(1L) && mergedSym(1L)._1 >= 2L,
+      "merge must be orientation-safe")
+    mergedSym.foreachEntry { (k, v) =>
+      assert(v._1 >= exactCounts(k), s"sym merged undercount for $k")
+    }
+  }
+
   test("a skewed stream's dominant keys rank first with exact-order counts") {
     import spark.implicits._
     // 1000 copies of key 1, 500 of key 2, singletons 100..1000
