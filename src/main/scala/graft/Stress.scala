@@ -75,6 +75,7 @@ object Stress {
       "q_leakage_safe_split", "q_rank_fusion", "q_embed_outliers",
       "q_heavy_hitters", "q_image_meta", "q_media_catalog",
       "q_lang_rebalance", "q_nb_classify", "q_graph_pagerank",
+      "q_graph_pagerank_ivf",
       "q_dedup_containment", "q_event_transitions",
       "q_source_kl", "q_pmi_collocations", "q_backoff_score",
       "q_quality_ensemble", "q_semantic_decontam", "q_cooccurrence")

@@ -31,39 +31,49 @@ object GraphOps {
     * nodes. */
   val pagerankScale = 1000000000000L
 
-  /** 3-iteration PageRank (damping 0.85) over the exact kNN edge set.
+  /** Generic integer PageRank (damping 0.85) over ANY directed edge
+    * list — the edges-in API: callers bring whatever graph they mined
+    * (exact kNN, IVF kNN, a persisted similarity graph read straight
+    * off parquet) and only the iteration shape lives here.
+    *
+    * `edges` needs (src, dst); `nodes` needs (vec_id). Out-degree is
+    * computed FROM the edge list (one src-keyed aggregation, done
+    * once) — a k-regular kNN graph reduces to the classic rank/k
+    * split, and irregular graphs (an IVF graph whose boundary cells
+    * return fewer than k neighbors, a web graph) divide by their true
+    * degree. Dangling mass (nodes with no out-edges) drops out of
+    * circulation, standard for curation ranking where only ORDER
+    * matters.
     *
     * Every node starts at scale/N units; each iteration every node
-    * sends rank/k along its k out-edges (the kNN graph is k-regular by
-    * construction — no dangling mass) and collects
+    * sends rank/deg along its out-edges and collects
     * 0.15·(scale/N) + 0.85·Σ in-contributions, in floor-division
-    * integer math.
+    * integer math (order-independent — see object doc).
     *
-    * Scale shape: each iteration is ONE equi-join of the edge list
-    * with the current rank frame (both keyed on the vector id) + ONE
-    * hash aggregation on the destination — the textbook distributed
-    * PageRank step; nothing is ever collected to the driver and N
-    * rides as a 1-row aggregate broadcast. At 100 TB the edge list
-    * comes from the persisted IVF kNN graph ([[AnnOps.knnGraphIvf]],
-    * identical output shape) and both sides pre-bucket on vec_id so
-    * the per-iteration exchange disappears (see sources.Bucketing);
-    * the exact brute-force edges here keep the oracle hash-checkable. */
-  def pagerank(s: SparkSession, dir: String): DataFrame = {
-    // materialize the edge list once: every iteration joins it, and
-    // without the checkpoint each join re-derives the (expensive)
-    // kNN-mining subtree — the same eager-cut discipline as
-    // DedupOps.ngramCollapseOf. In production this IS the persisted
-    // kNN-graph table.
-    val edges = AnnOps.knnGraph(s, dir)
-      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    * Scale shape: each iteration is ONE equi-join of the
+    * degree-annotated edge list with the current rank frame (both
+    * keyed on the vector id) + ONE hash aggregation on the
+    * destination — the textbook distributed PageRank step; nothing is
+    * ever collected to the driver and N rides as a 1-row aggregate
+    * broadcast. At 100 TB both sides pre-bucket on vec_id so the
+    * per-iteration exchange disappears (see sources.Bucketing). The
+    * degree-annotated edges are localCheckpoint'd once: every
+    * iteration joins them, and without the cut each join re-derives
+    * the (expensive) edge-mining subtree — the same eager-cut
+    * discipline as DedupOps.ngramCollapseOf. In production this IS
+    * the persisted kNN-graph table. */
+  def pagerankOf(edges: DataFrame, nodes: DataFrame,
+      iters: Int = pagerankIters): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg"))
       .localCheckpoint()
-    val nodes = Tables.embeddings(s, dir).select(col("vec_id"))
     val n = nodes.agg(count(lit(1)).as("n"))
     val base = nodes.crossJoin(broadcast(n))
     var ranks = base.select(col("vec_id"), expr(s"$pagerankScale div n").as("r"))
-    for (_ <- 1 to pagerankIters) {
-      val in = edges.join(ranks, col("src") === col("vec_id"))
-        .select(col("dst"), expr(s"r div ${AnnOps.topK}").as("c"))
+    for (_ <- 1 to iters) {
+      val in = e.join(ranks, col("src") === col("vec_id"))
+        .select(col("dst"), expr("r div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
       ranks = base
         .join(in, col("vec_id") === col("dst"), "left")
@@ -73,6 +83,27 @@ object GraphOps {
     }
     ranks.select(col("vec_id"), col("r").as("rank_units")).orderBy("vec_id")
   }
+
+  private def edgesOf(g: DataFrame): DataFrame =
+    g.select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+
+  /** PageRank over the EXACT kNN edge set — the deliberate exact twin
+    * (the brute-force edge mine keeps the oracle hash-checkable), same
+    * convention as q_knn_graph vs q_knn_graph_ivf. */
+  def pagerank(s: SparkSession, dir: String): DataFrame =
+    pagerankOf(edgesOf(AnnOps.knnGraph(s, dir)),
+      Tables.embeddings(s, dir).select(col("vec_id")))
+
+  /** The 100 TB path: the identical iteration over the IVF-mined kNN
+    * graph ([[AnnOps.knnGraphIvf]] — candidate scan |N|·nprobe/K, not
+    * |N|²). Rows-only at the driver gate: IVF recall is probabilistic,
+    * so edge-set (and hence rank) equality with the exact twin is a
+    * corpus property, not a contract — GraphOpsSpec pins the invariant
+    * contract (mass conservation, one row per node, rank agreement
+    * with the exact twin at the fixture's recall). */
+  def pagerankIvf(s: SparkSession, dir: String): DataFrame =
+    pagerankOf(edgesOf(AnnOps.knnGraphIvf(s, dir)),
+      Tables.embeddings(s, dir).select(col("vec_id")))
 
   /** Oracle: the same integer fixpoint with the iterations unrolled as
     * chained CTEs over the brute-force edge CTE. */
@@ -113,7 +144,8 @@ object GraphOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_graph_pagerank" -> (pagerank _))
+    "q_graph_pagerank" -> (pagerank _),
+    "q_graph_pagerank_ivf" -> (pagerankIvf _))
 
   def oracles: Map[String, String] = Map(
     "q_graph_pagerank" -> pagerankSql)
