@@ -23,7 +23,8 @@ object SparkEntry {
       MultimodalOps.queries ++ SubmitOps.queries ++
       OrgOps.queries ++ ExtractOps.queries ++ MappingExtractOps.queries ++
       PipelineOps.queries ++ TransferOps.queries ++ SkewOps.queries ++
-      SearchOps.queries ++ ClassifierOps.queries ++ GraphOps.queries
+      SearchOps.queries ++ ClassifierOps.queries ++ GraphOps.queries ++
+      HtmlOps.queries
 
   /** DuckDB-equivalent SQL for each hash-checked query (column names must
     * match the Spark output exactly; see SURVEY.md §6 for FP discipline). */
@@ -35,5 +36,6 @@ object SparkEntry {
       MultimodalOps.oracles ++ SubmitOps.oracles ++
       OrgOps.oracles ++ ExtractOps.oracles ++ MappingExtractOps.oracles ++
       PipelineOps.oracles ++ TransferOps.oracles ++ SkewOps.oracles ++
-      SearchOps.oracles ++ ClassifierOps.oracles ++ GraphOps.oracles
+      SearchOps.oracles ++ ClassifierOps.oracles ++ GraphOps.oracles ++
+      HtmlOps.oracles
 }
