@@ -51,7 +51,10 @@ object Explain {
       "q_ann_topk"           -> Seq("BroadcastNestedLoopJoin"),
       // df must be a hash aggregation (map-side partials collapse hot
       // words), never a whole-partition window on the word key
-      "q_tfidf_top_terms"    -> Seq("Window", "HashAggregate"),
+      // the 1-row n_docs total rides an explicit broadcast hint — no
+      // AQE rescue needed for the corpus-constant side
+      "q_tfidf_top_terms"    -> Seq("Window", "HashAggregate",
+        "BroadcastNestedLoopJoin"),
       "q_semi_join"          -> Seq("LeftSemi"),
       "q_anti_join"          -> Seq("LeftAnti"),
       "q_dedup_embedding"    -> Seq("HashAggregate"),
@@ -83,6 +86,9 @@ object Explain {
       "q_chunk_dedup"        -> Seq("HashAggregate", "Generate", "ObjectHashAggregate"),
       // the rule cascade runs at scan speed: one codegen projection
       "q_gopher_filter"      -> Seq("Project"),
+      // HTML boilerplate extraction: one codegen string projection —
+      // the whole family runs at scan speed
+      "q_html_extract"       -> Seq("Project"),
       // ADC: encoded corpus joins the per-query LUT via broadcast —
       // the corpus side of the search carries codes, not vectors
       "q_ann_pq"             -> Seq("BroadcastHashJoin"),
@@ -100,7 +106,8 @@ object Explain {
       "q_lm_perplexity"      -> Seq("HashAggregate", "ObjectHashAggregate"),
       // DSIR models are <=256 rows by construction -> explicit broadcast;
       // the doc side never shuffles on the hot bucket key
-      "q_dsir_weights"       -> Seq("BroadcastHashJoin", "ObjectHashAggregate"),
+      "q_dsir_weights"       -> Seq("BroadcastHashJoin", "ObjectHashAggregate",
+        "BroadcastNestedLoopJoin"),
       // resampling: hourly rollup is a hash aggregation (map-side
       // partials collapse the raw stream), spine is a Generate off the
       // tiny per-user bounds frame
@@ -146,7 +153,10 @@ object Explain {
       "q_token_cms"          -> Seq("HashAggregate", "Generate"),
       // DAU/WAU: distinct-then-count chains (plain hash aggs), the ×7
       // coverage explode, 1-row bounds frame broadcast
-      "q_dau_wau"            -> Seq("HashAggregate", "Generate", "BroadcastHashJoin"),
+      "q_dau_wau"            -> Seq("HashAggregate", "Generate", "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin"),
+      // funnel: stage totals are a 1-row frame on an explicit broadcast
+      "q_funnel"             -> Seq("HashAggregate", "BroadcastNestedLoopJoin"),
       // cohorts: one (user, week) distinct feeds everything; sizes
       // rejoin via broadcast
       "q_retention_cohorts"  -> Seq("HashAggregate", "BroadcastHashJoin"),
@@ -182,10 +192,13 @@ object Explain {
       // NB classifier: vocabulary-sized model joins stay planner-decided
       // equi-joins, class-sized frames broadcast, per-(doc, class)
       // fold is the sorted collect_list
-      "q_nb_classify"        -> Seq("BroadcastHashJoin", "ObjectHashAggregate"),
+      "q_nb_classify"        -> Seq("BroadcastHashJoin", "ObjectHashAggregate",
+        "BroadcastNestedLoopJoin"),
       // PageRank: every iteration is one equi-join + one hash agg on
       // the destination key; N rides a broadcast 1-row aggregate
       "q_graph_pagerank"     -> Seq("HashAggregate", "BroadcastNestedLoopJoin"),
+      // same iteration over the IVF-mined edges — the scale path
+      "q_graph_pagerank_ivf" -> Seq("HashAggregate", "BroadcastNestedLoopJoin"),
       // containment: same posting-list inverted-index shape as the
       // jaccard miner — df window on the one shingle exchange, pairs
       // generated array-side
@@ -229,7 +242,8 @@ object Explain {
       "q_migrate_legacy_ids" -> Seq("Join", "HashAggregate", "Window", "Exchange hash"),
       "q_image_meta"        -> Seq("Join", "HashAggregate", "Window"),
       "q_audio_meta"        -> Seq("Join", "HashAggregate", "Window"),
-      "q_media_catalog"     -> Seq("Join", "HashAggregate", "Window"))
+      "q_media_catalog"     -> Seq("Join", "HashAggregate", "Window"),
+      "q_html_extract"      -> Seq("Join", "HashAggregate", "Window"))
 
     // the curate pipeline's whole cost at scale is corpus scans: quality,
     // content key, and split must share ONE projection, so `documents`

@@ -204,7 +204,7 @@ object TextFunctions {
     val w = Window.partitionBy(col("source"))
       .orderBy(col("score").desc, col("word").asc)
     tf
-      .crossJoin(nDocs)
+      .crossJoin(broadcast(nDocs))
       .withColumn("score", col("tf") * log(col("n_docs") / col("df")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)

@@ -410,7 +410,7 @@ object AnalyticsOps {
     stages
       .groupBy(col("stage_reached"))
       .agg(count(lit(1)).as("n_users"))
-      .crossJoin(total)
+      .crossJoin(broadcast(total))
       .select(col("stage_reached"), col("n_users"),
         round(col("n_users").cast("double") / col("n_top"), 6).as("frac_of_top"))
       .orderBy("stage_reached")
@@ -524,7 +524,7 @@ object AnalyticsOps {
       .distinct()
       .groupBy(col("day")).agg(count(lit(1)).as("wau"))
     dau.join(wau, Seq("day"))
-      .crossJoin(bounds)
+      .crossJoin(broadcast(bounds))
       .filter(col("day") >= date_add(col("d0"), 6))
       .select(col("day"), col("dau"), col("wau"),
         round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))

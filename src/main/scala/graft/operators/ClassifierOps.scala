@@ -64,7 +64,7 @@ object ClassifierOps {
     val ptot = priors.agg(sum(col("d_l")).as("d_tot"), count(lit(1)).as("n_langs"))
     // every class-level constant in ONE broadcast row: the class list
     // with per-class token totals and smoothed log priors
-    val classes = priors.join(nl, Seq("l")).crossJoin(ptot)
+    val classes = priors.join(nl, Seq("l")).crossJoin(broadcast(ptot))
       .groupBy()
       .agg(array_sort(collect_list(struct(col("l"), col("n_l"),
         (log(col("d_l") + lit(1)) - log(col("d_tot") + col("n_langs"))).as("lp"))))

@@ -425,7 +425,7 @@ object QualityModelOps {
     val ct = fb.filter(col("source").isin(refSources: _*))
       .groupBy(col("bucket")).agg(sum(col("m")).as("ct"))
     val totals = cr.agg(sum(col("cr")).as("nr"))
-      .crossJoin(ct.agg(sum(col("ct")).as("nt")))
+      .crossJoin(broadcast(ct.agg(sum(col("ct")).as("nt"))))
 
     fb
       .join(broadcast(ct), Seq("bucket"), "left")
@@ -498,7 +498,7 @@ object QualityModelOps {
     val ct = fb.filter(col("source").isin(refSources: _*))
       .groupBy(col("bucket")).agg(sum(col("m")).as("ct"))
     val totals = cr.agg(sum(col("cr")).as("nr"))
-      .crossJoin(ct.agg(sum(col("ct")).as("nt")))
+      .crossJoin(broadcast(ct.agg(sum(col("ct")).as("nt"))))
     // ALL 256 buckets, not just those the training corpus populated: a
     // scored document may hash into a bucket the training never saw,
     // and add-one smoothing gives that bucket the log ratio
