@@ -1397,6 +1397,15 @@ object DedupOps {
     // (checked identical at every sf), so it hash-checks against the
     // same brute-force oracle. q_dedup_embedding stays rows-only: its
     // hyperplane banding deliberately trades recall at cosine 0.4.
+    // TRIAGE NOTE — this gate is CORPUS-CONDITIONAL, not universal:
+    // banded-LSH recall is probabilistic, so on a corpus with a true
+    // pair near the similarity threshold a red here means "bands
+    // failed to collide" (expected sketch behavior, re-derive the
+    // recall bound for that corpus), NOT a code bug. The
+    // corpus-independent contract is pinned rows-only in
+    // DedupOpsSpec/MinHashLshSpec (recall vs exact at the fixture's
+    // similarity floor). Same applies to q_fuzzy_dedup and
+    // q_dedup_incremental which share this oracle.
     "q_dedup_minhash_lsh"   -> ngramJaccardSql,
     "q_embed_pairs_exact"   -> embeddingPairsExactSql)
 }

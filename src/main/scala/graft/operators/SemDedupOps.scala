@@ -146,8 +146,18 @@ object SemDedupOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_semdedup" -> (semDedup _))
 
-  /** Cluster assignment depends on in-engine Lloyd training — not
-    * SQL-expressible; semantics pinned by SemDedupSpec (brute-force CC
-    * twin, collapse equivalence, determinism). */
+  /** DELIBERATELY rows-only — promotion to an all-pairs-CC hash oracle
+    * was attempted and MEASURED off: cluster assignment depends on
+    * in-engine Lloyd training (not SQL-expressible), so the only
+    * candidate oracle is brute-force all-pairs reachability — and at
+    * sf0.01, 30 of the 59 cosine≥0.4 pairs straddle a k-means cell
+    * boundary (max cross-cell cosine 0.513 > max within-cell 0.475);
+    * even 3-probe multi-assignment still misses 1/59. Within-cell
+    * search IS SemDeDup's documented approximation, so gating it on
+    * exact-CC equality would make the driver row red on expected recall
+    * behavior, not on bugs (the failure mode the minhash-LSH triage
+    * note warns about). Semantics are pinned by SemDedupSpec
+    * (brute-force-CC twin at fixed centroids, collapse equivalence,
+    * determinism). */
   def oracles: Map[String, String] = Map.empty
 }

@@ -549,9 +549,11 @@ object EventStream {
     docs
       .filter(col("text").isNotNull && size(ws) >= 1)
       .crossJoin(broadcast(dfM)).crossJoin(broadcast(stats))
-      .select(col("doc_id"), size(ws).cast("long").as("dl"),
-        round(score, 6).as("score"))
+      // gate on the UNROUNDED score: a matching doc whose score lands
+      // below 5e-7 (df → n_docs at corpus scale) must still emit
+      .select(col("doc_id"), size(ws).cast("long").as("dl"), score.as("score"))
       .filter(col("score") > 0.0)
+      .withColumn("score", round(col("score"), 6))
   }
 
   /** High-throughput variant of [[lmScoreStream]]: the documented
