@@ -68,7 +68,21 @@ object Tables {
     val raw = eventsRaw(s, d) // side effect: sets nanosAsLong if needed
     normalizeEventTs(s.readStream.schema(raw.schema).parquet(d))
   }
-  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  /** `documents.text` is normalized at this seam: control whitespace
+    * that the two regex engines class differently — Java's `\s`
+    * includes vertical tab (\x0B), RE2/DuckDB's does not — is mapped
+    * to a plain space, so every `\s+`-tokenizing operator sees the
+    * same token boundaries the oracle does REGARDLESS of corpus bytes
+    * (SURVEY §6's caveat, closed here rather than left as a deployment
+    * footgun). `translate` is a codegen char map (no regex) fused into
+    * the scan projection; the driver corpus contains no VT, so results
+    * are byte-identical there and the cost is one array lookup per
+    * char. */
+  def documents(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, translate}
+    table(s, d, "documents")
+      .withColumn("text", translate(col("text"), "\u000B", " "))
+  }
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
   /** Rebalance a frame ONLY when its layout is narrower than the session
