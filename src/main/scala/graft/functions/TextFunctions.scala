@@ -318,6 +318,51 @@ object TextFunctions {
       .orderBy("doc_id")
   }
 
+  /** The repetition verdict as ONE map-side struct over `text` — for
+    * consumers that hold the whole document in a row anyway (the
+    * streaming quality ensemble): instead of [[repetitionScore]]'s
+    * explode + two-level aggregation, the top-bigram count is the
+    * longest run in the SORTED per-doc bigram array (max run length in
+    * a sorted multiset == max multiplicity), an O(n log n) per-row fold
+    * with zero shuffles. Values are the identical exact-integer counts
+    * divided the same way, so flags can never diverge from the batch
+    * gate (spec-pinned per doc in QualityEnsembleStreamSpec); documents
+    * with no bigram keep the batch's null `top_bigram_frac`/`flagged`
+    * left-join semantics (`flagged` stays true when dup_word_frac alone
+    * crosses its threshold). */
+  private[graft] def repetitionStructCol: Column = {
+    import graft.operators.QualityModelOps
+    def build(ws: Column): Column = {
+      val nWords = size(ws)
+      val dupFrac = lit(1.0) -
+        size(array_distinct(ws)).cast("double") / nWords.cast("double")
+      def top(bgs: Column): Column = aggregate(
+        array_sort(bgs),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, b) => {
+          val run = when(b === acc.getField("prev"), acc.getField("run") + 1L)
+            .otherwise(lit(1L))
+          struct(b.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+      // let-bind the bigram array too: `top` and the size guard share it
+      val scored = element_at(
+        transform(array(QualityModelOps.bigramsOf(ws)), bgs =>
+          struct(
+            when(size(bgs) >= 1,
+              top(bgs).cast("double") / size(bgs).cast("double"))
+              .as("top_bigram_frac"),
+            size(bgs).as("n_bigrams"))), 1)
+      val topFrac = scored.getField("top_bigram_frac")
+      struct(
+        dupFrac.as("dup_word_frac"),
+        topFrac.as("top_bigram_frac"),
+        (dupFrac > 0.6 || topFrac > 0.18).as("flagged"))
+    }
+    element_at(transform(array(split(trim(col("text")), "\\s+")), build _), 1)
+  }
+
   val repetitionScoreSql: String =
     """WITH w AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
@@ -405,44 +450,58 @@ object TextFunctions {
     * One map-side projection over the corpus — no shuffle, no state;
     * at 100 TB this runs at scan speed inside whole-stage codegen and
     * pushes only (doc_id, text) through the reader. */
-  def gopherFilter(s: SparkSession, dir: String): DataFrame = {
+  /** Every Gopher shape stat and rule flag as ONE struct column over
+    * `text` — the single definition of the rule-cascade contract, so
+    * the batch gate ([[gopherFilter]]) and the streaming ensemble
+    * ([[graft.streaming.EventStream.qualityEnsembleStream]]) can never
+    * disagree on a flag. One split shared by all word-level rules via
+    * the let-binding idiom (see qualityScore); integer counts only, so
+    * no fold-order FP concerns. */
+  private[graft] def gopherStructCol: Column = {
     // one split shared by all word-level rules (see qualityScore);
     // integer counts only, so no fold-order FP concerns
-    def stats(ws: Column): Column = struct(
-      size(ws).as("n_words"),
-      size(filter(ws, w => w.rlike("[A-Za-z]"))).as("n_alpha"),
-      size(array_intersect(array_distinct(ws),
-        typedlit(qualityStopwords))).as("n_stop"))
-    val st = element_at(transform(array(split(trim(col("text")), "\\s+")), stats _), 1)
-    val nWords = col("st.n_words").cast("double")
-    val noWs = length(regexp_replace(trim(col("text")), "\\s+", ""))
-    val nSymbols = length(col("text")) -
-      length(translate(col("text"), "#…", ""))
-    val meanWordLen = noWs.cast("double") / nWords
-    val alphaFrac = col("st.n_alpha").cast("double") / nWords
-    val symbolRatio = nSymbols.cast("double") / nWords
-    val okWords = col("st.n_words").between(50, 100000)
-    val okMeanLen = meanWordLen.between(3.0, 10.0)
-    val okAlpha = alphaFrac >= 0.8
-    val okSymbol = symbolRatio <= 0.1
-    val okStop = col("st.n_stop") >= 2
-    Tables.documents(s, dir)
-      .withColumn("st", st)
-      .select(
-        col("doc_id"),
-        col("st.n_words").as("n_words"),
+    def build(ws: Column): Column = {
+      val nWordsI = size(ws)
+      val nAlpha = size(filter(ws, w => w.rlike("[A-Za-z]")))
+      val nStop = size(array_intersect(array_distinct(ws),
+        typedlit(qualityStopwords)))
+      val nWords = nWordsI.cast("double")
+      val noWs = length(regexp_replace(trim(col("text")), "\\s+", ""))
+      val nSymbols = length(col("text")) -
+        length(translate(col("text"), "#…", ""))
+      val meanWordLen = noWs.cast("double") / nWords
+      val alphaFrac = nAlpha.cast("double") / nWords
+      val symbolRatio = nSymbols.cast("double") / nWords
+      val okWords = nWordsI.between(50, 100000)
+      val okMeanLen = meanWordLen.between(3.0, 10.0)
+      val okAlpha = alphaFrac >= 0.8
+      val okSymbol = symbolRatio <= 0.1
+      val okStop = nStop >= 2
+      struct(
+        nWordsI.as("n_words"),
         meanWordLen.as("mean_word_len"),
         alphaFrac.as("alpha_frac"),
         symbolRatio.as("symbol_ratio"),
-        col("st.n_stop").as("n_stop"),
+        nStop.as("n_stop"),
         okWords.as("ok_words"),
         okMeanLen.as("ok_mean_len"),
         okAlpha.as("ok_alpha"),
         okSymbol.as("ok_symbol"),
         okStop.as("ok_stop"),
         (okWords && okMeanLen && okAlpha && okSymbol && okStop).as("keep"))
-      .orderBy("doc_id")
+    }
+    element_at(transform(array(split(trim(col("text")), "\\s+")), build _), 1)
   }
+
+  def gopherFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("g", gopherStructCol)
+      .select(col("doc_id") +: gopherStructFields.map(f => col(s"g.$f").as(f)): _*)
+      .orderBy("doc_id")
+
+  private val gopherStructFields = Seq("n_words", "mean_word_len",
+    "alpha_frac", "symbol_ratio", "n_stop", "ok_words", "ok_mean_len",
+    "ok_alpha", "ok_symbol", "ok_stop", "keep")
 
   val gopherFilterSql: String = {
     val stopList = qualityStopwords.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -44,7 +44,7 @@ object QualityModelOps {
   private[graft] def bigramsCol = element_at(
     transform(array(wordsCol), ws => bigramsOf(ws)), 1)
 
-  private def bigramsOf(ws: org.apache.spark.sql.Column) =
+  private[graft] def bigramsOf(ws: org.apache.spark.sql.Column) =
     when(size(ws) >= 2,
       transform(sequence(lit(0), size(ws) - 2),
         i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
@@ -359,11 +359,7 @@ object QualityModelOps {
   def pplBuckets(s: SparkSession, dir: String): DataFrame = {
     val scored = lmPerplexity(s, dir)
       .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
-    val cuts = scored.filter(col("mean_log_prob").isNotNull)
-      .groupBy(col("lang"))
-      .agg(round(expr("percentile(mean_log_prob, 1.0/3)"), 6).as("c_low"),
-        round(expr("percentile(mean_log_prob, 2.0/3)"), 6).as("c_high"))
-    scored.join(broadcast(cuts), Seq("lang"), "left")
+    scored.join(broadcast(pplCutsOf(scored)), Seq("lang"), "left")
       .select(col("doc_id"), col("lang"), col("mean_log_prob"),
         when(col("mean_log_prob").isNull, lit("unscored"))
           .when(col("mean_log_prob") >= col("c_high"), lit("head"))
@@ -371,6 +367,20 @@ object QualityModelOps {
           .otherwise(lit("tail")).as("ppl_bucket"))
       .orderBy("doc_id")
   }
+
+  /** The per-language tercile cutoffs as a trained artifact — the CCNet
+    * bucket model the streaming ensemble broadcasts
+    * ([[graft.streaming.EventStream.qualityEnsembleStream]]); at
+    * production scale trained once per reference release and persisted
+    * like the LM/DSIR count tables. `scored` needs (lang,
+    * mean_log_prob); output is one (lang, c_low, c_high) row per
+    * language, cutoffs 6 dp-rounded so the boundary compares identical
+    * values on every engine. */
+  def pplCutsOf(scored: DataFrame): DataFrame =
+    scored.filter(col("mean_log_prob").isNotNull)
+      .groupBy(col("lang"))
+      .agg(round(expr("percentile(mean_log_prob, 1.0/3)"), 6).as("c_low"),
+        round(expr("percentile(mean_log_prob, 2.0/3)"), 6).as("c_high"))
 
   val pplBucketsSql: String =
     s"""$lmModelCtes,

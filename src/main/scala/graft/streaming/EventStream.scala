@@ -610,6 +610,89 @@ object EventStream {
     *
     * `docs` needs (doc_id, text); emits the batch gate's
     * (doc_id, n_shingles, n_overlap, overlap_frac, contaminated). */
+  /** Streaming twin of the FULL quality-ensemble gate
+    * ([[graft.operators.QualityModelOps.qualityEnsemble]]) — the
+    * per-document keep verdict with its complete audit trail (Gopher
+    * shape rules, repetition flag, CCNet perplexity bucket, DSIR
+    * target-likeness), so an ingest pipeline can gate documents at
+    * arrival time with the same verdicts the batch recurate would
+    * reach.
+    *
+    * Every model input is a batch-trained standing artifact broadcast
+    * into the stream: the bigram LM count tables `cb`/`cw`
+    * ([[graft.operators.QualityModelOps.lmModelOf]]), the per-language
+    * tercile cutoffs `pplCuts`
+    * ([[graft.operators.QualityModelOps.pplCutsOf]]) and the DSIR
+    * bucket model ([[graft.operators.QualityModelOps.dsirModelOf]]) —
+    * CCNet ships its KenLM + cutoffs the same way.
+    *
+    * Plan shape — ONE stateful operator for the whole ensemble: the
+    * Gopher and repetition flags are map-side struct folds over the
+    * arriving row ([[graft.functions.TextFunctions.gopherStructCol]] /
+    * `repetitionStructCol` — single definitions shared with the batch
+    * gate); the doc then explodes ONCE into its DSIR feature list
+    * (unigrams ++ bigrams, so the LM's bigrams are the space-bearing
+    * subset of the same explode), hash-joins the three broadcast model
+    * tables, and ONE watermark-bounded per-doc rollup reassembles
+    * n_bigrams/lp_sum/log_weight with the flags riding as group keys
+    * (functionally dependent on doc_id). The bucket assignment and
+    * keep conjunction are map-side on the rollup output via the
+    * broadcast cutoffs. Scores match the batch operators to 1e-9
+    * (different fold order over the same add-one-smoothed terms);
+    * verdicts are spec-pinned row-identical to the batch ensemble.
+    * `docs` needs (doc_id, lang, text), text non-null; emits
+    * (doc_id, gopher_keep, rep_flag, ppl_bucket, target_like, keep). */
+  def qualityEnsembleStream(docs: DataFrame, cb: DataFrame, cw: DataFrame,
+      pplCuts: DataFrame, dsirModel: DataFrame,
+      windowDur: String = "1 minute",
+      watermarkDelay: String = "10 seconds"): DataFrame = {
+    import graft.operators.QualityModelOps
+    import graft.functions.TextFunctions
+    val v1 = cw.agg(count(lit(1)).as("v"))
+    val exploded = docs
+      .select(col("doc_id"), col("lang"), col("text"),
+        current_timestamp().as("ingest_ts"),
+        TextFunctions.gopherStructCol.getField("keep").as("gopher_keep"),
+        TextFunctions.repetitionStructCol.getField("flagged").as("rep_flag"))
+      .withWatermark("ingest_ts", watermarkDelay)
+      .select(col("doc_id"), col("lang"), col("ingest_ts"),
+        col("gopher_keep"), col("rep_flag"),
+        explode(QualityModelOps.featuresCol).as("f"))
+      .withColumn("is_bg", instr(col("f"), " ") >= 1)
+      .withColumn("bucket", substring(md5(col("f")), 1, 2))
+    val rolled = exploded
+      .join(broadcast(dsirModel.select(col("bucket"), col("log_ratio"))),
+        Seq("bucket"), "left")
+      .join(broadcast(cb.select(col("bg"), col("cb"))),
+        col("f") === col("bg"), "left")
+      .join(broadcast(cw.select(col("w1"), col("cw"))),
+        col("is_bg") && substring_index(col("f"), " ", 1) === col("w1"), "left")
+      .crossJoin(broadcast(v1))
+      .groupBy(window(col("ingest_ts"), windowDur), col("doc_id"),
+        col("lang"), col("gopher_keep"), col("rep_flag"))
+      .agg(
+        sum(coalesce(col("log_ratio"), lit(0.0))).as("lw"),
+        sum(when(col("is_bg"), 1L).otherwise(0L)).as("n_bigrams"),
+        sum(when(col("is_bg"),
+          log(coalesce(col("cb"), lit(0L)) + lit(1)) -
+            log(coalesce(col("cw"), lit(0L)) + col("v")))).as("lp_sum"))
+      .drop("window")
+    val mlp = when(col("n_bigrams") >= 1,
+      round(col("lp_sum") / col("n_bigrams"), 6))
+    val bucket = when(mlp.isNull, lit("unscored"))
+      .when(mlp >= col("c_high"), lit("head"))
+      .when(mlp >= col("c_low"), lit("middle"))
+      .otherwise(lit("tail"))
+    rolled
+      .join(broadcast(pplCuts), Seq("lang"), "left")
+      .withColumn("ppl_bucket", bucket)
+      .withColumn("target_like", round(col("lw"), 6) > 0.0)
+      .select(col("doc_id"), col("gopher_keep"), col("rep_flag"),
+        col("ppl_bucket"), col("target_like"),
+        (col("gopher_keep") && !col("rep_flag") &&
+          col("ppl_bucket") =!= "tail").as("keep"))
+  }
+
   def contaminationStream(docs: DataFrame, benchShingles: DataFrame,
       bloom: Array[Byte], frac: Double,
       windowDur: String = "1 minute",
