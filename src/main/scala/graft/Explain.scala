@@ -89,6 +89,8 @@ object Explain {
       // HTML boilerplate extraction: one codegen string projection —
       // the whole family runs at scan speed
       "q_html_extract"       -> Seq("Project"),
+      // encoding-cleanliness gate: same scan-speed projection shape
+      "q_encoding_quality"   -> Seq("Project"),
       // ADC: encoded corpus joins the per-query LUT via broadcast —
       // the corpus side of the search carries codes, not vectors
       "q_ann_pq"             -> Seq("BroadcastHashJoin"),
