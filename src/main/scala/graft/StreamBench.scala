@@ -75,6 +75,29 @@ object StreamBench {
     run("heavy_hitters", "update")(df =>
       EventStream.heavyHitterStream(df, 32))
 
+    // ---- the full quality-ensemble gate (doc_id, lang, text stream;
+    // all four model artifacts broadcast, one stateful rollup)
+    locally {
+      val pplCuts = QualityModelOps.pplCutsOf(
+        QualityModelOps.lmPerplexity(spark, srcDir)
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")))
+        .localCheckpoint()
+      val enRows: Seq[(Long, String, String)] = (0 until mult).flatMap { i =>
+        docs.select(col("doc_id") + lit(i * shift), col("lang"), col("text"))
+          .as[(Long, String, String)].collect()
+      }
+      val stream = MemoryStream[(Long, String, String)]
+      stream.addData(enRows)
+      val q = EventStream.qualityEnsembleStream(
+          stream.toDF().toDF("doc_id", "lang", "text"),
+          cbM, cwM, pplCuts, dsirModel)
+        .writeStream.format("noop").outputMode("update").start()
+      val t0 = System.nanoTime()
+      try q.processAllAvailable() finally q.stop()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"== ${"quality_ensemble"}%-22s ${enRows.size}%8d docs  $dt%7.2f s  ${enRows.size / dt}%9.0f docs/s")
+    }
+
     // ---- stateful per-user transition feed over the event stream
     // (events/s, not docs/s: the state is one record per user)
     locally {
