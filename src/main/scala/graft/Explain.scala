@@ -91,6 +91,8 @@ object Explain {
       "q_html_extract"       -> Seq("Project"),
       // encoding-cleanliness gate: same scan-speed projection shape
       "q_encoding_quality"   -> Seq("Project"),
+      // embedding validation gate: scan-speed projection too
+      "q_embed_health"       -> Seq("Project"),
       // ADC: encoded corpus joins the per-query LUT via broadcast —
       // the corpus side of the search carries codes, not vectors
       "q_ann_pq"             -> Seq("BroadcastHashJoin"),

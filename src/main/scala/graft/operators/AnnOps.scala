@@ -413,6 +413,78 @@ object AnnOps {
       |  scale
       |FROM q ORDER BY vec_id, idx""".stripMargin
 
+  // ------------------------------------------------ embedding health
+
+  /** Embedding validation gate — the check every index build runs
+    * BEFORE Lloyd/LSH sees a vector (one NaN poisons a centroid; a
+    * zero vector has no direction; a ragged or denormalized vector
+    * breaks the cosine≡dot identity the whole ANN tier rests on):
+    * per-vector NaN count, exact-zero count, dimensionality, L2 norm
+    * in exact integer micro-units (floor — no FP in the compared
+    * value; the fold runs in array order so both engines sum identical
+    * doubles), and the `healthy` verdict (no NaN, no zero, norm within
+    * 10% of unit). One codegen projection, scan speed.
+    *
+    * The driver corpus is unit-normalized and clean, so damage is
+    * planted deterministically from vec_id (the EncodingOps/piiScrub
+    * fixture pattern, mirrored in the oracle): an appended zero
+    * (mod 13), an appended NaN (mod 17), an appended 3.0
+    * denormalizer (mod 19) — when-chain order resolves overlaps
+    * identically on both engines. */
+  def embedHealth(s: SparkSession, dir: String): DataFrame = {
+    val damaged = when(col("vec_id") % 13 === 0,
+        concat(col("embedding"), array(lit(0.0f))))
+      .when(col("vec_id") % 17 === 0,
+        concat(col("embedding"), array(lit(Float.NaN))))
+      .when(col("vec_id") % 19 === 0,
+        concat(col("embedding"), array(lit(3.0f))))
+      .otherwise(col("embedding"))
+    Tables.embeddings(s, dir)
+      .withColumn("v", damaged)
+      .select(col("vec_id"),
+        size(col("v")).as("dim"),
+        size(filter(col("v"), x => isnan(x))).as("n_nan"),
+        size(filter(col("v"), x => x === lit(0.0f))).as("n_zero"),
+        aggregate(col("v"), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double")).as("ss"))
+      .withColumn("norm_u", when(col("n_nan") > 0, lit(null).cast("long"))
+        .otherwise(floor(sqrt(col("ss")) * lit(1000000.0)).cast("long")))
+      .select(col("vec_id"), col("dim"), col("n_nan"), col("n_zero"),
+        col("norm_u"),
+        (col("n_nan") === 0 && col("n_zero") === 0 &&
+          col("norm_u").between(900000L, 1100000L)).as("healthy"))
+      .orderBy("vec_id")
+  }
+
+  /** NaN must never reach the BIGINT cast (DuckDB raises where Spark's
+    * lazy CASE simply skips), so norm_u is gated in its own CTE. */
+  val embedHealthSql: String =
+    """WITH raw AS (
+      |  SELECT vec_id,
+      |    CASE WHEN vec_id % 13 = 0 THEN list_append(embedding, CAST(0.0 AS FLOAT))
+      |         WHEN vec_id % 17 = 0 THEN list_append(embedding, CAST('NaN' AS FLOAT))
+      |         WHEN vec_id % 19 = 0 THEN list_append(embedding, CAST(3.0 AS FLOAT))
+      |         ELSE embedding END AS v
+      |  FROM embeddings),
+      |sig AS (
+      |  SELECT vec_id,
+      |    CAST(len(v) AS INTEGER) AS dim,
+      |    CAST(len(list_filter(v, x -> isnan(x))) AS INTEGER) AS n_nan,
+      |    CAST(len(list_filter(v, x -> x = 0.0)) AS INTEGER) AS n_zero,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |      (a, b) -> a + b) AS ss
+      |  FROM raw),
+      |nu AS (
+      |  SELECT vec_id, dim, n_nan, n_zero,
+      |    CASE WHEN n_nan > 0 THEN NULL
+      |         ELSE CAST(floor(sqrt(ss) * 1000000) AS BIGINT) END AS norm_u
+      |  FROM sig)
+      |SELECT vec_id, dim, n_nan, n_zero, norm_u,
+      |  (n_nan = 0 AND n_zero = 0 AND
+      |   norm_u BETWEEN 900000 AND 1100000) AS healthy
+      |FROM nu ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------ product quantization
 
   val pqSubspaces = 8
@@ -646,7 +718,8 @@ object AnnOps {
     "q_knn_graph_ivf"   -> (knnGraphIvf _),
     "q_embed_centroids" -> (embedCentroids _),
     "q_embed_outliers"  -> (embedOutliers _),
-    "q_embed_quantize"  -> (quantizeEmbeddings _))
+    "q_embed_quantize"  -> (quantizeEmbeddings _),
+    "q_embed_health"    -> (embedHealth _))
 
   /** IVF is approximate by construction — spec-pinned, rows-only check. */
   def oracles: Map[String, String] = Map(
@@ -654,5 +727,6 @@ object AnnOps {
     "q_knn_graph"       -> knnGraphSql,
     "q_embed_centroids" -> embedCentroidsSql,
     "q_embed_outliers"  -> embedOutliersSql,
-    "q_embed_quantize"  -> quantizeEmbeddingsSql)
+    "q_embed_quantize"  -> quantizeEmbeddingsSql,
+    "q_embed_health"    -> embedHealthSql)
 }
