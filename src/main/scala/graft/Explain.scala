@@ -230,7 +230,36 @@ object Explain {
         "TakeOrderedAndProject"),
       // duplication profile: two bounded hash rollups off the cached
       // cluster map
-      "q_dup_profile"        -> Seq("HashAggregate"))
+      "q_dup_profile"        -> Seq("HashAggregate"),
+      // --- scan-algebra pushdown assertions: every filter form the
+      // reference's scan_table exposes must reach the parquet reader
+      // (strings verified against executed plans; long PushedFilters
+      // lists elide their tail, so each asserts a surviving prefix)
+      "q_scan_project"       -> Seq(
+        "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double,o_orderdate"),
+      "q_filter_begins_with" -> Seq("PushedFilters", "StringStartsWith(c_name"),
+      "q_filter_contains"    -> Seq("PushedFilters", "StringContains(p_type"),
+      "q_filter_cmp"         -> Seq("PushedFilters", "IsNotNull(l_quantity)"),
+      "q_filter_between_in"  -> Seq("PushedFilters",
+        "GreaterThanOrEqual(o_totalprice,200000.0)"),
+      "q_filter_null_semantics" -> Seq("PushedFilters", "LessThan(o_orderkey,2000)"),
+      // composite keyset resume: the row-value predicate pushes as an Or
+      "q_scan_page_composite" -> Seq("PushedFilters", "Or(GreaterThan(o_custkey,18)"),
+      // --- aggregation-shape assertions for the remaining headline ops
+      // (HashAggregate = map-side partials; ObjectHashAggregate = the
+      // sketch/percentile buffers; Expand only where ROLLUP needs it)
+      "q_range_join"         -> Seq("BroadcastHashJoin"),
+      "q_salted_join"        -> Seq("Generate", "HashAggregate"),
+      "q_hll_union"          -> Seq("ObjectHashAggregate", "BroadcastHashJoin"),
+      "q_rollup_revenue"     -> Seq("Expand", "HashAggregate"),
+      "q_pivot_events"       -> Seq("HashAggregate"),
+      "q_percentiles"        -> Seq("ObjectHashAggregate"),
+      "q_distinct_users"     -> Seq("HashAggregate"),
+      "q_dedup_exact"        -> Seq("HashAggregate"),
+      "q_org_closure"        -> Seq("Generate"),
+      "q_tumbling_window"    -> Seq("HashAggregate"),
+      "q_sessionize"         -> Seq("HashAggregate"),
+      "q_token_rarity"       -> Seq("ObjectHashAggregate", "Generate"))
 
     // anti-patterns per query: substrings that must NOT appear. Expand
     // is countDistinct's row-multiplying fallback — these queries are
@@ -247,7 +276,9 @@ object Explain {
       "q_image_meta"        -> Seq("Join", "HashAggregate", "Window"),
       "q_audio_meta"        -> Seq("Join", "HashAggregate", "Window"),
       "q_media_catalog"     -> Seq("Join", "HashAggregate", "Window"),
-      "q_html_extract"      -> Seq("Join", "HashAggregate", "Window"))
+      "q_html_extract"      -> Seq("Join", "HashAggregate", "Window"),
+      "q_encoding_quality"  -> Seq("Join", "HashAggregate", "Window"),
+      "q_embed_health"      -> Seq("Join", "HashAggregate", "Window"))
 
     // the curate pipeline's whole cost at scale is corpus scans: quality,
     // content key, and split must share ONE projection, so `documents`
