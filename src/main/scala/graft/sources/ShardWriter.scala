@@ -28,4 +28,27 @@ object ShardWriter {
       .sortWithinPartitions(col("shard"), col("__pos"), col(idCol))
       .drop("__pos")
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(outDir)
+
+  /** Streaming twin — the SINK that closes the ingest pipeline: gate a
+    * document stream (curateDocs, qualityEnsembleStream, any filter)
+    * and land the kept rows as training shards continuously.
+    *
+    * Exactly-once by idempotent batch directories: micro-batch `b`
+    * writes `outDir/batch=b/shard=k/` with Overwrite, so a batch
+    * replayed after a failure rewrites the identical directory instead
+    * of appending duplicates (the standard foreachBatch idempotency
+    * recipe — the batchId is stable across recoveries for the same
+    * data). Within a batch the layout is [[writeShards]] verbatim:
+    * shard membership and in-shard order are pure functions of the id
+    * hash, so a re-run of the same stream produces byte-identical
+    * shards, and the trainer reads `outDir` as one
+    * (batch, shard)-partitioned table — `shard=k` across batches IS
+    * shard k of the corpus. One shuffle per micro-batch, n files per
+    * batch, no global state. */
+  def shardSink(docs: DataFrame, idCol: String, outDir: String,
+      nShards: Int): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        writeShards(batch.toDF(), idCol, s"$outDir/batch=$batchId", nShards)
+    }
 }

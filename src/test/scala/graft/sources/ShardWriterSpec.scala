@@ -46,4 +46,47 @@ class ShardWriterSpec extends SparkSpec {
       assert(ids(out1) == ids(out2), s"shard $s differs between runs")
     }
   }
+
+  test("streaming shard sink lands every kept doc once, batch-idempotent, batch-local layout equals the batch writer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("stream-shards").toString
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val (half1, half2) = docs.splitAt(docs.size / 2)
+
+    val stream = MemoryStream[(Long, String)]
+    val q = ShardWriter.shardSink(
+        stream.toDF().toDF("doc_id", "text"), "doc_id", out, nShards = 4)
+      .option("checkpointLocation",
+        Files.createTempDirectory("shard-ckpt").toString)
+      .start()
+    try {
+      stream.addData(half1); q.processAllAvailable()
+      stream.addData(half2); q.processAllAvailable()
+    } finally q.stop()
+
+    // every doc exactly once across batches, shard dirs per batch
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.size)
+    assert(back.select("doc_id").distinct().count() == docs.size)
+    assert(back.select("batch").distinct().count() >= 2)
+
+    // batch-local layout is writeShards verbatim: re-shard batch 0's
+    // rows through the batch writer and compare file-order ids per shard
+    val b0 = spark.read.parquet(s"$out/batch=0")
+    val twin = Files.createTempDirectory("twin").toString
+    ShardWriter.writeShards(b0.drop("shard"), "doc_id", twin, nShards = 4)
+    (0 until 4).foreach { s =>
+      def ids(dir: String) = spark.read
+        .parquet(shardFiles(dir, s).head.getPath)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(ids(s"$out/batch=0") == ids(twin), s"shard $s layout differs")
+    }
+
+    // idempotency: rewriting the same batch id replaces, never appends
+    ShardWriter.writeShards(b0.drop("shard"), "doc_id", s"$out/batch=0", 4)
+    assert(spark.read.parquet(out).count() == docs.size)
+  }
 }
