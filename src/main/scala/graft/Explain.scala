@@ -259,7 +259,11 @@ object Explain {
       "q_org_closure"        -> Seq("Generate"),
       "q_tumbling_window"    -> Seq("HashAggregate"),
       "q_sessionize"         -> Seq("HashAggregate"),
-      "q_token_rarity"       -> Seq("ObjectHashAggregate", "Generate"))
+      "q_token_rarity"       -> Seq("ObjectHashAggregate", "Generate"),
+      // temperature resample: two bounded rollups, rates broadcast back,
+      // accept is a map-side hash compare
+      "q_temperature_mix"    -> Seq("HashAggregate", "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin"))
 
     // anti-patterns per query: substrings that must NOT appear. Expand
     // is countDistinct's row-multiplying fallback — these queries are

@@ -74,7 +74,7 @@ object Stress {
       "q_bm25_topk", "q_phrase_search", "q_rag_chunks",
       "q_leakage_safe_split", "q_rank_fusion", "q_embed_outliers",
       "q_heavy_hitters", "q_image_meta", "q_media_catalog",
-      "q_lang_rebalance", "q_nb_classify", "q_graph_pagerank",
+      "q_lang_rebalance", "q_temperature_mix", "q_nb_classify", "q_graph_pagerank",
       "q_graph_pagerank_ivf",
       "q_dedup_containment", "q_event_transitions", "q_html_extract",
       "q_encoding_quality",

@@ -208,6 +208,65 @@ object PipelineOps {
        |FROM rated LEFT JOIN kept USING (lang)
        |ORDER BY lang""".stripMargin
 
+  // -------------------------------------------- temperature resample
+
+  /** Temperature-based source rebalancing at τ = 0.5 — the classic
+    * square-root sampling recipe for mixing imbalanced sources
+    * (multilingual BERT's exponent-smoothed mixing, arXiv:1901.07291
+    * §3.1 popularized the family; τ = 0.5 is the standard square-root
+    * point): target share p_s ∝ n_s^τ, realized downsample-only by
+    * normalizing against the most-underrepresented source, which
+    * algebraically collapses to rate_s = √(n_min / n_s) — the smallest
+    * source keeps 100%, a source 4× its size keeps 50%, a 100× source
+    * keeps 10%.
+    *
+    * τ is pinned at 0.5 ON PURPOSE: the rate then needs only division
+    * and sqrt, both IEEE-correctly-rounded on every engine, so the
+    * per-row keep threshold (floor(rate·65536), compared against the
+    * row's content-hash prefix exactly like [[langRebalance]]) is
+    * bit-identical between Spark and the oracle — a pow(n, 0.7) rate
+    * could differ by an ulp and flip a threshold. Keep decisions are
+    * hash-keyed and RNG-free; the plan is two bounded rollups + one
+    * broadcast rate join, map-side accept at corpus scale. */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(s, Tables.documents(s, dir))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val nMin = counts.agg(min(col("n_docs")).as("n_min"))
+    val rated = counts.crossJoin(broadcast(nMin))
+      .select(col("source"), col("n_docs"),
+        sqrt(col("n_min").cast("double") / col("n_docs")).as("rate"))
+    val kept = docs
+      .join(broadcast(rated.select("source", "rate")), Seq("source"))
+      .filter(col("rate") >= 1.0 ||
+        substring(sampleKey, 1, 4) <
+          format_string("%04x", floor(col("rate") * 65536).cast("int")))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    rated.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), round(col("rate"), 6).as("rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  val temperatureMixSql: String =
+    s"""WITH counts AS (
+       |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+       |nmin AS (SELECT min(n_docs) AS n_min FROM counts),
+       |rated AS (
+       |  SELECT source, n_docs,
+       |    sqrt(CAST(n_min AS DOUBLE) / n_docs) AS rate
+       |  FROM counts CROSS JOIN nmin),
+       |kept AS (
+       |  SELECT d.source AS source, count(*) AS n_kept
+       |  FROM documents d JOIN rated r ON d.source = r.source
+       |  WHERE r.rate >= 1.0 OR
+       |    substring(md5(d.source || '#' || CAST(d.doc_id AS VARCHAR)), 1, 4) <
+       |      printf('%04x', CAST(floor(r.rate * 65536) AS INTEGER))
+       |  GROUP BY 1)
+       |SELECT source, n_docs, round(rate, 6) AS rate,
+       |  COALESCE(n_kept, 0) AS n_kept
+       |FROM rated LEFT JOIN kept USING (source)
+       |ORDER BY source""".stripMargin
+
   // ------------------------------------------------------ domain cap
 
   val domainCap = 15
@@ -894,6 +953,7 @@ object PipelineOps {
     "q_leakage_safe_split" -> (leakageSafeSplit _),
     "q_corpus_mix"     -> (corpusMix _),
     "q_lang_rebalance" -> (langRebalance _),
+    "q_temperature_mix" -> (temperatureMix _),
     "q_domain_cap"     -> (domainCapped _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_source_overlap" -> (sourceOverlap _),
@@ -910,6 +970,7 @@ object PipelineOps {
     "q_leakage_safe_split" -> leakageSafeSplitSql,
     "q_corpus_mix"     -> corpusMixSql,
     "q_lang_rebalance" -> langRebalanceSql,
+    "q_temperature_mix" -> temperatureMixSql,
     "q_domain_cap"     -> domainCapSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_source_overlap" -> sourceOverlapSql,
