@@ -34,7 +34,17 @@ def frame_key(rows, cols):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        if t == "documents":
+            # mirror the Spark loader seam (Tables.documents): vertical
+            # tab -> space, so both engines tokenize/hash the identical
+            # normalized text on ANY corpus bytes (no-op on the VT-free
+            # driver corpus)
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * REPLACE "
+                f"(replace(text, chr(11), ' ') AS text) "
+                f"FROM '{sf_dir}/{t}.parquet'")
+        else:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_pass = n_fail = 0

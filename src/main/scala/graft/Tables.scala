@@ -71,13 +71,16 @@ object Tables {
   /** `documents.text` is normalized at this seam: control whitespace
     * that the two regex engines class differently — Java's `\s`
     * includes vertical tab (\x0B), RE2/DuckDB's does not — is mapped
-    * to a plain space, so every `\s+`-tokenizing operator sees the
-    * same token boundaries the oracle does REGARDLESS of corpus bytes
+    * to a plain space, so every `\s+`-tokenizing operator sees
+    * engine-independent token boundaries REGARDLESS of corpus bytes
     * (SURVEY §6's caveat, closed here rather than left as a deployment
-    * footgun). `translate` is a codegen char map (no regex) fused into
-    * the scan projection; the driver corpus contains no VT, so results
-    * are byte-identical there and the cost is one array lookup per
-    * char. */
+    * footgun). The seam is a LOADER contract, not a Spark-side quirk:
+    * any oracle/twin engine must read through the same normalization
+    * (scripts/check.py mirrors it in its documents view), exactly as a
+    * deployment would normalize once at ingest. `translate` is a
+    * codegen char map (no regex) fused into the scan projection; the
+    * driver corpus contains no VT, so results are byte-identical there
+    * and the cost is one array lookup per char. */
   def documents(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, translate}
     table(s, d, "documents")

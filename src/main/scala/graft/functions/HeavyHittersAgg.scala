@@ -110,6 +110,7 @@ case class HeavyHittersAgg(
     // absence there really means zero — no credit. Only after this
     // does the top-`capacity` cut run; the overestimate and coverage
     // guarantees then survive any partitioning/merge order.
+    if (other.isEmpty) return buf // common case: empty partial, zero-copy
     val minBuf = if (buf.size >= capacity) minCountOf(buf) else 0L
     val minOther = if (other.size >= capacity) minCountOf(other) else 0L
     val out = mutable.LongMap.empty[(Long, Long)]

@@ -285,6 +285,12 @@ object TextFunctions {
   }
 
   // ------------------------------------------------------ repetition
+  /** Gopher repetition thresholds (Rae et al. 2021 §A1.1 family) — ONE
+    * definition shared by the batch gate, the map-side struct and the
+    * SQL oracle so a retune can never make them disagree. */
+  val dupWordFracMax = 0.6
+  val topBigramFracMax = 0.18
+
   /** Gopher-style repetition signals: duplicate-word fraction and the
     * share of the document's bigrams taken by its single most repeated
     * bigram. The bigram mode is an explode + two-level aggregation —
@@ -312,8 +318,8 @@ object TextFunctions {
         (lit(1.0) - col("st.n_uniq").cast("double") / col("st.n_words"))
           .as("dup_word_frac"),
         (col("top_bigram_n").cast("double") / col("n_bigrams")).as("top_bigram_frac"),
-        ((lit(1.0) - col("st.n_uniq").cast("double") / col("st.n_words")) > 0.6 ||
-          (col("top_bigram_n").cast("double") / col("n_bigrams")) > 0.18)
+        ((lit(1.0) - col("st.n_uniq").cast("double") / col("st.n_words")) > dupWordFracMax ||
+          (col("top_bigram_n").cast("double") / col("n_bigrams")) > topBigramFracMax)
           .as("flagged"))
       .orderBy("doc_id")
   }
@@ -358,7 +364,7 @@ object TextFunctions {
       struct(
         dupFrac.as("dup_word_frac"),
         topFrac.as("top_bigram_frac"),
-        (dupFrac > 0.6 || topFrac > 0.18).as("flagged"))
+        (dupFrac > dupWordFracMax || topFrac > topBigramFracMax).as("flagged"))
     }
     element_at(transform(array(split(trim(col("text")), "\\s+")), build _), 1)
   }
@@ -379,10 +385,12 @@ object TextFunctions {
       |SELECT st.doc_id,
       |  1.0 - CAST(n_uniq AS DOUBLE) / n_words AS dup_word_frac,
       |  CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_bigram_frac,
-      |  (1.0 - CAST(n_uniq AS DOUBLE) / n_words) > 0.6 OR
-      |    (CAST(top_bigram_n AS DOUBLE) / n_bigrams) > 0.18 AS flagged
+      |  (1.0 - CAST(n_uniq AS DOUBLE) / n_words) > @DUP@ OR
+      |    (CAST(top_bigram_n AS DOUBLE) / n_bigrams) > @TOP@ AS flagged
       |FROM st LEFT JOIN bgc ON st.doc_id = bgc.doc_id
       |ORDER BY st.doc_id""".stripMargin
+      .replace("@DUP@", dupWordFracMax.toString)
+      .replace("@TOP@", topBigramFracMax.toString)
 
   // ------------------------------------------------- token rarity
 
@@ -496,12 +504,8 @@ object TextFunctions {
   def gopherFilter(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("g", gopherStructCol)
-      .select(col("doc_id") +: gopherStructFields.map(f => col(s"g.$f").as(f)): _*)
+      .select(col("doc_id"), col("g.*"))
       .orderBy("doc_id")
-
-  private val gopherStructFields = Seq("n_words", "mean_word_len",
-    "alpha_frac", "symbol_ratio", "n_stop", "ok_words", "ok_mean_len",
-    "ok_alpha", "ok_symbol", "ok_stop", "keep")
 
   val gopherFilterSql: String = {
     val stopList = qualityStopwords.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -84,16 +84,16 @@ object HtmlOps {
     * same three string passes, and whole-stage codegen fuses them. */
   def htmlTextOf(pages: DataFrame, idCol: String, htmlCol: String): DataFrame = {
     val raw = col(htmlCol)
-    val noScript = regexp_replace(raw, "(?is)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noScript = regexp_replace(raw, "(?is)<script(?:\\s[^>]*)?>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style(?:\\s[^>]*)?>.*?</style>", " ")
     val clean = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val fullText = normWs(decodeEntities(stripTags(clean)))
-    val anchors = regexp_extract_all(clean, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1))
+    val anchors = regexp_extract_all(clean, lit("(?is)<a(?:\\s[^>]*)?>(.*?)</a>"), lit(1))
     val linkText = normWs(decodeEntities(stripTags(array_join(anchors, " "))))
-    val paras = regexp_extract_all(clean, lit("(?is)<p[^>]*>(.*?)</p>"), lit(1))
+    val paras = regexp_extract_all(clean, lit("(?is)<p(?:\\s[^>]*)?>(.*?)</p>"), lit(1))
     val mainText = normWs(decodeEntities(stripTags(array_join(paras, " "))))
     val title = normWs(decodeEntities(
-      regexp_extract(raw, "(?is)<title[^>]*>(.*?)</title>", 1)))
+      regexp_extract(raw, "(?is)<title(?:\\s[^>]*)?>(.*?)</title>", 1)))
     pages.select(
       col(idCol),
       title.as("title"),
@@ -137,15 +137,15 @@ object HtmlOps {
        |cleaned AS (
        |  SELECT doc_id, html,
        |    regexp_replace(regexp_replace(regexp_replace(html,
-       |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-       |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+       |      '(?is)<script(?:\\s[^>]*)?>.*?</script>', ' ', 'g'),
+       |      '(?is)<style(?:\\s[^>]*)?>.*?</style>', ' ', 'g'),
        |      '(?s)<!--.*?-->', ' ', 'g') AS clean
        |  FROM pages),
        |fields AS (
        |  SELECT doc_id, html, clean,
-       |    regexp_extract_all(clean, '(?is)<a[^>]*>(.*?)</a>', 1) AS anchors,
-       |    regexp_extract_all(clean, '(?is)<p[^>]*>(.*?)</p>', 1) AS paras,
-       |    regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS raw_title
+       |    regexp_extract_all(clean, '(?is)<a(?:\\s[^>]*)?>(.*?)</a>', 1) AS anchors,
+       |    regexp_extract_all(clean, '(?is)<p(?:\\s[^>]*)?>(.*?)</p>', 1) AS paras,
+       |    regexp_extract(html, '(?is)<title(?:\\s[^>]*)?>(.*?)</title>', 1) AS raw_title
        |  FROM cleaned),
        |norm AS (
        |  SELECT doc_id, html,

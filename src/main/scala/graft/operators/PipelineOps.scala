@@ -174,11 +174,9 @@ object PipelineOps {
       .select(col("lang"), col("n_docs"),
         least(lit(1.0), col("total").cast("double") /
           (col("n_langs") * col("n_docs"))).as("rate"))
-    val kept = docs
-      .join(broadcast(rated.select("lang", "rate")), Seq("lang"))
-      .filter(col("rate") >= 1.0 ||
-        substring(sampleKey, 1, 4) <
-          format_string("%04x", floor(col("rate") * 65536).cast("int")))
+    val kept = sampleByRateOf(
+        docs.join(broadcast(rated.select("lang", "rate")), Seq("lang")),
+        sampleKey, col("rate"))
       .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
     rated.join(kept, Seq("lang"), "left")
       .select(col("lang"), col("n_docs"), round(col("rate"), 6).as("rate"),
@@ -235,11 +233,9 @@ object PipelineOps {
     val rated = counts.crossJoin(broadcast(nMin))
       .select(col("source"), col("n_docs"),
         sqrt(col("n_min").cast("double") / col("n_docs")).as("rate"))
-    val kept = docs
-      .join(broadcast(rated.select("source", "rate")), Seq("source"))
-      .filter(col("rate") >= 1.0 ||
-        substring(sampleKey, 1, 4) <
-          format_string("%04x", floor(col("rate") * 65536).cast("int")))
+    val kept = sampleByRateOf(
+        docs.join(broadcast(rated.select("source", "rate")), Seq("source")),
+        sampleKey, col("rate"))
       .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
     rated.join(kept, Seq("source"), "left")
       .select(col("source"), col("n_docs"), round(col("rate"), 6).as("rate"),

@@ -68,6 +68,24 @@ class HtmlOpsSpec extends SparkSpec {
     assert(m(2L).getAs[Long]("density_ppm") === 0L)
   }
 
+  test("tag-name prefixes never match: <article>/<aside>/<pre> are not <a>/<p>") {
+    // regression: '<a[^>]*>' would swallow everything from <article> to
+    // the first </a>, flagging a genuine content page as link-dominated
+    val r = extract(Seq((1L,
+      "<article><p>real body text of the article here</p>" +
+        "<a href=\"/x\">more</a></article>" +
+        "<aside>sidebar</aside><pre>code block</pre><abbr>ib.</abbr>")))(1L)
+    assert(r.getAs[Long]("n_links") === 1L)
+    assert(r.getAs[String]("main_text") === "real body text of the article here")
+    // link text is just "more" (4 chars), not the swallowed article
+    assert(r.getAs[Long]("link_ppm") < 150000L)
+    assert(r.getAs[Boolean]("is_content"))
+    // bare (attribute-less) anchors and paragraphs still match
+    val bare = extract(Seq((2L, "<p>body</p><a>go</a>")))(2L)
+    assert(bare.getAs[Long]("n_links") === 1L)
+    assert(bare.getAs[String]("main_text") === "body")
+  }
+
   test("density penalizes markup-heavy pages") {
     val lean = extract(Seq((1L, "<p>abcdefghij</p>")))(1L)
     val heavy = extract(Seq((1L,
