@@ -63,11 +63,22 @@ object GraphOps {
     * discipline as DedupOps.ngramCollapseOf. In production this IS
     * the persisted kNN-graph table. */
   def pagerankOf(edges: DataFrame, nodes: DataFrame,
-      iters: Int = pagerankIters): DataFrame = {
+      iters: Int = pagerankIters, cutEdges: Boolean = true): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val e = edges.join(deg, "src")
+    val annotated = edges.join(deg, "src")
       .select(col("src"), col("dst"), col("deg"))
-      .localCheckpoint()
+    // cutEdges = true (default) materializes the degree-annotated edges
+    // once — right when `edges` is an EXPENSIVE derivation (a kNN mine)
+    // that every iteration would otherwise re-run. Pass false when
+    // `edges` is a persisted table: the catalyst subtree then survives,
+    // so a src-bucketed edge table exposes HashPartitioning(src) to
+    // every iteration's join AND to the degree rollup — the fat side of
+    // the computation runs with ZERO per-iteration exchange, only the
+    // node-sized rank frame shuffles (BucketedPageRankSpec asserts
+    // this; a localCheckpoint would erase the bucket metadata). This is
+    // the 100 TB configuration: edges persisted bucketed on src, ranks
+    // the only moving frame.
+    val e = if (cutEdges) annotated.localCheckpoint() else annotated
     val n = nodes.agg(count(lit(1)).as("n"))
     val base = nodes.crossJoin(broadcast(n))
     var ranks = base.select(col("vec_id"), expr(s"$pagerankScale div n").as("r"))
