@@ -20,15 +20,22 @@ class QualityEnsembleStreamSpec extends SparkSpec {
       QualityModelOps.lmPerplexity(spark, sfDir)
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")))
 
+    // split across MICRO-BATCHES: a doc's verdict must not depend on
+    // what else shared its batch (all model state is broadcast, the
+    // only grouping is per-doc)
+    val rows = docs.select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect().toSeq
+    val (h1, h2) = rows.splitAt(rows.size / 3)
     val stream = MemoryStream[(Long, String, String)]
-    stream.addData(docs.select(col("doc_id"), col("lang"), col("text"))
-      .as[(Long, String, String)].collect().toSeq)
     val q = EventStream.qualityEnsembleStream(
         stream.toDF().toDF("doc_id", "lang", "text"),
         cb, cw, pplCuts, dsirModel)
       .writeStream.format("memory").queryName("quality_ensemble_stream")
       .outputMode("update").start()
-    try q.processAllAvailable() finally q.stop()
+    try {
+      stream.addData(h1); q.processAllAvailable()
+      stream.addData(h2); q.processAllAvailable()
+    } finally q.stop()
 
     def verdicts(rows: Array[org.apache.spark.sql.Row]) =
       rows.map { r =>
