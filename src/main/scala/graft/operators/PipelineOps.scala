@@ -227,7 +227,17 @@ object PipelineOps {
     * hash-keyed and RNG-free; the plan is two bounded rollups + one
     * broadcast rate join, map-side accept at corpus scale. */
   def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    // the driver corpus is DELIBERATELY uniform (25 docs per source),
+    // which would make every rate 1.0 and the gate vacuous — so the
+    // fixture plants deterministic imbalance (the piiScrub/EncodingOps
+    // pattern, mirrored in the oracle): each source contributes only
+    // its doc_id % k == 0 rows, with k = 1 + ascii(last name char) % 8
+    // — name-agnostic, spreading per-source counts ~8:1 for the rates
+    // to act on. A real crawl is skewed on its own; the plant exists
+    // only so the hash check exercises a DISCRIMINATING gate.
+    val skew = lit(1) + ascii(substring(col("source"), -1, 1)) % 8
     val docs = Tables.spread(s, Tables.documents(s, dir))
+      .filter(col("doc_id") % skew === 0)
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     val nMin = counts.agg(min(col("n_docs")).as("n_min"))
     val rated = counts.crossJoin(broadcast(nMin))
@@ -244,8 +254,11 @@ object PipelineOps {
   }
 
   val temperatureMixSql: String =
-    s"""WITH counts AS (
-       |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+    s"""WITH skewed AS (
+       |  SELECT * FROM documents
+       |  WHERE doc_id % (1 + ascii(right(source, 1)) % 8) = 0),
+       |counts AS (
+       |  SELECT source, count(*) AS n_docs FROM skewed GROUP BY 1),
        |nmin AS (SELECT min(n_docs) AS n_min FROM counts),
        |rated AS (
        |  SELECT source, n_docs,
@@ -253,7 +266,7 @@ object PipelineOps {
        |  FROM counts CROSS JOIN nmin),
        |kept AS (
        |  SELECT d.source AS source, count(*) AS n_kept
-       |  FROM documents d JOIN rated r ON d.source = r.source
+       |  FROM skewed d JOIN rated r ON d.source = r.source
        |  WHERE r.rate >= 1.0 OR
        |    substring(md5(d.source || '#' || CAST(d.doc_id AS VARCHAR)), 1, 4) <
        |      printf('%04x', CAST(floor(r.rate * 65536) AS INTEGER))

@@ -33,14 +33,25 @@ class TemperatureMixSpec extends SparkSpec {
     docs.toDF("doc_id", "source", "lang", "text")
       .write.parquet(s"$dir/documents.parquet")
 
+    // the planted skew keeps doc_id % k == 0 with k = 1 + ascii(last
+    // name char) % 8: 'g' -> k=8 (docs 8..64 by 8 = 8), 'l' -> k=5
+    // (65..80 by 5 = 4); expected counts derived by the same rule
+    def k(src: String) = 1 + (src.last.toInt % 8)
+    val expBig = (1L to 64L).count(_ % k("big") == 0)
+    val expSmall = (65L to 80L).count(_ % k("small") == 0)
+    assert(expBig > expSmall && expSmall >= 2) // the fixture discriminates
+
     val m = PipelineOps.temperatureMix(spark, dir).collect()
       .map(r => r.getString(0) ->
         ((r.getAs[Long]("n_docs"), r.getAs[Double]("rate"), r.getAs[Long]("n_kept")))).toMap
-    assert(m("small") == ((16L, 1.0, 16L)))
-    assert(m("big")._1 == 64L && m("big")._2 == 0.5)
-    assert(m("big")._3 > 16L && m("big")._3 < 48L) // ~32 by hash, never degenerate
+    assert(m("small") == ((expSmall.toLong, 1.0, expSmall.toLong)))
+    assert(m("big")._1 == expBig.toLong)
+    val expRate = BigDecimal(math.sqrt(expSmall.toDouble / expBig))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m("big")._2 == expRate)
+    assert(m("big")._3 >= 1L && m("big")._3 < expBig.toLong) // downsampled, never emptied
     val rerun = PipelineOps.temperatureMix(spark, dir).collect()
       .map(r => (r.getString(0), r.getAs[Long]("n_kept"))).toMap
-    assert(rerun("big") == m("big")._3 && rerun("small") == 16L)
+    assert(rerun("big") == m("big")._3 && rerun("small") == expSmall.toLong)
   }
 }
