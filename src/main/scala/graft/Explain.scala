@@ -93,6 +93,8 @@ object Explain {
       "q_encoding_quality"   -> Seq("Project"),
       // embedding validation gate: scan-speed projection too
       "q_embed_health"       -> Seq("Project"),
+      // C4-style blocklist gate: one regex projection at scan speed
+      "q_blocklist_filter"   -> Seq("Project"),
       // ADC: encoded corpus joins the per-query LUT via broadcast —
       // the corpus side of the search carries codes, not vectors
       "q_ann_pq"             -> Seq("BroadcastHashJoin"),
@@ -282,7 +284,8 @@ object Explain {
       "q_media_catalog"     -> Seq("Join", "HashAggregate", "Window"),
       "q_html_extract"      -> Seq("Join", "HashAggregate", "Window"),
       "q_encoding_quality"  -> Seq("Join", "HashAggregate", "Window"),
-      "q_embed_health"      -> Seq("Join", "HashAggregate", "Window"))
+      "q_embed_health"      -> Seq("Join", "HashAggregate", "Window"),
+      "q_blocklist_filter"  -> Seq("Join", "HashAggregate", "Window"))
 
     // the curate pipeline's whole cost at scale is corpus scans: quality,
     // content key, and split must share ONE projection, so `documents`

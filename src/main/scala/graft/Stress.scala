@@ -77,7 +77,7 @@ object Stress {
       "q_lang_rebalance", "q_temperature_mix", "q_nb_classify", "q_graph_pagerank",
       "q_graph_pagerank_ivf",
       "q_dedup_containment", "q_event_transitions", "q_html_extract",
-      "q_encoding_quality",
+      "q_encoding_quality", "q_blocklist_filter",
       "q_source_kl", "q_pmi_collocations", "q_backoff_score",
       "q_quality_ensemble", "q_semantic_decontam", "q_cooccurrence")
     val heavies: Seq[String] =

@@ -276,6 +276,67 @@ object PipelineOps {
        |FROM rated LEFT JOIN kept USING (source)
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------- blocklist gate
+
+  /** Placeholder blocklist standing in for a deployment's term list —
+    * C4 (arXiv:1910.10683 §2.2) drops any page containing a term from
+    * its public blocklist; Dolma ships the same gate. The terms here
+    * are neutral synthetic tokens because the CONTRACT under test is
+    * the matching semantics (word-boundary, case-folded), not the
+    * list. */
+  val blocklist: Seq[String] = Seq("blockterm0", "blockterm1", "blockterm2")
+
+  private val blocklistRe = blocklist.mkString("\\b(", "|", ")\\b")
+
+  /** Blocklist screening: count case-folded whole-word blocklist hits
+    * per document and emit the C4 drop verdict (any hit → drop), plus
+    * the sorted distinct matched terms as the audit trail. One codegen
+    * regex projection — at crawl scale this runs at scan speed like
+    * the other rule gates (a production list with thousands of terms
+    * compiles to one automaton the same way; RE2/Java both build a
+    * linear-scan alternation). Word boundaries matter: a term INSIDE a
+    * larger word must not fire (the classic C4 false-positive
+    * complaint is substring matching — this gate only matches whole
+    * words). The driver corpus contains no blocklisted term, so hits
+    * are planted deterministically from doc_id (the piiScrub pattern,
+    * mirrored in the oracle), including an uppercase and a
+    * punctuation-adjacent form to pin the folding/boundary rules. */
+  def blocklistFilter(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(col("doc_id") % 6 === 0, lit(" blockterm0 trailing")).otherwise(lit("")),
+      when(col("doc_id") % 9 === 0, lit(" has BLOCKTERM2, inside.")).otherwise(lit("")),
+      // substring form that must NOT fire: boundary semantics
+      when(col("doc_id") % 7 === 0, lit(" xblockterm1y")).otherwise(lit("")))
+    Tables.documents(s, dir)
+      .withColumn("raw", planted)
+      .withColumn("hits",
+        regexp_extract_all(lower(col("raw")), lit(blocklistRe), lit(1)))
+      .select(col("doc_id"),
+        size(col("hits")).as("n_blocked"),
+        array_join(array_sort(array_distinct(col("hits"))), ",").as("blocked_terms"),
+        (size(col("hits")) === 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val blocklistFilterSql: String = {
+    val re = blocklist.mkString("\\b(", "|", ")\\b")
+    s"""WITH raw AS (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 6 = 0 THEN ' blockterm0 trailing' ELSE '' END ||
+       |    CASE WHEN doc_id % 9 = 0 THEN ' has BLOCKTERM2, inside.' ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 0 THEN ' xblockterm1y' ELSE '' END AS raw
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, regexp_extract_all(lower(raw), '$re', 1) AS hits
+       |  FROM raw)
+       |SELECT doc_id,
+       |  CAST(len(hits) AS INTEGER) AS n_blocked,
+       |  COALESCE(array_to_string(list_sort(list_distinct(hits)), ','), '')
+       |    AS blocked_terms,
+       |  len(hits) = 0 AS keep
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------ domain cap
 
   val domainCap = 15
@@ -963,6 +1024,7 @@ object PipelineOps {
     "q_corpus_mix"     -> (corpusMix _),
     "q_lang_rebalance" -> (langRebalance _),
     "q_temperature_mix" -> (temperatureMix _),
+    "q_blocklist_filter" -> (blocklistFilter _),
     "q_domain_cap"     -> (domainCapped _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_source_overlap" -> (sourceOverlap _),
@@ -980,6 +1042,7 @@ object PipelineOps {
     "q_corpus_mix"     -> corpusMixSql,
     "q_lang_rebalance" -> langRebalanceSql,
     "q_temperature_mix" -> temperatureMixSql,
+    "q_blocklist_filter" -> blocklistFilterSql,
     "q_domain_cap"     -> domainCapSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_source_overlap" -> sourceOverlapSql,

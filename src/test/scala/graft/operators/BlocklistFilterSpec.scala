@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class BlocklistFilterSpec extends SparkSpec {
+
+  test("whole-word case-folded hits on exactly the planted docs; substrings never fire") {
+    val rows = PipelineOps.blocklistFilter(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = r.getAs[Int]("n_blocked")
+      val terms = r.getAs[String]("blocked_terms")
+      val expected =
+        (if (id % 6 == 0) Seq("blockterm0") else Nil) ++
+          (if (id % 9 == 0) Seq("blockterm2") else Nil)
+      // %7's xblockterm1y plant must NOT fire: word boundaries
+      assert(n == expected.size, s"doc $id n_blocked $n vs $expected")
+      assert(terms == expected.sorted.mkString(","), s"doc $id terms '$terms'")
+      assert(r.getAs[Boolean]("keep") == expected.isEmpty)
+    }
+    assert(rows.exists(_.getAs[Boolean]("keep")) &&
+      rows.exists(!_.getAs[Boolean]("keep")))
+  }
+
+  test("hand-built edge cases: punctuation boundaries, casing, repeats") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-block").toString
+    Seq(
+      (1L, "src1", "en", "clean text entirely"),
+      (2L, "src1", "en", "BlockTerm0! and (blockterm0) again"),
+      (3L, "src1", "en", "xblockterm0 blockterm0x block term0"),
+      (4L, "src1", "en", "blockterm1,blockterm2;blockterm1")
+    ).toDF("doc_id", "source", "lang", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val m = PipelineOps.blocklistFilter(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Int]("n_blocked"), r.getAs[String]("blocked_terms"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(m(1L) == ((0, "", true)))
+    assert(m(2L) == ((2, "blockterm0", false)))   // case-folded + punct-bounded
+    assert(m(3L) == ((0, "", true)))              // substrings never fire
+    assert(m(4L) == ((3, "blockterm1,blockterm2", false)))
+  }
+}
