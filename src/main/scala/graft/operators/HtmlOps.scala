@@ -17,11 +17,14 @@ import graft.Tables
   * pages unchanged. Stages, in the order a boilerplate pipeline wants
   * them:
   *
-  *  1. script/style removal — lazy-quantifier block strip, one pass per
+  *  1. comment removal (`<!-- … -->` may hide tags — stripped FIRST so
+  *     a commented-out `<p>` never counts as content AND a
+  *     commented-out `<script>` open tag never fools the lazy script
+  *     regex into swallowing real content up to the next real
+  *     `</script>`; the fixture plants exactly that trap);
+  *  2. script/style removal — lazy-quantifier block strip, one pass per
   *     tag kind (NO backreferences: the oracle engine's RE2 has none,
   *     and two anchored passes codegen tighter anyway);
-  *  2. comment removal (`<!-- … -->` may hide tags — stripped before
-  *     tag removal so a commented-out `<p>` never counts as content);
   *  3. tag strip + entity decode (the five core entities; `&amp;`
   *     decoded LAST so `&amp;lt;` survives as the literal `&lt;`) +
   *     whitespace collapse — yields `full_text`;
@@ -59,7 +62,7 @@ object HtmlOps {
         lit("<a href=\"/s/"), col("source"), lit("\">all "), col("source"),
         lit(" docs</a></div><h1>"), upper(col("source")), lit("</h1>"),
         lit("<p id=\"m1\">"), col("text"), lit("</p>"),
-        lit("<p>lang: "), col("lang"), lit("&nbsp;&#39;rated&#39;</p>"),
+        lit("<!-- <script> trap --><p>lang: "), col("lang"), lit("&nbsp;&#39;rated&#39;</p>"),
         lit("<script type=\"text/javascript\">if (1 < 2) { x = \"<b>y</b>\"; }</script>"),
         lit("<!-- hidden <p>comment</p> -->"),
         lit("<div class=\"footer\"><a href=\"/terms\">terms</a></div></body></html>"))
@@ -84,9 +87,9 @@ object HtmlOps {
     * same three string passes, and whole-stage codegen fuses them. */
   def htmlTextOf(pages: DataFrame, idCol: String, htmlCol: String): DataFrame = {
     val raw = col(htmlCol)
-    val noScript = regexp_replace(raw, "(?is)<script(?:\\s[^>]*)?>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?is)<style(?:\\s[^>]*)?>.*?</style>", " ")
-    val clean = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noComment = regexp_replace(raw, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment, "(?is)<script(?:\\s[^>]*)?>.*?</script>", " ")
+    val clean = regexp_replace(noScript, "(?is)<style(?:\\s[^>]*)?>.*?</style>", " ")
     val fullText = normWs(decodeEntities(stripTags(clean)))
     val anchors = regexp_extract_all(clean, lit("(?is)<a(?:\\s[^>]*)?>(.*?)</a>"), lit(1))
     val linkText = normWs(decodeEntities(stripTags(array_join(anchors, " "))))
@@ -128,7 +131,7 @@ object HtmlOps {
        |    '<a href="/s/' || source || '">all ' || source ||
        |    ' docs</a></div><h1>' || upper(source) || '</h1>' ||
        |    '<p id="m1">' || text || '</p>' ||
-       |    '<p>lang: ' || lang || '&nbsp;&#39;rated&#39;</p>' ||
+       |    '<!-- <script> trap --><p>lang: ' || lang || '&nbsp;&#39;rated&#39;</p>' ||
        |    '<script type="text/javascript">if (1 < 2) { x = "<b>y</b>"; }</script>' ||
        |    '<!-- hidden <p>comment</p> -->' ||
        |    '<div class="footer"><a href="/terms">terms</a></div></body></html>'
@@ -137,9 +140,9 @@ object HtmlOps {
        |cleaned AS (
        |  SELECT doc_id, html,
        |    regexp_replace(regexp_replace(regexp_replace(html,
+       |      '(?s)<!--.*?-->', ' ', 'g'),
        |      '(?is)<script(?:\\s[^>]*)?>.*?</script>', ' ', 'g'),
-       |      '(?is)<style(?:\\s[^>]*)?>.*?</style>', ' ', 'g'),
-       |      '(?s)<!--.*?-->', ' ', 'g') AS clean
+       |      '(?is)<style(?:\\s[^>]*)?>.*?</style>', ' ', 'g') AS clean
        |  FROM pages),
        |fields AS (
        |  SELECT doc_id, html, clean,
