@@ -246,7 +246,10 @@ object Explain {
         "GreaterThanOrEqual(o_totalprice,200000.0)"),
       "q_filter_null_semantics" -> Seq("PushedFilters", "LessThan(o_orderkey,2000)"),
       // composite keyset resume: the row-value predicate pushes as an Or
-      "q_scan_page_composite" -> Seq("PushedFilters", "Or(GreaterThan(o_custkey,18)"),
+      // on the leading key (literal elided — the token VALUE is derived
+      // from page 1 of the data, so pinning it would couple the audit
+      // to one sf; the shape is what matters)
+      "q_scan_page_composite" -> Seq("PushedFilters", "Or(GreaterThan(o_custkey,"),
       // --- aggregation-shape assertions for the remaining headline ops
       // (HashAggregate = map-side partials; ObjectHashAggregate = the
       // sketch/percentile buffers; Expand only where ROLLUP needs it)
@@ -326,5 +329,7 @@ object Explain {
     println(s"== audit ${if (bad == 0) "clean" else s"$bad problems"} " +
       s"(${audited.size} shape-audited + ${SparkEntry.queries.size - audited.size} cartesian-swept)")
     spark.stop()
+    // a red audit must fail visibly for CI/driver use, not just print
+    if (bad > 0) sys.exit(1)
   }
 }

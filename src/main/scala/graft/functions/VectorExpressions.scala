@@ -91,6 +91,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_intersect_count",
       exprs => IntersectCount(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jpeg_dims", exprs => JpegDims(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_mp4_duration", exprs => Mp4Duration(exprs(0)), "scala_udf")
   }
 
   /** Sorted-distinct array intersection size — see [[IntersectCount]]. */
@@ -114,6 +118,16 @@ object GraftFunctions {
   /** Column-level handle, usable without session registration. */
   def dot(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** JPEG SOF dimensions array(width, height, progressive) — see
+    * [[JpegDims]]. */
+  def jpegDims(payload: Column): Column =
+    GraftBridge.column(JpegDims(GraftBridge.expression(payload)))
+
+  /** MP4 mvhd presentation duration in integral microseconds — see
+    * [[Mp4Duration]]. */
+  def mp4DurationUs(payload: Column): Column =
+    GraftBridge.column(Mp4Duration(GraftBridge.expression(payload)))
 
   /** SimHash aggregate over (word-hash, weight) rows — see [[SimHashAgg]]. */
   def simhash(hash: Column, weight: Column): Column =

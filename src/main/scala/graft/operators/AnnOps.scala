@@ -439,21 +439,32 @@ object AnnOps {
       .when(col("vec_id") % 19 === 0,
         concat(col("embedding"), array(lit(3.0f))))
       .otherwise(col("embedding"))
-    Tables.embeddings(s, dir)
-      .withColumn("v", damaged)
-      .select(col("vec_id"),
-        size(col("v")).as("dim"),
-        size(filter(col("v"), x => isnan(x))).as("n_nan"),
-        size(filter(col("v"), x => x === lit(0.0f))).as("n_zero"),
-        aggregate(col("v"), lit(0.0),
+    embedHealthOf(
+      Tables.embeddings(s, dir).withColumn("v", damaged),
+      col("vec_id"), col("v"))
+      .orderBy("vec_id")
+  }
+
+  /** Generic API — validate ANY embedding frame before an index build
+    * (the damage plant above is a test fixture, not part of the gate).
+    * Emits per-vector dim / NaN count / zero count / exact-integer
+    * micro-unit L2 norm and the `healthy` verdict, keyed by `id`. One
+    * codegen projection over the vector column, scan speed. */
+  def embedHealthOf(df: DataFrame, id: Column, vec: Column): DataFrame = {
+    val base = df.select(id,
+        size(vec).as("dim"),
+        size(filter(vec, x => isnan(x))).as("n_nan"),
+        size(filter(vec, x => x === lit(0.0f))).as("n_zero"),
+        aggregate(vec, lit(0.0),
           (a, x) => a + x.cast("double") * x.cast("double")).as("ss"))
       .withColumn("norm_u", when(col("n_nan") > 0, lit(null).cast("long"))
         .otherwise(floor(sqrt(col("ss")) * lit(1000000.0)).cast("long")))
-      .select(col("vec_id"), col("dim"), col("n_nan"), col("n_zero"),
+    // keep the caller's id column under whatever name it arrived with
+    val idName = base.columns.head
+    base.select(col(idName), col("dim"), col("n_nan"), col("n_zero"),
         col("norm_u"),
         (col("n_nan") === 0 && col("n_zero") === 0 &&
           col("norm_u").between(900000L, 1100000L)).as("healthy"))
-      .orderBy("vec_id")
   }
 
   /** NaN must never reach the BIGINT cast (DuckDB raises where Spark's

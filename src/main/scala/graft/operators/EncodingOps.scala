@@ -52,26 +52,33 @@ object EncodingOps {
     when(col("doc_id") % 11 === 0, lit(" ctl\u0007")).otherwise(lit("")))
 
   def encodingQuality(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .withColumn("raw", plantedCol)
-      .select(
-        col("doc_id"),
-        size(regexp_extract_all(col("raw"), lit("\uFFFD"), lit(0)))
+    encodingQualityOf(
+      Tables.documents(s, dir).withColumn("raw", plantedCol),
+      col("doc_id"), col("raw"))
+      .orderBy("doc_id")
+
+  /** Generic API \u2014 score ANY text frame for encoding damage (the plant
+    * above is a test fixture, not part of the detector). Emits the
+    * three damage counters, the exact-integer ascii_ppm, and the drop
+    * verdict, keyed by `id`. One codegen string projection, scan speed
+    * on any corpus. */
+  def encodingQualityOf(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(
+        id,
+        size(regexp_extract_all(text, lit("\uFFFD"), lit(0)))
           .as("n_replacement"),
-        size(regexp_extract_all(col("raw"), lit(controlRe), lit(0)))
+        size(regexp_extract_all(text, lit(controlRe), lit(0)))
           .as("n_control"),
-        size(regexp_extract_all(col("raw"), lit(mojibakeRe), lit(0)))
+        size(regexp_extract_all(text, lit(mojibakeRe), lit(0)))
           .as("n_mojibake"),
-        ((length(col("raw")).cast("long") -
-          size(regexp_extract_all(col("raw"), lit(nonAsciiRe), lit(0))).cast("long"))
+        ((length(text).cast("long") -
+          size(regexp_extract_all(text, lit(nonAsciiRe), lit(0))).cast("long"))
           * lit(1000000L)).as("a"),
-        length(col("raw")).cast("long").as("raw_len"))
+        length(text).cast("long").as("raw_len"))
       .withColumn("ascii_ppm", expr("a div greatest(raw_len, 1)"))
       .withColumn("flagged",
         col("n_replacement") > 0 || col("n_control") > 0 || col("n_mojibake") > 0)
-      .select(col("doc_id"), col("n_replacement"), col("n_control"),
-        col("n_mojibake"), col("ascii_ppm"), col("flagged"))
-      .orderBy("doc_id")
+      .drop("a", "raw_len")
 
   /** Oracle: identical plant + identical classes; non-ASCII regex
     * chars enter via chr() so the SQL text stays 7-bit clean. */

@@ -87,6 +87,12 @@ object HtmlOps {
     * same three string passes, and whole-stage codegen fuses them. */
   def htmlTextOf(pages: DataFrame, idCol: String, htmlCol: String): DataFrame = {
     val raw = col(htmlCol)
+    // Comments strip FIRST so a commented-out <script> open tag cannot
+    // make the lazy script regex swallow real content. The deliberate
+    // tradeoff (any regex HTML pass has one): a bare `<!--` literal
+    // inside live JS now eats to the next `-->` elsewhere in the page.
+    // That's the conventional order (browsers also treat `<!--` inside
+    // scripts as historical comment syntax); do not swap it back.
     val noComment = regexp_replace(raw, "(?s)<!--.*?-->", " ")
     val noScript = regexp_replace(noComment, "(?is)<script(?:\\s[^>]*)?>.*?</script>", " ")
     val clean = regexp_replace(noScript, "(?is)<style(?:\\s[^>]*)?>.*?</style>", " ")

@@ -192,23 +192,65 @@ object MultimodalOps {
 
   // ----------------------------------------- mixed-media catalog
 
-  /** Mixed binary corpus: PNG / WAV / MP4-ftyp payloads round-robin by
-    * doc_id — the "bucket of unlabeled media files" a cataloging pass
-    * faces. The MP4 head is a real ftyp box (big-endian size, "ftyp",
-    * major brand "isom", minor version, compatible brand "mp41"). */
-  private def mp4Payload: Column = concat(
-    unhex(format_string("%08x", lit(20))),       // box size 20 BE
-    encode(lit("ftypisom"), "utf-8"),            // type + major brand
-    unhex(lit("00000200")),                      // minor version
-    encode(lit("mp41"), "utf-8"),                // compatible brand
+  /** Synthetic JPEG-framed corpus entry: a REAL baseline/progressive
+    * JPEG header — SOI, a full JFIF APP0 segment, then SOF0 (or SOF2
+    * on every 5th doc, pinning the progressive flag) carrying
+    * big-endian height and width — followed by the text bytes. The
+    * variable-length-segment layout is exactly what makes JPEG
+    * unparseable by fixed hex slices and exercises the
+    * [[graft.functions.JpegDims]] marker walk. */
+  private def jpegPayload: Column = concat(
+    unhex(lit("FFD8")),                           // SOI
+    unhex(lit("FFE000104A46494600010100004800480000")), // APP0/JFIF, len 16
+    when(col("doc_id") % 5 === 0, unhex(lit("FFC2")))   // SOF2: progressive
+      .otherwise(unhex(lit("FFC0"))),                   // SOF0: baseline
+    unhex(lit("001108")),                         // seg len 17, precision 8
+    unhex(format_string("%04x", lit(120) + (col("doc_id") * 13) % 1987)), // height
+    unhex(format_string("%04x", lit(160) + (col("doc_id") * 11) % 1493)), // width
+    unhex(lit("03012200021101031101")),           // 3 component specs
     encode(col("text"), "utf-8"))
+
+  /** Mixed binary corpus: PNG / WAV / JPEG / MP4 payloads round-robin
+    * by doc_id — the "bucket of unlabeled media files" a cataloging
+    * pass faces. The MP4 is a real box sequence: ftyp (big-endian
+    * size, major brand "isom", compatible brand "mp41") followed by a
+    * moov box containing a version-0 mvhd with a deterministic
+    * timescale and duration, so the [[graft.functions.Mp4Duration]]
+    * box walk has genuine structure to traverse. */
+  private def mp4Payload: Column = {
+    val timescale = lit(600) * (lit(1) + col("doc_id") % 5)
+    val durUnits = lit(90) + (col("doc_id") * 31) % 100000
+    concat(
+      unhex(format_string("%08x", lit(20))),     // ftyp box size 20 BE
+      encode(lit("ftypisom"), "utf-8"),          // type + major brand
+      unhex(lit("00000200")),                    // minor version
+      encode(lit("mp41"), "utf-8"),              // compatible brand
+      unhex(format_string("%08x", lit(116))),    // moov box size 8+108
+      encode(lit("moov"), "utf-8"),
+      unhex(format_string("%08x", lit(108))),    // mvhd box size
+      encode(lit("mvhd"), "utf-8"),
+      unhex(lit("00000000")),                    // version 0 + flags
+      unhex(lit("0000000000000000")),            // ctime + mtime
+      unhex(format_string("%08x", timescale)),
+      unhex(format_string("%08x", durUnits)),
+      unhex(lit("00010000")),                    // rate 1.0
+      unhex(lit("01000000")),                    // volume 1.0 + reserved
+      unhex(lit("0000000000000000")),            // reserved[2]
+      unhex(lit("00010000000000000000000000000000" +
+        "0001000000000000000000000000000040000000")), // unity matrix (36 B)
+      unhex(lit("0000000000000000000000000000000000000000" +
+        "00000000")),                            // pre_defined[6] (24 B)
+      unhex(lit("00000002")),                    // next_track_ID
+      encode(col("text"), "utf-8"))
+  }
 
   /** One projection over ONE scan: the per-type payload builders are
     * Column expressions, so no self-joins reassemble the mix. */
   def mixedMediaCorpus(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"),
-      when(col("doc_id") % 3 === 0, pngPayload)
-        .when(col("doc_id") % 3 === 1, wavPayload)
+      when(col("doc_id") % 4 === 0, pngPayload)
+        .when(col("doc_id") % 4 === 1, wavPayload)
+        .when(col("doc_id") % 4 === 2, jpegPayload)
         .otherwise(mp4Payload).as("payload"))
 
   /** Media catalog: ONE pass over a mixed binary column detects each
@@ -223,48 +265,87 @@ object MultimodalOps {
     mediaCatalogOf(Tables.spread(s, mixedMediaCorpus(s, dir)))
 
   def mediaCatalogOf(media: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.{jpegDims, mp4DurationUs}
     val head8 = hex(substring(col("payload"), 1, 8))
     val isPng = head8 === "89504E470D0A1A0A"
     val isWav = hex(substring(col("payload"), 1, 4)) === "52494646" &&
       hex(substring(col("payload"), 9, 4)) === "57415645"
+    val isJpeg = hex(substring(col("payload"), 1, 2)) === "FFD8"
     val isMp4 = hex(substring(col("payload"), 5, 4)) === "66747970"
-    media.select(
-      col("doc_id"),
-      when(isPng, "image/png").when(isWav, "audio/wav")
-        .when(isMp4, "video/mp4").otherwise("unknown").as("detected_type"),
-      octet_length(col("payload")).as("n_bytes"),
-      when(isPng, conv(hex(substring(col("payload"), 17, 4)), 16, 10).cast("int"))
-        .as("width"),
-      when(isPng, conv(hex(substring(col("payload"), 21, 4)), 16, 10).cast("int"))
-        .as("height"),
-      when(isWav, parseLe4(substring(col("payload"), 25, 4))).as("sample_rate"),
-      when(isWav, parseLe2(substring(col("payload"), 23, 2))).as("channels"),
-      when(isMp4, decode(substring(col("payload"), 9, 4), "US-ASCII"))
-        .as("brand"))
+    // JPEG dims come from the SOF marker walk (variable segment
+    // layout); let-bind the array so the walk runs once per row, not
+    // once per consuming column
+    media
+      .withColumn("_jd", when(isJpeg, jpegDims(col("payload"))))
+      // let-bind the WAV PCM fields once for the integral duration div
+      .withColumn("_wav_db",
+        when(isWav, parseLe4(substring(col("payload"), 41, 4)).cast("long")))
+      .withColumn("_wav_bps",
+        when(isWav, parseLe4(substring(col("payload"), 25, 4)).cast("long") *
+          parseLe2(substring(col("payload"), 23, 2)) * lit(2)))
+      .select(
+        col("doc_id"),
+        when(isPng, "image/png").when(isWav, "audio/wav")
+          .when(isJpeg, "image/jpeg")
+          .when(isMp4, "video/mp4").otherwise("unknown").as("detected_type"),
+        octet_length(col("payload")).as("n_bytes"),
+        coalesce(
+          when(isPng, conv(hex(substring(col("payload"), 17, 4)), 16, 10).cast("int")),
+          element_at(col("_jd"), 1)).as("width"),
+        coalesce(
+          when(isPng, conv(hex(substring(col("payload"), 21, 4)), 16, 10).cast("int")),
+          element_at(col("_jd"), 2)).as("height"),
+        (element_at(col("_jd"), 3) === 1).as("progressive"),
+        when(isWav, parseLe4(substring(col("payload"), 25, 4))).as("sample_rate"),
+        when(isWav, parseLe2(substring(col("payload"), 23, 2))).as("channels"),
+        when(isMp4, decode(substring(col("payload"), 9, 4), "US-ASCII"))
+          .as("brand"),
+        // one duration column across time-based media: WAV from the
+        // PCM arithmetic, MP4 from the mvhd box walk — both integral
+        // microseconds (floor division), never FP
+        coalesce(
+          expr("_wav_db * 1000000 div _wav_bps"),
+          mp4DurationUs(col("payload"))).as("duration_us"))
       .orderBy("doc_id")
   }
 
-  /** Oracle ground truth: the every-9th corrupted-signature PNG must
-    * catalog as 'unknown' with NULL dimensions — the dispatch is from
-    * the bytes, not the generator's intent. */
+  /** Oracle ground truth: recomputed arithmetically from the four
+    * generators — the every-9th corrupted-signature PNG must catalog
+    * as 'unknown' with NULL dimensions (dispatch is from the bytes,
+    * not the generator's intent); JPEG width/height/progressive and
+    * the MP4 duration check the marker/box walks end to end. */
   val mediaCatalogSql: String =
     """SELECT doc_id,
-      |  CASE WHEN doc_id % 3 = 0 THEN
+      |  CASE WHEN doc_id % 4 = 0 THEN
       |         CASE WHEN doc_id % 9 = 0 THEN 'unknown' ELSE 'image/png' END
-      |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+      |       WHEN doc_id % 4 = 1 THEN 'audio/wav'
+      |       WHEN doc_id % 4 = 2 THEN 'image/jpeg'
       |       ELSE 'video/mp4' END AS detected_type,
-      |  CAST(CASE WHEN doc_id % 3 = 0 THEN octet_length(encode(text)) + 24
-      |            WHEN doc_id % 3 = 1 THEN octet_length(encode(text)) + 44
-      |            ELSE octet_length(encode(text)) + 20 END AS INTEGER) AS n_bytes,
-      |  CAST(CASE WHEN doc_id % 3 = 0 AND doc_id % 9 <> 0
-      |    THEN 16 + doc_id % 1024 END AS INTEGER) AS width,
-      |  CAST(CASE WHEN doc_id % 3 = 0 AND doc_id % 9 <> 0
-      |    THEN 16 + (doc_id * 7) % 1024 END AS INTEGER) AS height,
-      |  CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 * (1 + doc_id % 5) END AS INTEGER)
+      |  CAST(CASE WHEN doc_id % 4 = 0 THEN octet_length(encode(text)) + 24
+      |            WHEN doc_id % 4 = 1 THEN octet_length(encode(text)) + 44
+      |            WHEN doc_id % 4 = 2 THEN octet_length(encode(text)) + 39
+      |            ELSE octet_length(encode(text)) + 136 END AS INTEGER) AS n_bytes,
+      |  CAST(CASE WHEN doc_id % 4 = 0 AND doc_id % 9 <> 0
+      |         THEN 16 + doc_id % 1024
+      |       WHEN doc_id % 4 = 2 THEN 160 + (doc_id * 11) % 1493
+      |       END AS INTEGER) AS width,
+      |  CAST(CASE WHEN doc_id % 4 = 0 AND doc_id % 9 <> 0
+      |         THEN 16 + (doc_id * 7) % 1024
+      |       WHEN doc_id % 4 = 2 THEN 120 + (doc_id * 13) % 1987
+      |       END AS INTEGER) AS height,
+      |  CASE WHEN doc_id % 4 = 2 THEN doc_id % 5 = 0 END AS progressive,
+      |  CAST(CASE WHEN doc_id % 4 = 1 THEN 8000 * (1 + doc_id % 5) END AS INTEGER)
       |    AS sample_rate,
-      |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2 END AS INTEGER)
+      |  CAST(CASE WHEN doc_id % 4 = 1 THEN 1 + doc_id % 2 END AS INTEGER)
       |    AS channels,
-      |  CASE WHEN doc_id % 3 = 2 THEN 'isom' END AS brand
+      |  CASE WHEN doc_id % 4 = 3 THEN 'isom' END AS brand,
+      |  CAST(CASE WHEN doc_id % 4 = 1 THEN
+      |         (CAST(octet_length(encode(text)) AS BIGINT) * 1000000) //
+      |           (8000 * (1 + doc_id % 5) * (1 + doc_id % 2) * 2)
+      |       WHEN doc_id % 4 = 3 THEN
+      |         (CAST(90 + (doc_id * 31) % 100000 AS BIGINT) * 1000000) //
+      |           (600 * (1 + doc_id % 5))
+      |       END AS BIGINT) AS duration_us
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------- batched decode pipeline

@@ -286,8 +286,6 @@ object PipelineOps {
     * list. */
   val blocklist: Seq[String] = Seq("blockterm0", "blockterm1", "blockterm2")
 
-  private val blocklistRe = blocklist.mkString("\\b(", "|", ")\\b")
-
   /** Blocklist screening: count case-folded whole-word blocklist hits
     * per document and emit the C4 drop verdict (any hit → drop), plus
     * the sorted distinct matched terms as the audit trail. One codegen
@@ -307,15 +305,29 @@ object PipelineOps {
       when(col("doc_id") % 9 === 0, lit(" has BLOCKTERM2, inside.")).otherwise(lit("")),
       // substring form that must NOT fire: boundary semantics
       when(col("doc_id") % 7 === 0, lit(" xblockterm1y")).otherwise(lit("")))
-    Tables.documents(s, dir)
-      .withColumn("raw", planted)
-      .withColumn("hits",
-        regexp_extract_all(lower(col("raw")), lit(blocklistRe), lit(1)))
-      .select(col("doc_id"),
-        size(col("hits")).as("n_blocked"),
-        array_join(array_sort(array_distinct(col("hits"))), ",").as("blocked_terms"),
-        (size(col("hits")) === 0).as("keep"))
+    blocklistFilterOf(
+      Tables.documents(s, dir).withColumn("raw", planted),
+      col("doc_id"), col("raw"), blocklist)
       .orderBy("doc_id")
+  }
+
+  /** Generic API — screen ANY corpus frame against a deployment's term
+    * list (the plant above is a test fixture, not part of the gate).
+    * Terms are matched literally (regex-quoted), case-folded, at word
+    * boundaries; emits hit count, sorted distinct matched terms, and
+    * the C4 drop verdict. Still one codegen regex projection — scan
+    * speed at crawl scale regardless of the frame it runs on. */
+  def blocklistFilterOf(df: DataFrame, id: Column, text: Column,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "blocklist must be non-empty")
+    val re = terms.map(t => java.util.regex.Pattern.quote(t.toLowerCase))
+      .mkString("\\b(", "|", ")\\b")
+    df.withColumn("_bl_hits", regexp_extract_all(lower(text), lit(re), lit(1)))
+      .select(id,
+        size(col("_bl_hits")).as("n_blocked"),
+        array_join(array_sort(array_distinct(col("_bl_hits"))), ",")
+          .as("blocked_terms"),
+        (size(col("_bl_hits")) === 0).as("keep"))
   }
 
   val blocklistFilterSql: String = {

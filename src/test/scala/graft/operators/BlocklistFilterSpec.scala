@@ -42,4 +42,26 @@ class BlocklistFilterSpec extends SparkSpec {
     assert(m(3L) == ((0, "", true)))              // substrings never fire
     assert(m(4L) == ((3, "blockterm1,blockterm2", false)))
   }
+
+  test("generic API screens an arbitrary frame with a caller-supplied list, plant-free") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq(
+      (10L, "totally fine prose"),
+      (11L, "contains BadWord right here"),
+      (12L, "literal bad.word present"),
+      (13L, "badxword must not fire"),            // '.' must not act as regex any-char
+      (14L, "xbadwordy never fires")
+    ).toDF("id", "body")
+    val m = PipelineOps.blocklistFilterOf(df, col("id"), col("body"),
+        Seq("badword", "bad.word")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Int]("n_blocked"), r.getAs[String]("blocked_terms"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(m(10L) == ((0, "", true)))
+    assert(m(11L) == ((1, "badword", false)))     // case-folded
+    assert(m(12L) == ((1, "bad.word", false)))    // regex metachars quoted
+    assert(m(13L) == ((0, "", true)))             // '.' matched literally only
+    assert(m(14L) == ((0, "", true)))             // word boundaries hold
+  }
 }

@@ -49,4 +49,29 @@ class EmbedHealthSpec extends SparkSpec {
       assert(norm > 0.89 && norm < 1.11)
     }
   }
+
+  test("generic API validates an arbitrary vector frame plant-free, keeping the caller's id column") {
+    import spark.implicits._
+    val inv = 1.0f / math.sqrt(2.0).toFloat
+    val df = Seq(
+      // ids chosen ON the plant residues (%13, %17): the generic API
+      // must not damage them — proof the fixture never leaks in
+      (13L, Seq(inv, inv)),
+      (17L, Seq(0.6f, 0.8f)),
+      (2L, Seq(Float.NaN, 1.0f)),
+      (3L, Seq(0.0f, 1.0f)),
+      (4L, Seq(3.0f, 4.0f))
+    ).toDF("row_key", "vec")
+    val out = AnnOps.embedHealthOf(df, col("row_key"), col("vec"))
+    assert(out.columns.toSeq ==
+      Seq("row_key", "dim", "n_nan", "n_zero", "norm_u", "healthy"))
+    val m = out.collect().map(r => r.getLong(0) ->
+      ((r.getAs[Int]("n_nan"), r.getAs[Int]("n_zero"),
+        r.getAs[Boolean]("healthy")))).toMap
+    assert(m(13L) == ((0, 0, true)))
+    assert(m(17L) == ((0, 0, true)))
+    assert(m(2L) == ((1, 0, false)))
+    assert(m(3L) == ((0, 1, false)))
+    assert(m(4L) == ((0, 0, false)))   // norm 5.0 — far off unit
+  }
 }

@@ -52,4 +52,24 @@ class EncodingOpsSpec extends SparkSpec {
     assert(m(3L) == ((0, 3, 0, true)))  // NUL, DEL, NEL
     assert(m(4L) == ((2, 0, 0, true)))
   }
+
+  test("generic API runs plant-free on an arbitrary frame and keeps the caller's id column") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq(
+      ("pageA", "clean crawl body"),
+      // would collide with the %5 plant if the fixture leaked into the API
+      ("pageB", "caf\u00C3\u00A9 mojibake"),
+      ("pageC", "ctl\u0007bell")
+    ).toDF("url", "body")
+    val out = EncodingOps.encodingQualityOf(df, col("url"), col("body"))
+    assert(out.columns.toSeq == Seq("url", "n_replacement", "n_control",
+      "n_mojibake", "ascii_ppm", "flagged"))
+    val m = out.collect().map(r => r.getString(0) ->
+      ((r.getAs[Int]("n_mojibake"), r.getAs[Int]("n_control"),
+        r.getAs[Boolean]("flagged")))).toMap
+    assert(m("pageA") == ((0, 0, false)))
+    assert(m("pageB") == ((1, 0, true)))
+    assert(m("pageC") == ((0, 1, true)))
+  }
 }

@@ -35,6 +35,15 @@ class HtmlOpsSpec extends SparkSpec {
     assert(!r.getAs[String]("full_text").contains("ghost"))
   }
 
+  test("a commented-out <script> open tag never swallows the content after it") {
+    // the round-8 trap, pinned as a unit test: comment-first stripping
+    // means the lazy script regex sees no unmatched <script> here
+    val r = extract(Seq((1L,
+      "<body><!-- <script> --><p>real</p><script>x</script></body>")))(1L)
+    assert(r.getAs[String]("main_text") === "real")
+    assert(r.getAs[String]("full_text") === "real")
+  }
+
   test("&amp;lt; decodes to the literal &lt;, never to <") {
     val r = extract(Seq((1L, "<p>a &amp;lt; b</p>")))(1L)
     assert(r.getAs[String]("full_text") === "a &lt; b")

@@ -57,20 +57,96 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
+  test("JPEG SOF walk reads genuine hand-built headers: baseline, progressive, negatives") {
+    import spark.implicits._
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte,
+        (((payload.length + 2) >> 8) & 0xff).toByte,
+        ((payload.length + 2) & 0xff).toByte) ++ payload
+    def sofPayload(w: Int, h: Int): Array[Byte] =
+      Array(8.toByte, ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+        ((w >> 8) & 0xff).toByte, (w & 0xff).toByte, 3.toByte,
+        1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1).map(_.toByte)
+    val soi = Array(0xff.toByte, 0xd8.toByte)
+    val app0 = seg(0xe0, "JFIF".getBytes ++ Array.fill(12)(0.toByte))
+    // a comment segment BEFORE the SOF exercises the variable-length walk
+    val com = seg(0xfe, "hand-built".getBytes)
+    val baseline = soi ++ app0 ++ com ++ seg(0xc0, sofPayload(1920, 1080))
+    val progressive = soi ++ app0 ++ seg(0xc2, sofPayload(320, 200))
+    val noSof = soi ++ app0 ++ Array(0xff.toByte, 0xd9.toByte) // straight to EOI
+    val truncated = baseline.take(12)
+    val notJpeg = "GIF89a-not-a-jpeg".getBytes
+    val out = MultimodalOps.mediaCatalogOf(
+      Seq((1L, baseline), (2L, progressive), (3L, noSof), (4L, truncated),
+        (5L, notJpeg)).toDF("doc_id", "payload")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "image/jpeg")
+    assert(out(1L).getInt(3) == 1920 && out(1L).getInt(4) == 1080)
+    assert(!out(1L).getBoolean(5))
+    assert(out(2L).getInt(3) == 320 && out(2L).getInt(4) == 200)
+    assert(out(2L).getBoolean(5))
+    // undecodable variants still type as jpeg by magic, but with null dims
+    assert(out(3L).isNullAt(3) && out(3L).isNullAt(4))
+    assert(out(4L).isNullAt(3) && out(4L).isNullAt(4))
+    assert(out(5L).isNullAt(3) && out(5L).getString(1) == "unknown")
+  }
+
+  test("MP4 box walk reads a genuine hand-built mvhd: v0, v1, and negatives") {
+    import spark.implicits._
+    def be4(i: Long): Array[Byte] = Array(((i >> 24) & 0xff).toByte,
+      ((i >> 16) & 0xff).toByte, ((i >> 8) & 0xff).toByte, (i & 0xff).toByte)
+    def be8(i: Long): Array[Byte] = be4(i >> 32) ++ be4(i & 0xffffffffL)
+    def box(tpe: String, body: Array[Byte]): Array[Byte] =
+      be4(body.length + 8L) ++ tpe.getBytes("US-ASCII") ++ body
+    val ftyp = box("ftyp", "isom".getBytes ++ be4(0x200L) ++ "mp41".getBytes)
+    // v0 mvhd: timescale 90000, duration 90000*7+45000 → 7.5 s
+    val mvhd0 = box("mvhd", Array(0, 0, 0, 0).map(_.toByte) ++ be4(0) ++ be4(0) ++
+      be4(90000L) ++ be4(90000L * 7 + 45000L) ++ Array.fill(80)(0.toByte))
+    // a sibling box before mvhd exercises the child walk
+    val free = box("free", Array.fill(11)(0x20.toByte))
+    val v0 = ftyp ++ box("moov", free ++ mvhd0)
+    // v1 mvhd: 64-bit times, timescale 1000, duration 2500 ms
+    val mvhd1 = box("mvhd", Array(1, 0, 0, 0).map(_.toByte) ++ be8(0) ++ be8(0) ++
+      be4(1000L) ++ be8(2500L) ++ Array.fill(80)(0.toByte))
+    val v1 = ftyp ++ box("moov", mvhd1)
+    val noMoov = ftyp ++ box("mdat", "payload".getBytes)
+    val truncated = v0.take(ftyp.length + 10)
+    val out = MultimodalOps.mediaCatalogOf(
+      Seq((1L, v0), (2L, v1), (3L, noMoov), (4L, truncated))
+        .toDF("doc_id", "payload")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "video/mp4" && out(1L).getString(8) == "isom")
+    assert(out(1L).getLong(9) == 7500000L)
+    assert(out(2L).getLong(9) == 2500000L)
+    assert(out(3L).isNullAt(9))
+    assert(out(4L).isNullAt(9))
+  }
+
   test("media catalog dispatches on magic bytes, corrupted files surface as unknown") {
     val rows = MultimodalOps.mediaCatalog(spark, sfDir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val id = r.getLong(0)
       val t = r.getString(1)
-      if (id % 3 == 0)
+      if (id % 4 == 0)
         assert(t == (if (id % 9 == 0) "unknown" else "image/png"))
-      else if (id % 3 == 1) assert(t == "audio/wav")
-      else assert(t == "video/mp4" && r.getString(7) == "isom")
+      else if (id % 4 == 1) assert(t == "audio/wav")
+      else if (id % 4 == 2) assert(t == "image/jpeg")
+      else assert(t == "video/mp4" && r.getString(8) == "isom")
       // per-type fields are null outside their type
-      if (t != "image/png") assert(r.isNullAt(3) && r.isNullAt(4))
-      if (t != "audio/wav") assert(r.isNullAt(5) && r.isNullAt(6))
-      if (t != "video/mp4") assert(r.isNullAt(7))
+      if (t == "image/jpeg") {
+        assert(r.getInt(3) == 160 + ((id * 11) % 1493).toInt)
+        assert(r.getInt(4) == 120 + ((id * 13) % 1987).toInt)
+        assert(r.getBoolean(5) == (id % 5 == 0))
+      } else assert(r.isNullAt(5))
+      if (t != "image/png" && t != "image/jpeg") assert(r.isNullAt(3) && r.isNullAt(4))
+      if (t != "audio/wav") assert(r.isNullAt(6) && r.isNullAt(7))
+      if (t != "video/mp4") assert(r.isNullAt(8))
+      if (t == "video/mp4")
+        assert(r.getLong(9) ==
+          (90L + (id * 31) % 100000) * 1000000L / (600L * (1 + id % 5)))
+      if (t == "audio/wav") assert(!r.isNullAt(9))
+      if (t == "image/png" || t == "image/jpeg" || t == "unknown") assert(r.isNullAt(9))
     }
   }
 
