@@ -21,10 +21,12 @@ object Bench {
     // plan, not JVM compilation. Warm-up failures are ignored here — the
     // timed run surfaces them as hard errors below.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    // Best-of-N timing (deterministic name order): a single sample is
+    // Median-of-N timing (deterministic name order): a single sample is
     // hostage to whatever else the box is doing — a GC pause or a noisy
-    // neighbor inflates one query by 10x. The min over reps is the
-    // plan's steady-state cost. NOTE for the artifact-backed queries
+    // neighbor inflates one query by 10x — while a min would report an
+    // optimistic best case. The median over reps is the honest
+    // steady-state cost; max-min is emitted per query as the spread.
+    // NOTE for the artifact-backed queries
     // (ANN index, dedup cluster map, SemDedup model, decontamination
     // bloom): rep 1 trains the artifact and later reps read the
     // session cache, so their min measures the deployed read path —
@@ -39,7 +41,7 @@ object Bench {
       // A failing query must fail the bench visibly, never time as
       // instantly fast: record the error and make the run exit non-zero.
       var err: Option[String] = None
-      val dt = (1 to reps).map { _ =>
+      val times = (1 to reps).map { _ =>
         // drop SQL-cached relations so the scan side of every rep is
         // cold (trained-artifact caches intentionally survive — see
         // note above), and take the GC pause now, outside the timer
@@ -51,12 +53,19 @@ object Bench {
           err = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
         }
         (System.nanoTime() - t0) / 1e9
-      }.min
-      (name, dt, err)
+      }.sorted
+      // MEDIAN is the reported number (robust to one GC pause / noisy
+      // neighbor without the min's optimistic bias); max-min rides
+      // along as the per-query spread so a reader can see how much a
+      // single-shot run could have drifted.
+      val dt = times(times.length / 2)
+      (name, dt, times.last - times.head, err)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, Some(e)) => k -> e }
+    val spreads = results.map { case (k, _, sp, _) => s"\"" + k + "\":" + sp }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, Some(e)) => k -> e }
     val errs = failed.map { case (k, e) =>
       "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
@@ -64,10 +73,10 @@ object Bench {
     // query that failed at analysis is not a benchmark number — and the
     // artifact carries rc/valid so a consumer never has to cross-check
     // the errors map to know whether value is trustworthy.
-    val total = results.collect { case (_, v, None) => v }.sum
+    val total = results.collect { case (_, v, _, None) => v }.sum
     val valid = failed.isEmpty
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"rc":${if (valid) 0 else 1},"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"rc":${if (valid) 0 else 1},"reps":$reps,"stat":"median","queries":$qs,"spread":$spreads,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // Belt-and-braces against captured-stdout truncation: the same JSON
     // goes to a file next to the working dir.

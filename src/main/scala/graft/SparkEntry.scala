@@ -24,7 +24,7 @@ object SparkEntry {
       OrgOps.queries ++ ExtractOps.queries ++ MappingExtractOps.queries ++
       PipelineOps.queries ++ TransferOps.queries ++ SkewOps.queries ++
       SearchOps.queries ++ ClassifierOps.queries ++ GraphOps.queries ++
-      HtmlOps.queries ++ EncodingOps.queries
+      HtmlOps.queries ++ EncodingOps.queries ++ BpeOps.queries
 
   /** DuckDB-equivalent SQL for each hash-checked query (column names must
     * match the Spark output exactly; see SURVEY.md §6 for FP discipline). */
@@ -37,5 +37,5 @@ object SparkEntry {
       OrgOps.oracles ++ ExtractOps.oracles ++ MappingExtractOps.oracles ++
       PipelineOps.oracles ++ TransferOps.oracles ++ SkewOps.oracles ++
       SearchOps.oracles ++ ClassifierOps.oracles ++ GraphOps.oracles ++
-      HtmlOps.oracles ++ EncodingOps.oracles
+      HtmlOps.oracles ++ EncodingOps.oracles ++ BpeOps.oracles
 }

@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{BpeEncode, BpeModel}
+import org.apache.spark.sql.GraftBridge
+
+/** Real byte-pair-encoding tokenization (Sennrich et al.,
+  * arXiv:1508.07909) as a first-class pipeline tier: every
+  * token-denominated budget in a training-data pipeline — packing,
+  * mixture weights, shard sizing — is denominated in TOKENIZER tokens,
+  * not whitespace words, so the engine carries a real trainer and a
+  * real encoder instead of a regex proxy.
+  *
+  * Scale design, in two halves exactly like production:
+  *
+  *  - TRAINING is one distributed word-count aggregation (the
+  *    sufficient statistic — BPE training only ever sees the word
+  *    frequency table, which Zipf keeps tiny relative to any corpus)
+  *    followed by a driver-side merge loop over that table, capped at
+  *    `vocabCap` distinct words. 100 TB of text still reduces to one
+  *    shuffle on the word key plus an in-memory loop — this is how
+  *    SentencePiece/HF trainers actually work.
+  *  - ENCODING is a pure per-row native expression
+  *    ([[graft.functions.BpeEncode]]): the merge table rides the task
+  *    closure like a broadcast small side; no join, no shuffle, scan
+  *    speed, memoized per executor.
+  *
+  * Determinism contract (what makes the DuckDB oracle exact): merge
+  * selection is max-count with lexicographic (left, right) tie-break;
+  * candidates whose concatenation collides with an existing token
+  * string are skipped, which guarantees unique token strings and makes
+  * the greedy encoder provably identical to rank-order merge replay —
+  * the form the oracle's recursive CTE executes with delimiter-joined
+  * `replace` rounds.
+  */
+object BpeOps {
+
+  // ------------------------------------------------------ training
+
+  /** Distributed trainer: word-frequency aggregation (one shuffle,
+    * capped at `vocabCap` words by count-desc/word-asc — deterministic)
+    * then the classic merge loop on the counts. */
+  def trainMerges(df: DataFrame, text: Column, numMerges: Int,
+      vocabCap: Int = 1 << 16): Seq[(String, String)] = {
+    val wc = df
+      .select(explode(split(text, " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(vocabCap)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    trainFromCounts(wc, numMerges)
+  }
+
+  /** The in-memory merge loop over a word-frequency table — classic
+    * BPE: count adjacent token pairs weighted by word frequency, merge
+    * the most frequent, repeat. Stops early when no pair occurs twice
+    * (merging a singleton pair is vocabulary noise). */
+  def trainFromCounts(wordCounts: Seq[(String, Long)],
+      numMerges: Int): Seq[(String, String)] = {
+    var vocab: Array[(Array[String], Long)] =
+      wordCounts.map { case (w, c) => (w.map(_.toString).toArray, c) }.toArray
+    val tokenStrings = scala.collection.mutable.HashSet[String]()
+    vocab.foreach { case (toks, _) => toks.foreach(tokenStrings += _) }
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var exhausted = false
+    while (!exhausted && merges.size < numMerges) {
+      val pc = scala.collection.mutable.HashMap[(String, String), Long]()
+      vocab.foreach { case (toks, c) =>
+        var i = 0
+        while (i < toks.length - 1) {
+          val p = (toks(i), toks(i + 1))
+          pc.update(p, pc.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      val candidates = pc.iterator.filter { case (p, c) =>
+        c >= 2 && !tokenStrings.contains(p._1 + p._2)
+      }
+      if (candidates.isEmpty) exhausted = true
+      else {
+        // max count; ties break to the lexicographically smallest pair
+        val (best, _) = candidates.reduce { (x, y) =>
+          if (y._2 > x._2 ||
+            (y._2 == x._2 && Ordering[(String, String)].lt(y._1, x._1))) y
+          else x
+        }
+        merges += best
+        tokenStrings += best._1 + best._2
+        vocab = vocab.map { case (toks, c) => (mergePair(toks, best), c) }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** One left-to-right non-overlapping merge pass — the same loop the
+    * encoder applies, so training and encoding segment identically. */
+  private def mergePair(toks: Array[String], p: (String, String)): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      if (i < toks.length - 1 && toks(i) == p._1 && toks(i + 1) == p._2) {
+        out += p._1 + p._2; i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  // ------------------------------------------------------ pinned model
+
+  /** The committed tokenizer artifact: `trainMerges` over the sf0.001
+    * `documents` corpus with 40 merges (BpeOpsSpec pins that the
+    * trainer reproduces this list byte-for-byte — the artifact is
+    * regenerable, not hand-made). Production swaps in its own trained
+    * list the same way a pretrained tokenizer ships with a model; the
+    * oracle embeds the identical list as literal VALUES, so the
+    * encoder is verified merge-by-merge against an independent
+    * engine. */
+  val defaultNumMerges = 40
+
+  val defaultMerges: Seq[(String, String)] = DefaultBpeMerges.merges
+
+  val defaultModel: BpeModel = BpeModel(defaultMerges)
+
+  /** Column handle for the encoder under an arbitrary model. */
+  def bpeTokens(words: Column, model: BpeModel = defaultModel): Column =
+    GraftBridge.column(BpeEncode(GraftBridge.expression(words), model))
+
+  // ------------------------------------------------------ queries
+
+  /** Generic API: per-document token accounting under real BPE —
+    * stream length, distinct tokens, and the head of the stream as an
+    * audit column. One native-expression projection, zero shuffles. */
+  def bpeTokensOf(df: DataFrame, id: Column, text: Column,
+      model: BpeModel = defaultModel): DataFrame =
+    df.withColumn("_toks",
+        bpeTokens(filter(split(text, " "), w => length(w) > 0), model))
+      .select(id,
+        size(col("_toks")).as("n_bpe_tokens"),
+        size(array_distinct(col("_toks"))).as("n_unique_tokens"),
+        array_join(slice(col("_toks"), 1, 8), " ").as("head_tokens"))
+
+  def bpeTokenCounts(s: SparkSession, dir: String): DataFrame =
+    bpeTokensOf(Tables.documents(s, dir), col("doc_id"), col("text"))
+      .orderBy("doc_id")
+
+  /** BPE-budget sequence packing: [[PipelineOps.packSequencesOf]] with
+    * the token column denominated in real tokenizer tokens instead of
+    * whitespace words — the form every production packer runs. */
+  def packSequencesBpe(s: SparkSession, dir: String): DataFrame =
+    PipelineOps.packSequencesOf(
+      Tables.documents(s, dir)
+        .withColumn("n_tokens",
+          size(bpeTokens(filter(split(col("text"), " "), w => length(w) > 0)))),
+      col("source"), col("doc_id"), col("n_tokens"), PipelineOps.packBudget)
+      .select("doc_id", "source", "n_tokens", "pack_id", "pack_offset")
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------ oracles
+
+  /** The merge list as literal VALUES rows (rank, pattern, replacement)
+    * in the chr(1)-delimited string domain the CTE rewrites. */
+  private def mergesValues: String =
+    defaultMerges.zipWithIndex.map { case ((a, b), i) =>
+      s"(${i + 1}, chr(1)||'$a'||chr(1)||'$b'||chr(1), chr(1)||'$a$b'||chr(1))"
+    }.mkString(",\n      ")
+
+  /** Independent re-execution of the encoder in DuckDB: encode each
+    * DISTINCT word once by replaying the merge list in rank order to a
+    * fixpoint (a recursive CTE over a chr(1)-delimited char string —
+    * `replace` is left-to-right non-overlapping on both engines, and
+    * unique token strings make replay ≡ greedy), then join the encoded
+    * words back onto the corpus in position order. The distinct-word
+    * indirection is also the honest scale shape: Zipf makes the
+    * encode-once table tiny relative to any corpus. */
+  private def encodedWordsCte: String =
+    s"""merges(rank, pat, rep) AS (VALUES
+       |      $mergesValues),
+       |dw AS (
+       |  SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
+       |enc AS (
+       |  SELECT w, 1 AS rank,
+       |    chr(1) || array_to_string(string_split(w, ''), chr(1)) || chr(1) AS s
+       |  FROM dw WHERE len(w) > 0
+       |  UNION ALL
+       |  SELECT e.w,
+       |    CASE WHEN position(m.pat IN e.s) > 0 THEN e.rank ELSE e.rank + 1 END,
+       |    CASE WHEN position(m.pat IN e.s) > 0 THEN replace(e.s, m.pat, m.rep)
+       |         ELSE e.s END
+       |  FROM enc e JOIN merges m ON m.rank = e.rank),
+       |wtoks AS (
+       |  SELECT w, list_filter(string_split(s, chr(1)), x -> x <> '') AS toks
+       |  FROM enc WHERE rank = ${defaultMerges.size + 1}),
+       |dwords AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+       |  FROM documents),
+       |perdoc AS (
+       |  SELECT d.doc_id, flatten(list(t.toks ORDER BY d.pos)) AS toks
+       |  FROM dwords d JOIN wtoks t ON d.w = t.w
+       |  GROUP BY d.doc_id)""".stripMargin
+
+  val bpeTokenCountsSql: String =
+    s"""WITH RECURSIVE
+       |$encodedWordsCte
+       |SELECT doc_id,
+       |  CAST(len(toks) AS INTEGER) AS n_bpe_tokens,
+       |  CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique_tokens,
+       |  array_to_string(toks[1:8], ' ') AS head_tokens
+       |FROM perdoc ORDER BY doc_id""".stripMargin
+
+  val packSequencesBpeSql: String =
+    s"""WITH RECURSIVE
+       |$encodedWordsCte,
+       |counts AS (
+       |  SELECT p.doc_id, d.source, CAST(len(p.toks) AS INTEGER) AS n_tokens
+       |  FROM perdoc p JOIN documents d ON p.doc_id = d.doc_id),
+       |cum AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before
+       |  FROM counts)
+       |SELECT doc_id, source, n_tokens,
+       |  CAST(floor(cum_before / ${PipelineOps.packBudget}.0) AS BIGINT) AS pack_id,
+       |  CAST(cum_before % ${PipelineOps.packBudget} AS BIGINT) AS pack_offset
+       |FROM cum ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_tokens" -> (bpeTokenCounts _),
+    "q_pack_sequences_bpe" -> (packSequencesBpe _))
+
+  def oracles: Map[String, String] = Map(
+    "q_bpe_tokens" -> bpeTokenCountsSql,
+    "q_pack_sequences_bpe" -> packSequencesBpeSql)
+}
