@@ -49,18 +49,46 @@ object ClassifierOps {
     val docs = Tables.spread(s, Tables.documents(s, dir))
       .withColumn("is_train",
         substring(PipelineOps.sampleKeyOf(col("source"), col("doc_id")), 1, 1) <= "b")
-    val dw = docs
-      .select(col("doc_id"), col("lang"), col("is_train"), explode(wordsCol).as("w"))
-      .groupBy(col("doc_id"), col("lang"), col("is_train"), col("w"))
+    val (model, priors) = nbModelOf(docs.filter(col("is_train")))
+    nbClassifyOf(docs.filter(!col("is_train")), model, priors)
+      .orderBy("doc_id")
+  }
+
+  /** The trained NB artifact as two reusable frames: the per-class
+    * word-count table (l, w, c) and the class priors (l, d_l). Every
+    * other statistic the scorer needs (class totals, vocabulary size,
+    * smoothed log priors) derives from these two, so they ARE the
+    * model — persist them via [[writeNbModel]] and a later job scores
+    * without retraining. `train` needs (doc_id, lang, text). */
+  def nbModelOf(train: DataFrame): (DataFrame, DataFrame) = {
+    val dw = train
+      .select(col("doc_id"), col("lang"), explode(wordsCol).as("w"))
+      .groupBy(col("doc_id"), col("lang"), col("w"))
       .agg(count(lit(1)).as("m"))
-    val model = dw.filter(col("is_train"))
-      .groupBy(col("lang").as("l"), col("w")).agg(sum(col("m")).as("c"))
+    val model = dw.groupBy(col("lang").as("l"), col("w")).agg(sum(col("m")).as("c"))
+    val priors = train.groupBy(col("lang").as("l")).agg(count(lit(1)).as("d_l"))
+    (model, priors)
+  }
+
+  def writeNbModel(model: DataFrame, priors: DataFrame, path: String): Unit = {
+    graft.ArtifactStore.writeTable(model, path, "nb_model")
+    graft.ArtifactStore.writeTable(priors, path, "nb_priors")
+  }
+
+  def loadNbModel(s: SparkSession, path: String): (DataFrame, DataFrame) =
+    (graft.ArtifactStore.loadTable(s, path, "nb_model"),
+      graft.ArtifactStore.loadTable(s, path, "nb_priors"))
+
+  /** Score any (doc_id, lang, text) frame under a trained model —
+    * the same plan as before the model/scorer split: model-derived
+    * constants collapse to broadcast rows, scoring and argmax run
+    * map-side, one per-doc rollup. */
+  def nbClassifyOf(test: DataFrame, model: DataFrame,
+      priors: DataFrame): DataFrame = {
     val modelByWord = model.groupBy(col("w"))
       .agg(map_from_entries(collect_list(struct(col("l"), col("c")))).as("cs"))
     val nl = model.groupBy(col("l")).agg(sum(col("c")).as("n_l"))
     val vocab = model.agg(count_distinct(col("w")).as("v"))
-    val priors = docs.filter(col("is_train"))
-      .groupBy(col("lang").as("l")).agg(count(lit(1)).as("d_l"))
     val ptot = priors.agg(sum(col("d_l")).as("d_tot"), count(lit(1)).as("n_langs"))
     // every class-level constant in ONE broadcast row: the class list
     // with per-class token totals and smoothed log priors
@@ -70,7 +98,10 @@ object ClassifierOps {
         (log(col("d_l") + lit(1)) - log(col("d_tot") + col("n_langs"))).as("lp"))))
         .as("ls"))
 
-    dw.filter(!col("is_train"))
+    test
+      .select(col("doc_id"), col("lang"), explode(wordsCol).as("w"))
+      .groupBy(col("doc_id"), col("lang"), col("w"))
+      .agg(count(lit(1)).as("m"))
       .join(modelByWord, Seq("w"), "left")
       .groupBy(col("doc_id"), col("lang"))
       .agg(collect_list(struct(col("m"), col("cs"))).as("terms"))
@@ -98,7 +129,6 @@ object ClassifierOps {
           .otherwise(0)), 1))
       .select(col("doc_id"), col("lang"), col("best.l").as("pred_lang"),
         (col("best.l") === col("lang")).as("correct"))
-      .orderBy("doc_id")
   }
 
   val nbClassifySql: String =

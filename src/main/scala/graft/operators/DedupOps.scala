@@ -1088,6 +1088,32 @@ object DedupOps {
 
   private val incrementalIndexCache = new graft.SessionCache[NearDupIndex]()
 
+  // ------------------------------- persisted dedup artifacts
+
+  /** Save/load for the two standing dedup artifacts — the cluster map
+    * (doc_id → cluster, the result of the CC pass, read by keep rules
+    * and audit queries all week) and the near-dup index
+    * ([[NearDupIndex]]'s bands + shingle tables, probed per incoming
+    * batch). The bands table is repartitioned on its join key at write
+    * so an incremental probe's equi-join prunes to the probed bucket
+    * files, the [[AnnOps.writeIndex]] discipline. Parity is spec-pinned
+    * (ArtifactParitySpec). */
+  def writeClusterMap(map: DataFrame, path: String): Unit =
+    graft.ArtifactStore.writeTable(map, path, "dedup_clusters")
+
+  def loadClusterMap(s: SparkSession, path: String): DataFrame =
+    graft.ArtifactStore.loadTable(s, path, "dedup_clusters")
+
+  def writeNearDupIndex(idx: NearDupIndex, path: String): Unit = {
+    graft.ArtifactStore.writeTable(
+      idx.bands.repartition(col("band_id"), col("band_key")), path, "lsh_bands")
+    graft.ArtifactStore.writeTable(idx.shingles, path, "lsh_shingles")
+  }
+
+  def loadNearDupIndex(s: SparkSession, path: String): NearDupIndex =
+    NearDupIndex(graft.ArtifactStore.loadTable(s, path, "lsh_bands"),
+      graft.ArtifactStore.loadTable(s, path, "lsh_shingles"))
+
   // ----------------------------------------------- SimHash
 
   val simhashMaxHamming = 3

@@ -678,6 +678,21 @@ object PipelineOps {
     * decontamination service. */
   private val bloomCache = new graft.SessionCache[Array[Byte]]()
 
+  /** Save/load the decontamination artifacts — the eval set's distinct
+    * shingle table (the exact verify side) and its Bloom filter (the
+    * map-side prefilter blob) — so a standing decontamination service
+    * gates every run of the week without re-shingling the benchmark
+    * suite. Parity is spec-pinned (ArtifactParitySpec). */
+  def writeEvalIndex(s: SparkSession, bench: DataFrame, bloom: Array[Byte],
+      path: String): Unit = {
+    graft.ArtifactStore.writeTable(bench, path, "eval_shingles")
+    graft.ArtifactStore.writeBlob(s, bloom, path, "eval_bloom")
+  }
+
+  def loadEvalIndex(s: SparkSession, path: String): (DataFrame, Array[Byte]) =
+    (graft.ArtifactStore.loadTable(s, path, "eval_shingles"),
+      graft.ArtifactStore.loadBlob(s, path, "eval_bloom"))
+
   def contaminationBloom(s: SparkSession, dir: String): DataFrame = {
     val hs = DedupOps.shingleHashes(s, dir)
     val bench = hs.filter(col("doc_id") % 97 === 0)

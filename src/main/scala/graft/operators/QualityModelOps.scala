@@ -526,6 +526,34 @@ object QualityModelOps {
           .as("log_ratio"))
   }
 
+  // ------------------------------------- persisted model artifacts
+
+  /** Save/load for the three quality-model standing artifacts (bigram
+    * LM count tables, DSIR bucket model, per-language perplexity
+    * cutoffs) via [[graft.ArtifactStore]] — a multi-job pipeline
+    * trains once and every later gate/stream run loads; parity is
+    * spec-pinned (ArtifactParitySpec). */
+  def writeLmModel(cb: DataFrame, cw: DataFrame, path: String): Unit = {
+    graft.ArtifactStore.writeTable(cb, path, "lm_cb")
+    graft.ArtifactStore.writeTable(cw, path, "lm_cw")
+  }
+
+  def loadLmModel(s: SparkSession, path: String): (DataFrame, DataFrame) =
+    (graft.ArtifactStore.loadTable(s, path, "lm_cb"),
+      graft.ArtifactStore.loadTable(s, path, "lm_cw"))
+
+  def writeDsirModel(model: DataFrame, path: String): Unit =
+    graft.ArtifactStore.writeTable(model, path, "dsir_model")
+
+  def loadDsirModel(s: SparkSession, path: String): DataFrame =
+    graft.ArtifactStore.loadTable(s, path, "dsir_model")
+
+  def writePplCuts(cuts: DataFrame, path: String): Unit =
+    graft.ArtifactStore.writeTable(cuts, path, "ppl_cuts")
+
+  def loadPplCuts(s: SparkSession, path: String): DataFrame =
+    graft.ArtifactStore.loadTable(s, path, "ppl_cuts")
+
   // --------------------------------------------- ensemble gate
 
   /** The full quality cascade in ONE plan — the CCNet/RefinedWeb

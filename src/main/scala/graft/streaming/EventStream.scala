@@ -640,21 +640,39 @@ object EventStream {
     * broadcast cutoffs. Scores match the batch operators to 1e-9
     * (different fold order over the same add-one-smoothed terms);
     * verdicts are spec-pinned row-identical to the batch ensemble.
+    *
+    * REPLAY CONTRACT: a doc_id that arrives again (source retry,
+    * at-least-once upstream) does not need exactly-once delivery to
+    * stay correct — a replay landing in the same aggregation window
+    * merges into the same per-doc rollup, and because every score is a
+    * ratio or sign of sums over the doc's own features
+    * (lp_sum/n_bigrams, sign(lw)), doubling the feature multiset
+    * leaves the verdict unchanged up to FP fold order; a replay
+    * landing in a later window re-emits that same verdict as a second
+    * row. Sinks that need exactly-once rows set
+    * `dedupeReplays = true`, which drops replayed doc_ids within the
+    * watermark horizon (bounded state: one key per doc per horizon)
+    * BEFORE the feature explode — the spec exercises both modes.
     * `docs` needs (doc_id, lang, text), text non-null; emits
     * (doc_id, gopher_keep, rep_flag, ppl_bucket, target_like, keep). */
   def qualityEnsembleStream(docs: DataFrame, cb: DataFrame, cw: DataFrame,
       pplCuts: DataFrame, dsirModel: DataFrame,
       windowDur: String = "1 minute",
-      watermarkDelay: String = "10 seconds"): DataFrame = {
+      watermarkDelay: String = "10 seconds",
+      dedupeReplays: Boolean = false): DataFrame = {
     import graft.operators.QualityModelOps
     import graft.functions.TextFunctions
     val v1 = cw.agg(count(lit(1)).as("v"))
-    val exploded = docs
+    val stamped = docs
       .select(col("doc_id"), col("lang"), col("text"),
         current_timestamp().as("ingest_ts"),
         TextFunctions.gopherStructCol.getField("keep").as("gopher_keep"),
         TextFunctions.repetitionStructCol.getField("flagged").as("rep_flag"))
       .withWatermark("ingest_ts", watermarkDelay)
+    val deduped =
+      if (dedupeReplays) stamped.dropDuplicatesWithinWatermark("doc_id")
+      else stamped
+    val exploded = deduped
       .select(col("doc_id"), col("lang"), col("ingest_ts"),
         col("gopher_keep"), col("rep_flag"),
         explode(QualityModelOps.featuresCol).as("f"))
