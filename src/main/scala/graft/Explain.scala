@@ -268,13 +268,20 @@ object Explain {
       // temperature resample: two bounded rollups, rates broadcast back,
       // accept is a map-side hash compare
       "q_temperature_mix"    -> Seq("HashAggregate", "BroadcastHashJoin",
-        "BroadcastNestedLoopJoin"))
+        "BroadcastNestedLoopJoin"),
+      // BPE-budget packing: the encoder is a per-row expression, so the
+      // only shuffle is the per-group packing window
+      "q_pack_sequences_bpe" -> Seq("Window"))
 
     // anti-patterns per query: substrings that must NOT appear. Expand
     // is countDistinct's row-multiplying fallback — these queries are
     // shaped as distinct-then-plain-count precisely to avoid it; a
     // Window would mean a whole-partition sort the agg shape avoids.
     val forbids = Map(
+      // real-BPE token accounting is a pure native-expression
+      // projection: no join, no aggregation — encoding a 100 TB corpus
+      // must stay a scan
+      "q_bpe_tokens"        -> Seq("Join", "HashAggregate", "Window"),
       "q_token_cms"         -> Seq("Expand", "Window"),
       "q_dau_wau"           -> Seq("Expand", "Window"),
       "q_retention_cohorts" -> Seq("Expand", "Window"),

@@ -31,28 +31,50 @@ object Stress {
     spark.sparkContext.setLogLevel("WARN")
     Tables.tune(spark)
 
-    // ---- materialize the scaled corpus (id-shifted copies)
+    // ---- materialize the scaled corpus (id-shifted copies, built by
+    // crossJoin with a copy spine — a 1000-child union plan chokes the
+    // analyzer at the big decades, one crossJoin does not)
     val shift = 100000000L
+    // SPARK_GRAFT_DISTINCT=1: copies get per-copy-mutated text (every
+    // word suffixed with the copy number), so the scaled corpus is
+    // MULT× MORE CONTENT rather than every page crawled MULT times —
+    // the realistic shape for the 100×/1000× decades, where full-corpus
+    // c-way duplication would make the OUTPUT itself c² and measure
+    // nothing but the result writer. Every `dupEvery`-th copy keeps the
+    // original text, so a bounded true-duplicate population
+    // (groups of MULT/dupEvery identical docs) still exercises the dup
+    // path end to end.
+    val distinctMode = sys.env.get("SPARK_GRAFT_DISTINCT").exists(_ != "0")
+    val dupEvery = 100
+    val tables = sys.env.getOrElse("SPARK_GRAFT_TABLES", "documents,embeddings,events")
+      .split(",").map(_.trim).toSet
+    def copies: org.apache.spark.sql.DataFrame =
+      spark.range(mult).select(col("id").as("_copy"))
     def scale(table: String, idCol: String): Unit = {
       val base = Tables.table(spark, srcDir, table)
-      val scaled = (0 until mult).map { i =>
-        base.withColumn(idCol, col(idCol) + lit(i * shift))
-      }.reduce(_ union _)
-      scaled.repartition(cpus.toInt).write.mode(SaveMode.Overwrite)
-        .parquet(s"$workDir/$table.parquet")
+      val scaled0 = base.crossJoin(copies)
+        .withColumn(idCol, col(idCol) + col("_copy") * lit(shift))
+      val scaled =
+        if (distinctMode && table == "documents")
+          scaled0.withColumn("text",
+            when(col("_copy") % dupEvery === 0, col("text"))
+              .otherwise(regexp_replace(col("text"), lit("([a-z0-9]+)"),
+                concat(lit("$1"), col("_copy")))))
+        else scaled0
+      scaled.drop("_copy").repartition(cpus.toInt)
+        .write.mode(SaveMode.Overwrite).parquet(s"$workDir/$table.parquet")
     }
-    scale("documents", "doc_id")
-    scale("embeddings", "vec_id")
+    if (tables("documents")) scale("documents", "doc_id")
+    if (tables("embeddings")) scale("embeddings", "vec_id")
     // events: keep ts in whatever physical encoding the source has
     // (Tables.events adapts on read); shift user_id too — the scaled
     // corpus is "MULT× the user base", not longer per-user series,
     // matching how an event stream actually grows
-    locally {
-      val base = Tables.eventsRaw(spark, srcDir)
-      (0 until mult).map { i =>
-        base.withColumn("event_id", col("event_id") + lit(i * shift))
-          .withColumn("user_id", col("user_id") + lit(i * shift))
-      }.reduce(_ union _)
+    if (tables("events")) {
+      Tables.eventsRaw(spark, srcDir).crossJoin(copies)
+        .withColumn("event_id", col("event_id") + col("_copy") * lit(shift))
+        .withColumn("user_id", col("user_id") + col("_copy") * lit(shift))
+        .drop("_copy")
         .repartition(cpus.toInt).write.mode(SaveMode.Overwrite)
         .parquet(s"$workDir/events.parquet")
     }
