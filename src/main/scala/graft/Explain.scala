@@ -271,7 +271,10 @@ object Explain {
         "BroadcastNestedLoopJoin"),
       // BPE-budget packing: the encoder is a per-row expression, so the
       // only shuffle is the per-group packing window
-      "q_pack_sequences_bpe" -> Seq("Window"))
+      "q_pack_sequences_bpe" -> Seq("Window"),
+      // token-space decontamination: same broadcast-probe shape as the
+      // word-space gate — the encoder adds no join or shuffle
+      "q_contamination_bpe"  -> Seq("BroadcastHashJoin"))
 
     // anti-patterns per query: substrings that must NOT appear. Expand
     // is countDistinct's row-multiplying fallback — these queries are

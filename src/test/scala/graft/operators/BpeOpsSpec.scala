@@ -108,6 +108,39 @@ class BpeOpsSpec extends SparkSpec {
     }
   }
 
+  test("token-space decontamination replays exactly from the encoder") {
+    val out = BpeOps.contaminationBpe(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // independent replay: token streams → distinct n-gram shingle sets
+    // → bench set = doc_id % 97 == 0 → per-train-doc overlap
+    val n = BpeOps.bpeShingleN
+    val toks = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val stream = r.getString(1).split(" ").filter(_.nonEmpty)
+          .flatMap(BpeOps.defaultModel.encodeWord)
+        r.getLong(0) -> stream.sliding(n).filter(_.length == n)
+          .map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty).toMap
+    val bench = toks.collect { case (id, sh) if id % 97 == 0 => sh }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val expected = toks.collect { case (id, sh) if id % 97 != 0 =>
+      id -> ((sh.size, (sh & bench).size))
+    }
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (n, ov) = expected(id)
+      assert(r.getAs[Int]("n_shingles") == n, s"doc $id n_shingles")
+      assert(r.getAs[Long]("n_overlap") == ov, s"doc $id n_overlap")
+      assert(r.getAs[Boolean]("contaminated") ==
+        (ov.toDouble / n > PipelineOps.contaminationFrac), s"doc $id gate")
+    }
+    // the fixture must exercise both verdicts or the gate is untested
+    assert(out.exists(_.getAs[Boolean]("contaminated")))
+    assert(out.exists(!_.getAs[Boolean]("contaminated")))
+  }
+
   test("BPE-budget packing matches the generic packer fed with real token counts") {
     val out = BpeOps.packSequencesBpe(spark, sfDir).collect()
     assert(out.nonEmpty)
