@@ -274,7 +274,10 @@ object Explain {
       "q_pack_sequences_bpe" -> Seq("Window"),
       // token-space decontamination: same broadcast-probe shape as the
       // word-space gate — the encoder adds no join or shuffle
-      "q_contamination_bpe"  -> Seq("BroadcastHashJoin"))
+      "q_contamination_bpe"  -> Seq("BroadcastHashJoin"),
+      // tokenizer-health report: map-side array accounting + ONE
+      // per-source hash agg — no explode, no join
+      "q_bpe_coverage"       -> Seq("HashAggregate"))
 
     // anti-patterns per query: substrings that must NOT appear. Expand
     // is countDistinct's row-multiplying fallback — these queries are

@@ -276,6 +276,41 @@ object BpeOps {
        |  CAST(cum_before % ${PipelineOps.packBudget} AS BIGINT) AS pack_offset
        |FROM cum ORDER BY doc_id""".stripMargin
 
+  /** Tokenizer-health report — the per-source coverage audit run
+    * before committing a tokenizer to a training run: compression
+    * (chars/token, tokens/word) and the unmerged single-character
+    * fraction (a high singleton rate on a source means the merge
+    * table was trained on different text and every budget downstream
+    * is inflated). Pure map-side accounting over the encoder's
+    * output arrays (no explode — `size`/`filter` on the token array
+    * per row) + one per-source rollup; ratios are exact integer
+    * parts-per-million so the report is hash-checkable and
+    * partition-order independent. */
+  def bpeCoverage(s: SparkSession, dir: String): DataFrame = {
+    val toks = bpeTokens(filter(split(col("text"), " "), w => length(w) > 0))
+    val sums = Tables.documents(s, dir)
+      .withColumn("_t", toks)
+      .select(col("source"),
+        size(col("_t")).cast("long").as("n_toks"),
+        size(filter(col("_t"), t => length(t) === 1)).cast("long").as("n_single"),
+        length(array_join(col("_t"), "")).cast("long").as("n_chars"),
+        size(filter(split(col("text"), " "), w => length(w) > 0))
+          .cast("long").as("n_words"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_single")).as("n_single_char_tokens"),
+        sum(col("n_chars")).as("_nc"))
+    sums.select(col("source"), col("n_docs"), col("n_words"),
+        col("n_tokens"), col("n_single_char_tokens"),
+        expr("n_tokens * 1000000 div n_words").as("tokens_per_word_ppm"),
+        expr("_nc * 1000000 div n_tokens").as("chars_per_token_ppm"),
+        expr("n_single_char_tokens * 1000000 div n_tokens")
+          .as("single_frac_ppm"))
+      .orderBy("source")
+  }
+
   /** Token-space twin of [[PipelineOps.contaminationSql]]: the SAME
     * shingle/intersect/threshold SQL, but over the CTE-encoded token
     * streams — intersects shingle *strings*, identical to the hashed
@@ -301,13 +336,41 @@ object BpeOps {
        |WHERE doc_id % 97 <> 0
        |ORDER BY doc_id""".stripMargin
 
+  /** Coverage report twin: per-source integer sums over the CTE-encoded
+    * streams; ratio columns are the same floor-div ppm on both engines. */
+  val bpeCoverageSql: String =
+    s"""WITH RECURSIVE
+       |$encodedWordsCte,
+       |per AS (
+       |  SELECT d.source,
+       |    CAST(len(list_filter(string_split(d.text, ' '), w -> len(w) > 0))
+       |      AS BIGINT) AS n_words,
+       |    CAST(len(p.toks) AS BIGINT) AS n_toks,
+       |    CAST(len(list_filter(p.toks, t -> len(t) = 1)) AS BIGINT) AS n_single,
+       |    CAST(len(array_to_string(p.toks, '')) AS BIGINT) AS n_chars
+       |  FROM perdoc p JOIN documents d ON p.doc_id = d.doc_id)
+       |SELECT source,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_single) AS BIGINT) AS n_single_char_tokens,
+       |  CAST(sum(n_toks) * 1000000 // sum(n_words) AS BIGINT)
+       |    AS tokens_per_word_ppm,
+       |  CAST(sum(n_chars) * 1000000 // sum(n_toks) AS BIGINT)
+       |    AS chars_per_token_ppm,
+       |  CAST(sum(n_single) * 1000000 // sum(n_toks) AS BIGINT)
+       |    AS single_frac_ppm
+       |FROM per GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_tokens" -> (bpeTokenCounts _),
     "q_pack_sequences_bpe" -> (packSequencesBpe _),
-    "q_contamination_bpe" -> (contaminationBpe _))
+    "q_contamination_bpe" -> (contaminationBpe _),
+    "q_bpe_coverage" -> (bpeCoverage _))
 
   def oracles: Map[String, String] = Map(
     "q_bpe_tokens" -> bpeTokenCountsSql,
     "q_pack_sequences_bpe" -> packSequencesBpeSql,
-    "q_contamination_bpe" -> contaminationBpeSql)
+    "q_contamination_bpe" -> contaminationBpeSql,
+    "q_bpe_coverage" -> bpeCoverageSql)
 }

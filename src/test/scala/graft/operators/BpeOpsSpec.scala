@@ -141,6 +141,45 @@ class BpeOpsSpec extends SparkSpec {
     assert(out.exists(!_.getAs[Boolean]("contaminated")))
   }
 
+  test("coverage report replays exactly from the encoder") {
+    val out = BpeOps.bpeCoverage(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).map { case (src, rows) =>
+      val streams = rows.map(_._2.split(" ").filter(_.nonEmpty)
+        .flatMap(BpeOps.defaultModel.encodeWord))
+      val words = rows.map(_._2.split(" ").count(_.nonEmpty).toLong).sum
+      val toks = streams.map(_.length.toLong).sum
+      val single = streams.map(_.count(_.length == 1).toLong).sum
+      val chars = streams.map(_.map(_.length.toLong).sum).sum
+      src -> ((rows.length.toLong, words, toks, single,
+        toks * 1000000L / words, chars * 1000000L / toks,
+        single * 1000000L / toks))
+    }
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val src = r.getString(0)
+      val (nd, nw, nt, ns, tpw, cpt, sf) = expected(src)
+      assert(r.getLong(1) == nd, s"$src n_docs")
+      assert(r.getLong(2) == nw, s"$src n_words")
+      assert(r.getLong(3) == nt, s"$src n_tokens")
+      assert(r.getLong(4) == ns, s"$src n_single_char_tokens")
+      assert(r.getLong(5) == tpw, s"$src tokens_per_word_ppm")
+      assert(r.getLong(6) == cpt, s"$src chars_per_token_ppm")
+      assert(r.getLong(7) == sf, s"$src single_frac_ppm")
+    }
+    // tokenizer sanity on its own training corpus: every source shows
+    // real merging (compression above 1 char/token, singletons not
+    // the whole stream — the default list's ~60% singleton rate is
+    // exactly what this report exists to surface)
+    out.foreach { r =>
+      assert(r.getLong(6) > 1000000L)
+      assert(r.getLong(7) < 1000000L)
+    }
+  }
+
   test("BPE-budget packing matches the generic packer fed with real token counts") {
     val out = BpeOps.packSequencesBpe(spark, sfDir).collect()
     assert(out.nonEmpty)
