@@ -126,6 +126,27 @@ object BpeOps {
 
   val defaultModel: BpeModel = BpeModel(defaultMerges)
 
+  // --------------------------------------- model persistence
+
+  /** The merge list as a standing artifact via [[graft.ArtifactStore]]
+    * — rank-ordered (rank, left, right) rows, the interchange form
+    * every BPE implementation reads. A multi-job pipeline trains the
+    * tokenizer once; every later encode/budget/decontam run loads it
+    * (parity spec-pinned in ArtifactParitySpec). */
+  def writeBpeModel(s: SparkSession, model: BpeModel, path: String): Unit = {
+    import s.implicits._
+    graft.ArtifactStore.writeTable(
+      model.merges.zipWithIndex
+        .map { case ((a, b), i) => (i, a, b) }
+        .toDF("rank", "left", "right"),
+      path, "bpe_merges")
+  }
+
+  def loadBpeModel(s: SparkSession, path: String): BpeModel =
+    BpeModel(graft.ArtifactStore.loadTable(s, path, "bpe_merges")
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq)
+
   /** Column handle for the encoder under an arbitrary model. */
   def bpeTokens(words: Column, model: BpeModel = defaultModel): Column =
     GraftBridge.column(BpeEncode(GraftBridge.expression(words), model))

@@ -109,4 +109,18 @@ class ArtifactParitySpec extends SparkSpec {
       corpus, benchL, bloomL, PipelineOps.contaminationFrac)
     assert(rowsOf(persisted) == rowsOf(fresh))
   }
+
+  test("BPE merge table round-trips and encodes identically") {
+    val path = tmp("bpe")
+    BpeOps.writeBpeModel(spark, BpeOps.defaultModel, path)
+    val loaded = BpeOps.loadBpeModel(spark, path)
+    // the artifact IS the model: rank order and pair content preserved
+    assert(loaded.merges == BpeOps.defaultModel.merges)
+    // consumer parity: the token accounting query under the loaded
+    // model is row-identical to the default-model run
+    val docs = Tables.documents(spark, sfDir)
+    val fresh = BpeOps.bpeTokensOf(docs, col("doc_id"), col("text"))
+    val persisted = BpeOps.bpeTokensOf(docs, col("doc_id"), col("text"), loaded)
+    assert(rowsOf(persisted) == rowsOf(fresh))
+  }
 }
