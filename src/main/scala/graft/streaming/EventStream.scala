@@ -881,4 +881,28 @@ object EventStream {
           out.result().iterator
       }
   }
+
+  /** Ingest token-rate monitor: per-window, per-source document and
+    * REAL-BPE-token throughput — the telemetry a token-budgeted
+    * pipeline watches ("is source X on track to deliver its N-token
+    * quota this week"). The encoder
+    * ([[graft.operators.BpeOps.bpeTokens]]) is a pure per-row native
+    * expression riding the task closure, so the only stateful operator
+    * is ONE watermark-bounded window aggregation over (window, source)
+    * — state is O(sources) per horizon, never O(documents).
+    * `docs` needs (source, text, ts); emits
+    * (w_start, source, n_docs, n_tokens). */
+  def tokenRateStream(docs: DataFrame,
+      model: graft.functions.BpeModel = graft.operators.BpeOps.defaultModel,
+      windowDur: String = "1 hour",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(graft.operators.BpeOps.bpeTokens(
+          filter(split(col("text"), " "), w => length(w) > 0), model))
+          .cast("long")).as("n_tokens"))
+      .select(col("window").getField("start").as("w_start"), col("source"),
+        col("n_docs"), col("n_tokens"))
 }
