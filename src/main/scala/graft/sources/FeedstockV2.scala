@@ -14,6 +14,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count => V2Count, CountStar, Max => V2Max, Min => V2Min}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -56,7 +57,7 @@ class FeedstockTable(path: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FeedstockScanBuilder(path, tableSchema)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -398,6 +399,85 @@ class FeedstockScan(path: String, required: StructType, full: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     FeedstockReaderFactory(required, full, pushed, limit, aggs, conf)
+
+  /** Streaming read of the same directory:
+    * `spark.readStream.format("graft-feedstock").load(path)`. Column
+    * pruning and pushed filters carry over unchanged (the micro-batch
+    * readers are the batch readers); pushed aggregates never occur in
+    * a streaming plan. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new FeedstockMicroBatchStream(path, required, full, pushed, conf)
+}
+
+/** High-water-mark offset: the greatest file path ingested so far
+  * ("" = nothing yet). State is O(1) however many files the directory
+  * accumulates — the scalable alternative to Spark's FileStreamSource
+  * seen-files map, bought with the log-structured-ingest contract:
+  * files are append-only and new names sort lexicographically AFTER
+  * every already-ingested name (zero-padded sequence numbers,
+  * timestamp prefixes — what every landing zone does). A file landing
+  * with an out-of-order name is NOT picked up; that's the documented
+  * trade, not a bug. */
+case class FeedstockOffset(lastFile: String) extends Offset {
+  override def json(): String = {
+    val m = new ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("last", lastFile)
+    m.writeValueAsString(node)
+  }
+}
+
+object FeedstockOffset {
+  def fromJson(json: String): FeedstockOffset =
+    FeedstockOffset(new ObjectMapper().readTree(json).get("last").asText())
+}
+
+class FeedstockMicroBatchStream(path: String, required: StructType,
+    full: StructType, pushed: Array[org.apache.spark.sql.sources.Filter],
+    conf: SerializableConfiguration) extends MicroBatchStream {
+
+  private def listSorted(): Array[String] = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    val it = fs.listFiles(new Path(path), true)
+    Iterator.continually(it)
+      .takeWhile(_.hasNext)
+      .map(_.next())
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(_.getPath.toString)
+      .toArray.sorted
+  }
+
+  override def initialOffset(): Offset = FeedstockOffset("")
+
+  override def latestOffset(): Offset = {
+    val files = listSorted()
+    if (files.isEmpty) FeedstockOffset("") else FeedstockOffset(files.last)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[FeedstockOffset].lastFile
+    val hi = end.asInstanceOf[FeedstockOffset].lastFile
+    listSorted()
+      .filter(f => f > lo && f <= hi)
+      .map(f => FeedstockInputPartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    FeedstockReaderFactory(required, full, pushed, limit = -1, aggs = None, conf)
+
+  override def deserializeOffset(json: String): Offset = FeedstockOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  /** Shown as the source description in StreamingQueryProgress —
+    * carries the same pruning/pushdown evidence as the batch scan's
+    * description so plan audits can assert on it. */
+  override def toString: String =
+    s"graft-feedstock $path ReadSchema: ${required.catalogString}" +
+      s" PushedFilters: [${pushed.mkString(", ")}]"
 }
 
 case class FeedstockInputPartition(file: String) extends InputPartition
