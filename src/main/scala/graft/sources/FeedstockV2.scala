@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count => V2Count, CountStar, Max => V2Max, Min => V2Min}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -59,7 +59,8 @@ class FeedstockTable(path: String, tableSchema: StructType)
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FeedstockScanBuilder(path, tableSchema)
+    new FeedstockScanBuilder(path, tableSchema,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new FeedstockWriteBuilder(path, info.schema())
 }
@@ -156,7 +157,8 @@ object FeedstockDataWriter {
   }
 }
 
-class FeedstockScanBuilder(path: String, full: StructType)
+class FeedstockScanBuilder(path: String, full: StructType,
+    maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -237,7 +239,8 @@ class FeedstockScanBuilder(path: String, full: StructType)
     // driver-side: capture the session's Hadoop conf (spark.hadoop.*,
     // fs credentials) for both split listing and the executor readers
     new SerializableConfiguration(
-      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()),
+    maxFilesPerTrigger)
 }
 
 /** Pushed partial-aggregate shapes the feedstock reader can fold
@@ -373,7 +376,8 @@ object FeedstockFilters {
 class FeedstockScan(path: String, required: StructType, full: StructType,
     pushed: Array[org.apache.spark.sql.sources.Filter], limit: Int,
     aggs: Option[Seq[FeedstockAgg]],
-    conf: SerializableConfiguration) extends Scan with Batch {
+    conf: SerializableConfiguration,
+    maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -406,7 +410,8 @@ class FeedstockScan(path: String, required: StructType, full: StructType,
     * readers are the batch readers); pushed aggregates never occur in
     * a streaming plan. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new FeedstockMicroBatchStream(path, required, full, pushed, conf)
+    new FeedstockMicroBatchStream(path, required, full, pushed, conf,
+      maxFilesPerTrigger)
 }
 
 /** High-water-mark offset: the greatest file path ingested so far
@@ -434,7 +439,9 @@ object FeedstockOffset {
 
 class FeedstockMicroBatchStream(path: String, required: StructType,
     full: StructType, pushed: Array[org.apache.spark.sql.sources.Filter],
-    conf: SerializableConfiguration) extends MicroBatchStream {
+    conf: SerializableConfiguration,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private def listSorted(): Array[String] = {
     val fs = new Path(path).getFileSystem(conf.value)
@@ -455,6 +462,25 @@ class FeedstockMicroBatchStream(path: String, required: StructType,
   override def latestOffset(): Offset = {
     val files = listSorted()
     if (files.isEmpty) FeedstockOffset("") else FeedstockOffset(files.last)
+  }
+
+  /** Admission control: `option("maxFilesPerTrigger", n)` caps each
+    * micro-batch at n files — the back-pressure knob that keeps one
+    * catch-up burst (a weekend of landed files) from becoming one
+    * giant batch. With the cap, the offset advances n files per
+    * trigger until the stream catches up. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = start.asInstanceOf[FeedstockOffset].lastFile
+    val pending = listSorted().filter(_ > lo)
+    val capped = limit match {
+      case m: ReadMaxFiles => pending.take(m.maxFiles())
+      case _ => pending
+    }
+    if (capped.isEmpty) start else FeedstockOffset(capped.last)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -69,6 +69,27 @@ class FeedstockStreamSpec extends SparkSpec {
     assert(all.toSeq == (0L to 6L), all.mkString(","))
   }
 
+  test("maxFilesPerTrigger paces catch-up into multiple micro-batches") {
+    val dir = Files.createTempDirectory("graft-feed-pace").toString
+    (0 until 5).foreach { k =>
+      writeFile(dir, f"feed-$k%03d.jsonl",
+        Seq(line(k.toLong, s"doc $k")))
+    }
+    val q = spark.readStream.format("graft-feedstock")
+      .option("maxFilesPerTrigger", "2").load(dir)
+      .select(col("record.doc_id").as("doc_id"))
+      .writeStream.format("memory").queryName("feed_paced")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("feed_paced").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == (0L to 4L), got.mkString(","))
+      // 5 files at 2 per trigger → at least 3 data batches committed
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 3, q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
+
   test("streaming scan prunes columns and pushes filters like batch") {
     val dir = Files.createTempDirectory("graft-feed-push").toString
     writeFile(dir, "feed-000.jsonl", (0L to 9L).map(i => line(i, s"doc $i")))
