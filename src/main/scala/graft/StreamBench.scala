@@ -75,6 +75,28 @@ object StreamBench {
     run("heavy_hitters", "update")(df =>
       EventStream.heavyHitterStream(df, 32))
 
+    // ---- ingest token-rate monitor ((source, text, ts) stream; one
+    // watermarked (window, source) agg over the native BPE encoder)
+    locally {
+      val trRows: Seq[(String, String, java.sql.Timestamp)] =
+        (0 until mult).flatMap { i =>
+          docs.select(col("source"), col("text"))
+            .as[(String, String)].collect()
+            .map { case (src, text) =>
+              (src, text, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+            }
+        }
+      val stream = MemoryStream[(String, String, java.sql.Timestamp)]
+      stream.addData(trRows)
+      val q = EventStream.tokenRateStream(
+          stream.toDF().toDF("source", "text", "ts"))
+        .writeStream.format("noop").outputMode("update").start()
+      val t0 = System.nanoTime()
+      try q.processAllAvailable() finally q.stop()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"== ${"token_rate"}%-22s ${trRows.size}%8d docs  $dt%7.2f s  ${trRows.size / dt}%9.0f docs/s")
+    }
+
     // ---- the full quality-ensemble gate (doc_id, lang, text stream;
     // all four model artifacts broadcast, one stateful rollup)
     locally {
