@@ -422,7 +422,14 @@ class FeedstockScan(path: String, required: StructType, full: StructType,
   * every already-ingested name (zero-padded sequence numbers,
   * timestamp prefixes — what every landing zone does). A file landing
   * with an out-of-order name is NOT picked up; that's the documented
-  * trade, not a bug. */
+  * trade, not a bug.
+  *
+  * The contract implies a FLAT landing directory: paths compare as
+  * whole strings, so a hive-partitioned layout (e.g.
+  * [[FeedstockSource.write]]'s `source_name=X/` dirs) would leave a
+  * late file in an early-sorting partition dir permanently below the
+  * watermark. Stream the flat per-batch landing zone; read
+  * partitioned archives with the batch connector. */
 case class FeedstockOffset(lastFile: String) extends Offset {
   override def json(): String = {
     val m = new ObjectMapper()
