@@ -139,6 +139,33 @@ object StreamBench {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"== ${"transitions"}%-22s ${evRows.size}%8d evs   $dt%7.2f s  ${evRows.size / dt}%9.0f evs/s")
     }
+
+    // ---- feedstock connector streaming ingest: the corpus written as
+    // a flat JSON-lines landing dir (64 files), stream-read end to end
+    // with pruning pushed to the per-file readers
+    locally {
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft-sb-feed").toString
+      val feed = graft.sources.FeedstockSource.fromDocuments(
+        (0 until mult).map(i =>
+          docs.withColumn("doc_id", col("doc_id") + lit(i * shift)))
+          .reduce(_ union _))
+      val n = feed.count()
+      feed.repartition(64).write.mode("overwrite").json(s"$landing/_stage")
+      // rename spark's part files into the monotonic landing layout
+      val stage = new java.io.File(s"$landing/_stage").listFiles()
+        .filter(f => f.getName.endsWith(".json"))
+      stage.zipWithIndex.foreach { case (f, i) =>
+        f.renameTo(new java.io.File(f"$landing/feed-$i%05d.jsonl"))
+      }
+      val q = spark.readStream.format("graft-feedstock").load(landing)
+        .select(col("record.doc_id"), col("record.text"))
+        .writeStream.format("noop").outputMode("append").start()
+      val t0 = System.nanoTime()
+      try q.processAllAvailable() finally q.stop()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"== ${"feedstock_ingest"}%-22s $n%8d docs  $dt%7.2f s  ${n / dt}%9.0f docs/s")
+    }
     spark.stop()
   }
 }
