@@ -286,8 +286,10 @@ object Explain {
     val forbids = Map(
       // real-BPE token accounting is a pure native-expression
       // projection: no join, no aggregation — encoding a 100 TB corpus
-      // must stay a scan
+      // must stay a scan; the id stream inherits the same shape (the
+      // vocab rides the closure, NOT a join)
       "q_bpe_tokens"        -> Seq("Join", "HashAggregate", "Window"),
+      "q_bpe_ids"           -> Seq("Join", "HashAggregate", "Window"),
       "q_token_cms"         -> Seq("Expand", "Window"),
       "q_dau_wau"           -> Seq("Expand", "Window"),
       "q_retention_cohorts" -> Seq("Expand", "Window"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Byte-pair-encoding tokenizer model: an ordered merge list (the
@@ -130,4 +130,66 @@ case class BpeEncode(child: Expression, model: BpeModel) extends UnaryExpression
     copy(child = newChild)
 
   override def prettyName: String = "graft_bpe"
+}
+
+/** Dense token→id vocabulary riding the task closure next to the
+  * model: alphabet entries first (sorted), merge products after in
+  * rank order — the id layout every BPE implementation publishes.
+  * Tokens outside the vocabulary map to -1 (the synthetic stand-in
+  * for production's byte-fallback tier, which needs byte-level base
+  * tokens this engine's char-level alphabet doesn't model). */
+final case class BpeIdMap(vocab: Seq[(String, Int)]) extends Serializable {
+  @transient private lazy val ids: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](vocab.size * 2)
+    vocab.foreach { case (t, i) => m.put(t, Integer.valueOf(i)) }
+    m
+  }
+
+  def idOf(token: String): Int = {
+    val v = ids.get(token)
+    if (v == null) -1 else v.intValue()
+  }
+
+  /** Map a token-string array to its id array. Called from generated
+    * code. */
+  def mapIds(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = idOf(toks.getUTF8String(i).toString)
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
+/** `graft_bpe_ids(words)` — the BPE id stream: encode, then map each
+  * token through the dense vocabulary. Same zero-shuffle scan shape as
+  * [[BpeEncode]]; this is the column a training shard actually stores
+  * (int ids for the embedding table, not strings). */
+case class BpeEncodeIds(child: Expression, model: BpeModel, ids: BpeIdMap)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_bpe_ids needs array<string> words, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ids.mapIds(model.encodeWords(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refM = ctx.addReferenceObj("bpeModel", model, classOf[BpeModel].getName)
+    val refV = ctx.addReferenceObj("bpeIds", ids, classOf[BpeIdMap].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $refV.mapIds($refM.encodeWords($c));")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeIds =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_bpe_ids"
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{BpeEncode, BpeModel}
+import graft.functions.{BpeEncode, BpeEncodeIds, BpeIdMap, BpeModel}
 import org.apache.spark.sql.GraftBridge
 
 /** Real byte-pair-encoding tokenization (Sennrich et al.,
@@ -55,6 +55,20 @@ object BpeOps {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     trainFromCounts(wc, numMerges)
   }
+
+  /** The base alphabet (distinct characters across the corpus's
+    * words) — the other half of the committed tokenizer artifact: ids
+    * 0..|alphabet|-1 belong to the alphabet in sorted order, merge
+    * products follow in rank order ([[vocabOf]]). One distributed
+    * distinct over exploded chars; like the word-count table, Zipf
+    * keeps it tiny at any corpus size. Characters are JVM code units,
+    * exactly the units [[graft.functions.BpeModel.encodeWord]] starts
+    * from. */
+  def trainAlphabet(df: DataFrame, text: Column): Seq[String] =
+    df.select(explode(split(text, "")).as("c"))
+      .filter(col("c") =!= " " && length(col("c")) > 0)
+      .distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
 
   /** The in-memory merge loop over a word-frequency table — classic
     * BPE: count adjacent token pairs weighted by word frequency, merge
@@ -126,6 +140,18 @@ object BpeOps {
 
   val defaultModel: BpeModel = BpeModel(defaultMerges)
 
+  val defaultAlphabet: Seq[String] = DefaultBpeMerges.alphabet
+
+  /** Dense vocabulary: alphabet (sorted) gets ids 0..A-1, merge
+    * products A..A+M-1 in rank order. Merge products have length ≥ 2,
+    * so the two ranges cannot collide; the trainer's collision skip
+    * keeps products unique among themselves. */
+  def vocabOf(model: BpeModel, alphabet: Seq[String]): Seq[(String, Int)] =
+    (alphabet.sorted ++ model.merges.map { case (a, b) => a + b }).zipWithIndex
+
+  val defaultVocab: Seq[(String, Int)] = vocabOf(defaultModel, defaultAlphabet)
+  val defaultIdMap: BpeIdMap = BpeIdMap(defaultVocab)
+
   // --------------------------------------- model persistence
 
   /** The merge list as a standing artifact via [[graft.ArtifactStore]]
@@ -147,9 +173,30 @@ object BpeOps {
       .orderBy("rank").collect()
       .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq)
 
+  /** The alphabet is the other half of the tokenizer artifact: ids are
+    * a pure function of (alphabet, merges) via [[vocabOf]], so
+    * persisting both makes the id space reproducible across jobs. */
+  def writeBpeAlphabet(s: SparkSession, alphabet: Seq[String], path: String): Unit = {
+    import s.implicits._
+    graft.ArtifactStore.writeTable(
+      alphabet.sorted.zipWithIndex.map { case (c, i) => (i, c) }.toDF("ord", "ch"),
+      path, "bpe_alphabet")
+  }
+
+  def loadBpeAlphabet(s: SparkSession, path: String): Seq[String] =
+    graft.ArtifactStore.loadTable(s, path, "bpe_alphabet")
+      .orderBy("ord").collect().map(_.getAs[String]("ch")).toSeq
+
   /** Column handle for the encoder under an arbitrary model. */
   def bpeTokens(words: Column, model: BpeModel = defaultModel): Column =
     GraftBridge.column(BpeEncode(GraftBridge.expression(words), model))
+
+  /** Column handle for the id encoder: the int stream a training shard
+    * actually stores (ids for the embedding table, not strings). Same
+    * zero-shuffle scan shape as [[bpeTokens]]. */
+  def bpeTokenIds(words: Column, model: BpeModel = defaultModel,
+      ids: BpeIdMap = defaultIdMap): Column =
+    GraftBridge.column(BpeEncodeIds(GraftBridge.expression(words), model, ids))
 
   // ------------------------------------------------------ queries
 
@@ -167,6 +214,27 @@ object BpeOps {
 
   def bpeTokenCounts(s: SparkSession, dir: String): DataFrame =
     bpeTokensOf(Tables.documents(s, dir), col("doc_id"), col("text"))
+      .orderBy("doc_id")
+
+  /** Per-document id-stream accounting: length, OOV count (tokens
+    * outside the vocabulary → -1, the char-level stand-in for byte
+    * fallback), the head of the stream, and an order-independent
+    * integer checksum — the integrity audit a consumer of tokenized
+    * shards runs. One native-expression projection, zero shuffles. */
+  def bpeIdsOf(df: DataFrame, id: Column, text: Column,
+      model: BpeModel = defaultModel,
+      ids: BpeIdMap = defaultIdMap): DataFrame =
+    df.withColumn("_ids",
+        bpeTokenIds(filter(split(text, " "), w => length(w) > 0), model, ids))
+      .select(id,
+        size(col("_ids")).as("n_tokens"),
+        size(filter(col("_ids"), x => x === -1)).as("n_oov"),
+        array_join(transform(slice(col("_ids"), 1, 8), _.cast("string")), " ")
+          .as("head_ids"),
+        aggregate(col("_ids"), lit(0L), (acc, x) => acc + x).as("id_sum"))
+
+  def bpeIdCounts(s: SparkSession, dir: String): DataFrame =
+    bpeIdsOf(Tables.documents(s, dir), col("doc_id"), col("text"))
       .orderBy("doc_id")
 
   /** BPE-budget sequence packing: [[PipelineOps.packSequencesOf]] with
@@ -383,15 +451,47 @@ object BpeOps {
        |    AS single_frac_ppm
        |FROM per GROUP BY source ORDER BY source""".stripMargin
 
+  /** The vocabulary as literal VALUES rows (token, id) — SQL-escaped
+    * like [[mergesValues]]. */
+  private def vocabValues: String =
+    defaultVocab.map { case (t, i) =>
+      s"('${t.replace("'", "''")}', $i)"
+    }.mkString(",\n      ")
+
+  /** Id-stream twin: re-encode via the CTE, then map each token
+    * through the SAME (token, id) table the engine's id map carries —
+    * an independent DuckDB replay of encode+lookup end to end. */
+  val bpeIdCountsSql: String =
+    s"""WITH RECURSIVE
+       |$encodedWordsCte,
+       |vocab(token, id) AS (VALUES
+       |      $vocabValues),
+       |ptoks AS (
+       |  SELECT doc_id, unnest(toks) AS tok,
+       |    unnest(range(1, len(toks) + 1)) AS pos
+       |  FROM perdoc),
+       |pids AS (
+       |  SELECT p.doc_id, p.pos, coalesce(v.id, -1) AS id
+       |  FROM ptoks p LEFT JOIN vocab v ON p.tok = v.token)
+       |SELECT doc_id,
+       |  CAST(count(*) AS INTEGER) AS n_tokens,
+       |  CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS INTEGER) AS n_oov,
+       |  array_to_string(list(CAST(id AS VARCHAR) ORDER BY pos)[1:8], ' ')
+       |    AS head_ids,
+       |  CAST(sum(id) AS BIGINT) AS id_sum
+       |FROM pids GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_tokens" -> (bpeTokenCounts _),
     "q_pack_sequences_bpe" -> (packSequencesBpe _),
     "q_contamination_bpe" -> (contaminationBpe _),
-    "q_bpe_coverage" -> (bpeCoverage _))
+    "q_bpe_coverage" -> (bpeCoverage _),
+    "q_bpe_ids" -> (bpeIdCounts _))
 
   def oracles: Map[String, String] = Map(
     "q_bpe_tokens" -> bpeTokenCountsSql,
     "q_pack_sequences_bpe" -> packSequencesBpeSql,
     "q_contamination_bpe" -> contaminationBpeSql,
-    "q_bpe_coverage" -> bpeCoverageSql)
+    "q_bpe_coverage" -> bpeCoverageSql,
+    "q_bpe_ids" -> bpeIdCountsSql)
 }

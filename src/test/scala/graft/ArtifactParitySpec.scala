@@ -116,6 +116,11 @@ class ArtifactParitySpec extends SparkSpec {
     val loaded = BpeOps.loadBpeModel(spark, path)
     // the artifact IS the model: rank order and pair content preserved
     assert(loaded.merges == BpeOps.defaultModel.merges)
+    // the alphabet half round-trips too, so the derived id space is
+    // reproducible across jobs
+    BpeOps.writeBpeAlphabet(spark, BpeOps.defaultAlphabet, path)
+    val alpha = BpeOps.loadBpeAlphabet(spark, path)
+    assert(BpeOps.vocabOf(loaded, alpha) == BpeOps.defaultVocab)
     // consumer parity: the token accounting query under the loaded
     // model is row-identical to the default-model run
     val docs = Tables.documents(spark, sfDir)

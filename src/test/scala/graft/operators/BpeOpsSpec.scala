@@ -141,6 +141,44 @@ class BpeOpsSpec extends SparkSpec {
     assert(out.exists(!_.getAs[Boolean]("contaminated")))
   }
 
+  test("the committed default alphabet is exactly what the trainer produces on sf0.001") {
+    val trained = BpeOps.trainAlphabet(
+      graft.Tables.documents(spark, sfDir), col("text"))
+    assert(trained == BpeOps.defaultAlphabet)
+  }
+
+  test("id streams replay exactly from the encoder + vocab; OOV maps to -1") {
+    // vocab layout: alphabet ids 0..A-1 sorted, merge products after
+    val vocab = BpeOps.defaultVocab.toMap
+    assert(vocab.size == BpeOps.defaultAlphabet.size + BpeOps.defaultMerges.size)
+    BpeOps.defaultAlphabet.sorted.zipWithIndex.foreach { case (c, i) =>
+      assert(vocab(c) == i)
+    }
+    // OOV: a character outside the alphabet
+    assert(BpeOps.defaultIdMap.idOf("z") == -1)
+    assert(BpeOps.defaultIdMap.idOf("er") ==
+      BpeOps.defaultAlphabet.size + 0) // first merge product
+
+    val out = BpeOps.bpeIdCounts(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val expected = docs(id).split(" ").filter(_.nonEmpty)
+        .flatMap(BpeOps.defaultModel.encodeWord)
+        .map(t => vocab.getOrElse(t, -1))
+      assert(r.getAs[Int]("n_tokens") == expected.length, s"doc $id n_tokens")
+      assert(r.getAs[Int]("n_oov") == expected.count(_ == -1), s"doc $id n_oov")
+      assert(r.getAs[String]("head_ids") == expected.take(8).mkString(" "),
+        s"doc $id head_ids")
+      assert(r.getAs[Long]("id_sum") == expected.map(_.toLong).sum, s"doc $id id_sum")
+    }
+    // the training corpus itself must be fully in-vocabulary
+    assert(out.forall(_.getAs[Int]("n_oov") == 0))
+  }
+
   test("coverage report replays exactly from the encoder") {
     val out = BpeOps.bpeCoverage(spark, sfDir).collect()
     assert(out.nonEmpty)
