@@ -212,8 +212,18 @@ object BpeOps {
         size(array_distinct(col("_toks"))).as("n_unique_tokens"),
         array_join(slice(col("_toks"), 1, 8), " ").as("head_tokens"))
 
+  /** Documents with at least one nonempty word — the oracle CTE's
+    * `perdoc` drops wordless docs (inner join through the encoded-word
+    * table), so the query wrappers match that contract explicitly
+    * instead of relying on the driver corpus never containing an
+    * empty text. The generic APIs keep all rows (a wordless doc is a
+    * legitimate n_tokens=0 record for a caller). */
+  private def wordedDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(size(filter(split(col("text"), " "), w => length(w) > 0)) >= 1)
+
   def bpeTokenCounts(s: SparkSession, dir: String): DataFrame =
-    bpeTokensOf(Tables.documents(s, dir), col("doc_id"), col("text"))
+    bpeTokensOf(wordedDocs(s, dir), col("doc_id"), col("text"))
       .orderBy("doc_id")
 
   /** Per-document id-stream accounting: length, OOV count (tokens
@@ -234,7 +244,7 @@ object BpeOps {
         aggregate(col("_ids"), lit(0L), (acc, x) => acc + x).as("id_sum"))
 
   def bpeIdCounts(s: SparkSession, dir: String): DataFrame =
-    bpeIdsOf(Tables.documents(s, dir), col("doc_id"), col("text"))
+    bpeIdsOf(wordedDocs(s, dir), col("doc_id"), col("text"))
       .orderBy("doc_id")
 
   /** BPE-budget sequence packing: [[PipelineOps.packSequencesOf]] with
@@ -242,7 +252,7 @@ object BpeOps {
     * whitespace words — the form every production packer runs. */
   def packSequencesBpe(s: SparkSession, dir: String): DataFrame =
     PipelineOps.packSequencesOf(
-      Tables.documents(s, dir)
+      wordedDocs(s, dir)
         .withColumn("n_tokens",
           size(bpeTokens(filter(split(col("text"), " "), w => length(w) > 0)))),
       col("source"), col("doc_id"), col("n_tokens"), PipelineOps.packBudget)
@@ -377,7 +387,7 @@ object BpeOps {
     * partition-order independent. */
   def bpeCoverage(s: SparkSession, dir: String): DataFrame = {
     val toks = bpeTokens(filter(split(col("text"), " "), w => length(w) > 0))
-    val sums = Tables.documents(s, dir)
+    val sums = wordedDocs(s, dir)
       .withColumn("_t", toks)
       .select(col("source"),
         size(col("_t")).cast("long").as("n_toks"),
