@@ -59,11 +59,17 @@ object TimeSeriesOps {
       |  FROM spine s LEFT JOIN b ON s.user_id = b.user_id AND s.bucket = b.bucket)
       |""".stripMargin
 
-  /** Hourly spine per user (first..last active hour) with zero-filled
-    * gaps — the regular grid a downstream forecaster or anomaly
-    * detector needs. */
-  def gapFill(s: SparkSession, dir: String): DataFrame = {
-    val b = hourly(s, dir)
+  /** Generic hourly rollup over any (user_id, ts, value) frame — the
+    * shared input tier for [[gapFillOf]]/[[locfOf]]. */
+  private def hourlyOf(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"), window(col("ts"), "1 hour").getField("start").as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+
+  /** Generic API: hourly spine per key (first..last active hour) with
+    * zero-filled gaps over any (user_id, ts, value) frame. */
+  def gapFillOf(ev: DataFrame): DataFrame = {
+    val b = hourlyOf(ev)
     denseSpine(b, "user_id").join(b, Seq("user_id", "bucket"), "left")
       .select(col("user_id"), col("bucket"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
@@ -71,16 +77,20 @@ object TimeSeriesOps {
       .orderBy("user_id", "bucket")
   }
 
+  /** Hourly spine per user (first..last active hour) with zero-filled
+    * gaps — the regular grid a downstream forecaster or anomaly
+    * detector needs. */
+  def gapFill(s: SparkSession, dir: String): DataFrame =
+    gapFillOf(Tables.events(s, dir))
+
   val gapFillSql: String = hourlySql +
     """SELECT user_id, bucket, coalesce(n_events, 0) AS n_events,
       |  coalesce(sum_value, 0e0) AS sum_value
       |FROM g ORDER BY user_id, bucket""".stripMargin
 
-  /** Same spine, but gap hours carry the last observed hourly sum
-    * forward (LOCF resampling) instead of zeroing. `last(ignoreNulls)`
-    * over a running frame is O(1) window state. */
-  def locf(s: SparkSession, dir: String): DataFrame = {
-    val b = hourly(s, dir)
+  /** Generic API: the LOCF spine over any (user_id, ts, value) frame. */
+  def locfOf(ev: DataFrame): DataFrame = {
+    val b = hourlyOf(ev)
     val w = Window.partitionBy("user_id").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     denseSpine(b, "user_id").join(b, Seq("user_id", "bucket"), "left")
@@ -88,6 +98,12 @@ object TimeSeriesOps {
         last(col("sum_value"), ignoreNulls = true).over(w).as("filled_value"))
       .orderBy("user_id", "bucket")
   }
+
+  /** Same spine, but gap hours carry the last observed hourly sum
+    * forward (LOCF resampling) instead of zeroing. `last(ignoreNulls)`
+    * over a running frame is O(1) window state. */
+  def locf(s: SparkSession, dir: String): DataFrame =
+    locfOf(Tables.events(s, dir))
 
   val locfSql: String = hourlySql +
     """SELECT user_id, bucket,
