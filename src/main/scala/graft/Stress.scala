@@ -58,8 +58,12 @@ object Stress {
         if (distinctMode && table == "documents")
           scaled0.withColumn("text",
             when(col("_copy") % dupEvery === 0, col("text"))
+              // "_" separates word from copy number (it is outside the
+              // word alphabet, so 'foo' in copy 11 and 'foo1' in copy 1
+              // can never collide — the MULT-times-more-content property
+              // the mode exists to provide)
               .otherwise(regexp_replace(col("text"), lit("([a-z0-9]+)"),
-                concat(lit("$1"), col("_copy")))))
+                concat(lit("$1_"), col("_copy")))))
         else scaled0
       scaled.drop("_copy").repartition(cpus.toInt)
         .write.mode(SaveMode.Overwrite).parquet(s"$workDir/$table.parquet")

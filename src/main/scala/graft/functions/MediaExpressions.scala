@@ -178,12 +178,14 @@ object Mp4Duration {
       if (from + 20 > to) return null
       val timescale = be32(b, from + 12)
       val duration = be32(b, from + 16)
-      if (timescale <= 0) return null
+      // all-ones duration is ISO 14496-12's "unknown duration" sentinel
+      if (timescale <= 0 || duration == 0xFFFFFFFFL) return null
       java.lang.Long.valueOf(duration * 1000000L / timescale)
     } else if (version == 1) {
       if (from + 32 > to) return null
       val timescale = be32(b, from + 20)
       val duration = be64(b, from + 24)
+      // duration < 0 covers the v1 all-ones (-1L) unknown sentinel too
       if (timescale <= 0 || duration < 0) return null
       java.lang.Long.valueOf(duration / timescale * 1000000L +
         duration % timescale * 1000000L / timescale)

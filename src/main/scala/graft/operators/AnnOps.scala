@@ -451,7 +451,10 @@ object AnnOps {
     * micro-unit L2 norm and the `healthy` verdict, keyed by `id`. One
     * codegen projection over the vector column, scan speed. */
   def embedHealthOf(df: DataFrame, id: Column, vec: Column): DataFrame = {
-    val base = df.select(id,
+    // the id is aliased to a reserved internal name while the stat
+    // columns exist (a caller's id literally named "dim"/"n_nan"/...
+    // would otherwise make the re-select ambiguous), then renamed back
+    val base = df.select(id.as("_eh_id"),
         size(vec).as("dim"),
         size(filter(vec, x => isnan(x))).as("n_nan"),
         size(filter(vec, x => x === lit(0.0f))).as("n_zero"),
@@ -459,10 +462,9 @@ object AnnOps {
           (a, x) => a + x.cast("double") * x.cast("double")).as("ss"))
       .withColumn("norm_u", when(col("n_nan") > 0, lit(null).cast("long"))
         .otherwise(floor(sqrt(col("ss")) * lit(1000000.0)).cast("long")))
-    // keep the caller's id column under whatever name it arrived with
-    val idName = base.columns.head
-    base.select(col(idName), col("dim"), col("n_nan"), col("n_zero"),
-        col("norm_u"),
+    val idName = df.select(id).columns.head
+    base.select(col("_eh_id").as(idName), col("dim"), col("n_nan"),
+        col("n_zero"), col("norm_u"),
         (col("n_nan") === 0 && col("n_zero") === 0 &&
           col("norm_u").between(900000L, 1100000L)).as("healthy"))
   }

@@ -308,11 +308,22 @@ object BpeOps {
   // ------------------------------------------------------ oracles
 
   /** The merge list as literal VALUES rows (rank, pattern, replacement)
-    * in the chr(1)-delimited string domain the CTE rewrites. */
-  private def mergesValues: String =
+    * in the chr(1)-delimited string domain the CTE rewrites. Quotes are
+    * SQL-escaped like [[vocabValues]];  is the CTE's delimiter,
+    * so a token containing it would corrupt the replay — a regenerated
+    * merge list from such a corpus must fail loudly, not emit broken
+    * SQL. */
+  private def mergesValues: String = {
+    defaultMerges.foreach { case (a, b) =>
+      require(!a.contains('') && !b.contains(''),
+        "BPE merge token contains the \\u0001 oracle delimiter")
+    }
+    def esc(t: String) = t.replace("'", "''")
     defaultMerges.zipWithIndex.map { case ((a, b), i) =>
-      s"(${i + 1}, chr(1)||'$a'||chr(1)||'$b'||chr(1), chr(1)||'$a$b'||chr(1))"
+      s"(${i + 1}, chr(1)||'${esc(a)}'||chr(1)||'${esc(b)}'||chr(1), " +
+        s"chr(1)||'${esc(a)}${esc(b)}'||chr(1))"
     }.mkString(",\n      ")
+  }
 
   /** Independent re-execution of the encoder in DuckDB: encode each
     * DISTINCT word once by replaying the merge list in rank order to a

@@ -451,14 +451,21 @@ class FeedstockMicroBatchStream(path: String, required: StructType,
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def listSorted(): Array[String] = {
-    val fs = new Path(path).getFileSystem(conf.value)
-    val it = fs.listFiles(new Path(path), true)
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf.value)
+    val rootUri = fs.makeQualified(root).toUri
+    val it = fs.listFiles(root, true)
     Iterator.continually(it)
       .takeWhile(_.hasNext)
       .map(_.next())
       .filter { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        // hidden/temp components anywhere under the landing root are
+        // excluded — a recursive listing must not ingest staging or
+        // metadata trees (_stage/part-*.json, _spark_metadata/0) whose
+        // LEAF names look like data files
+        val rel = rootUri.relativize(st.getPath.toUri).getPath
+        st.isFile &&
+          !rel.split("/").exists(c => c.startsWith("_") || c.startsWith("."))
       }
       .map(_.getPath.toString)
       .toArray.sorted

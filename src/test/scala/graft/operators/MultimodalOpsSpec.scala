@@ -111,8 +111,17 @@ class MultimodalOpsSpec extends SparkSpec {
     val v1 = ftyp ++ box("moov", mvhd1)
     val noMoov = ftyp ++ box("mdat", "payload".getBytes)
     val truncated = v0.take(ftyp.length + 10)
+    // ISO 14496-12 "unknown duration" sentinels: all-ones duration in
+    // both mvhd versions must surface as null, not a bogus huge value
+    val unk0 = ftyp ++ box("moov", box("mvhd",
+      Array(0, 0, 0, 0).map(_.toByte) ++ be4(0) ++ be4(0) ++
+        be4(90000L) ++ be4(0xFFFFFFFFL) ++ Array.fill(80)(0.toByte)))
+    val unk1 = ftyp ++ box("moov", box("mvhd",
+      Array(1, 0, 0, 0).map(_.toByte) ++ be8(0) ++ be8(0) ++
+        be4(1000L) ++ be8(-1L) ++ Array.fill(80)(0.toByte)))
     val out = MultimodalOps.mediaCatalogOf(
-      Seq((1L, v0), (2L, v1), (3L, noMoov), (4L, truncated))
+      Seq((1L, v0), (2L, v1), (3L, noMoov), (4L, truncated),
+        (5L, unk0), (6L, unk1))
         .toDF("doc_id", "payload")).collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(out(1L).getString(1) == "video/mp4" && out(1L).getString(8) == "isom")
@@ -120,6 +129,8 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(out(2L).getLong(9) == 2500000L)
     assert(out(3L).isNullAt(9))
     assert(out(4L).isNullAt(9))
+    assert(out(5L).getString(1) == "video/mp4" && out(5L).isNullAt(9))
+    assert(out(6L).getString(1) == "video/mp4" && out(6L).isNullAt(9))
   }
 
   test("media catalog dispatches on magic bytes, corrupted files surface as unknown") {

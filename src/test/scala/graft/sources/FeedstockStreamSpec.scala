@@ -42,6 +42,27 @@ class FeedstockStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("files under hidden/staging subdirectories are never ingested") {
+    val dir = Files.createTempDirectory("graft-feed-hidden").toString
+    writeFile(dir, "feed-000.jsonl", (0L to 2L).map(i => line(i, s"alpha $i")))
+    // a staging tree whose LEAF names look like data files: the
+    // recursive listing must reject them by the hidden path COMPONENT
+    Files.createDirectories(Paths.get(dir, "_stage"))
+    writeFile(s"$dir/_stage", "part-000.json", Seq(line(99L, "staged")))
+    Files.createDirectories(Paths.get(dir, ".tmp", "nested"))
+    writeFile(s"$dir/.tmp/nested", "feed-999.jsonl", Seq(line(98L, "tmp")))
+
+    val q = spark.readStream.format("graft-feedstock").load(dir)
+      .select(col("record.doc_id").as("doc_id"))
+      .writeStream.format("memory").queryName("feed_hidden")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("feed_hidden").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == (0L to 2L), ids.mkString(","))
+    } finally q.stop()
+  }
+
   test("restart from the checkpoint ingests only files beyond the committed offset") {
     val dir = Files.createTempDirectory("graft-feed-restart").toString
     val ckpt = Files.createTempDirectory("graft-feed-ckpt").toString
