@@ -118,6 +118,18 @@ object StreamBench {
       try q.processAllAvailable() finally q.stop()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"== ${"quality_ensemble"}%-22s ${enRows.size}%8d docs  $dt%7.2f s  ${enRows.size / dt}%9.0f docs/s")
+
+      // the fused native scorer over the identical artifacts/stream
+      val art = graft.functions.EnsembleArtifacts.of(cbM, cwM, pplCuts, dsirModel)
+      val stream3 = MemoryStream[(Long, String, String)]
+      stream3.addData(enRows)
+      val q3 = EventStream.qualityEnsembleStreamFused(
+          stream3.toDF().toDF("doc_id", "lang", "text"), art)
+        .writeStream.format("noop").outputMode("append").start()
+      val t3 = System.nanoTime()
+      try q3.processAllAvailable() finally q3.stop()
+      val dt3 = (System.nanoTime() - t3) / 1e9
+      println(f"== ${"quality_ens_fused"}%-22s ${enRows.size}%8d docs  $dt3%7.2f s  ${enRows.size / dt3}%9.0f docs/s")
     }
 
     // ---- stateful per-user transition feed over the event stream

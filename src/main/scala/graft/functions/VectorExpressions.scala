@@ -129,6 +129,13 @@ object GraftFunctions {
   def mp4DurationUs(payload: Column): Column =
     GraftBridge.column(Mp4Duration(GraftBridge.expression(payload)))
 
+  /** Per-document quality-ensemble verdict struct under broadcast
+    * trained artifacts — see [[QualityEnsembleScore]]. */
+  def qualityEnsemble(text: Column, lang: Column,
+      artifacts: EnsembleArtifacts): Column =
+    GraftBridge.column(QualityEnsembleScore(
+      GraftBridge.expression(text), GraftBridge.expression(lang), artifacts))
+
   /** SimHash aggregate over (word-hash, weight) rows — see [[SimHashAgg]]. */
   def simhash(hash: Column, weight: Column): Column =
     GraftBridge.column(

@@ -711,6 +711,43 @@ object EventStream {
           col("ppl_bucket") =!= "tail").as("keep"))
   }
 
+  /** The ingest-rate shape of the full quality gate — the documented
+    * fast path next to [[qualityEnsembleStream]]. That variant is
+    * already the join composition (one feature explode, three
+    * broadcast hash-joins, one watermark-bounded rollup); its
+    * throughput ceiling is the explode volume itself (every unigram
+    * and bigram becomes a row that must be joined and re-aggregated),
+    * which no join shape removes. This variant removes the rows: the
+    * trained artifacts collapse into ONE native scorer
+    * ([[graft.functions.QualityEnsembleScore]]) riding the task
+    * closure — the [[graft.operators.BpeOps]] encoder pattern — and
+    * the whole gate becomes a STATELESS projection: no explode, no
+    * join, no aggregation state, no watermark; every executor scores
+    * its partition of the crawl at scan speed, and a doc's verdict is
+    * emitted in the micro-batch it arrives in (append mode works —
+    * the plan has no state to finalize).
+    *
+    * Verdicts are row-identical to the batch
+    * [[graft.operators.QualityModelOps.qualityEnsemble]] and to
+    * [[qualityEnsembleStream]] (spec-pinned); the LM fold inside the
+    * scorer replays the batch operator's sorted per-distinct-bigram
+    * fold, so the perplexity bucket is decided on the bit-identical
+    * rounded score. Replays are trivially consistent — the scorer is
+    * a pure function of the document — so an at-least-once upstream
+    * re-emits identical rows; exactly-once sinks dedupe on doc_id.
+    *
+    * `docs` needs (doc_id, lang, text), text non-null; emits
+    * (doc_id, gopher_keep, rep_flag, ppl_bucket, target_like, keep). */
+  def qualityEnsembleStreamFused(docs: DataFrame,
+      artifacts: graft.functions.EnsembleArtifacts): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions
+          .qualityEnsemble(col("text"), col("lang"), artifacts).as("e"))
+      .select(col("doc_id"), col("e.gopher_keep").as("gopher_keep"),
+        col("e.rep_flag").as("rep_flag"), col("e.ppl_bucket").as("ppl_bucket"),
+        col("e.target_like").as("target_like"), col("e.keep").as("keep"))
+
   def contaminationStream(docs: DataFrame, benchShingles: DataFrame,
       bloom: Array[Byte], frac: Double,
       windowDur: String = "1 minute",
