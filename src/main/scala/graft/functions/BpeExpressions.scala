@@ -46,11 +46,15 @@ final case class BpeModel(merges: Seq[(String, String)]) extends Serializable {
     new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
   private final val CacheCap = 1 << 16
 
-  /** Greedy BPE merge loop over one word (chars → tokens). */
+  /** Greedy BPE merge loop over one word (chars → tokens). The initial
+    * split is by Unicode CODE POINT (surrogate pairs stay whole) — the
+    * same units DuckDB's `string_split(w, '')` produces, so the oracle
+    * CTE and the engine segment identically on any input, and the
+    * byte-fallback id tier sees whole code points to decompose. */
   def encodeWord(word: String): Array[String] = {
     val hit = cache.get(word)
     if (hit != null) return hit
-    var toks: Array[String] = word.map(_.toString).toArray
+    var toks: Array[String] = BpeModel.codePointTokens(word)
     var done = false
     while (!done && toks.length > 1) {
       // lowest-rank adjacent pair present in the word
@@ -105,6 +109,21 @@ final case class BpeModel(merges: Seq[(String, String)]) extends Serializable {
   }
 }
 
+object BpeModel {
+  /** Split a word into Unicode code points (a surrogate pair is ONE
+    * token; a lone surrogate stays a 1-char token). */
+  def codePointTokens(word: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+}
+
 /** `graft_bpe(words)` — flat BPE token stream of a pre-tokenized word
   * array, under the model captured at plan time. Pre-tokenization is
   * the caller's (split / regexp extraction), mirroring how production
@@ -135,32 +154,83 @@ case class BpeEncode(child: Expression, model: BpeModel) extends UnaryExpression
 /** Dense token→id vocabulary riding the task closure next to the
   * model: alphabet entries first (sorted), merge products after in
   * rank order — the id layout every BPE implementation publishes.
-  * Tokens outside the vocabulary map to -1 (the synthetic stand-in
-  * for production's byte-fallback tier, which needs byte-level base
-  * tokens this engine's char-level alphabet doesn't model). */
-final case class BpeIdMap(vocab: Seq[(String, Int)]) extends Serializable {
+  *
+  * Out-of-vocabulary handling is two-tier:
+  *  - `byteFallback = false`: OOV tokens map to -1 (the audit mode —
+  *    `n_oov` counts out-of-distribution text);
+  *  - `byteFallback = true`: the GPT-2 recipe — 256 byte ids extend
+  *    the id space at `vocab.size + b`, and an OOV token decomposes
+  *    into the UTF-8 bytes of its (single-code-point) text, so NO
+  *    token is ever dropped: every byte of every document is
+  *    representable and [[decodeBytes]] reproduces the input
+  *    byte-for-byte (property-pinned on arbitrary unicode). */
+final case class BpeIdMap(vocab: Seq[(String, Int)],
+    byteFallback: Boolean = false) extends Serializable {
   @transient private lazy val ids: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](vocab.size * 2)
     vocab.foreach { case (t, i) => m.put(t, Integer.valueOf(i)) }
     m
   }
 
+  @transient private lazy val tokenById: Array[String] = {
+    val a = new Array[String](vocab.size)
+    vocab.foreach { case (t, i) => a(i) = t }
+    a
+  }
+
+  /** First id of the byte tier: byte b is id `byteBase + b`. */
+  val byteBase: Int = vocab.size
+
   def idOf(token: String): Int = {
     val v = ids.get(token)
     if (v == null) -1 else v.intValue()
   }
 
-  /** Map a token-string array to its id array. Called from generated
-    * code. */
+  /** Map a token-string array to its id array. With [[byteFallback]],
+    * an OOV token expands to one id per UTF-8 byte (the output can be
+    * longer than the input). Called from generated code. */
   def mapIds(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
-    val out = new Array[Int](n)
-    var i = 0
-    while (i < n) {
-      out(i) = idOf(toks.getUTF8String(i).toString)
-      i += 1
+    if (!byteFallback) {
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        out(i) = idOf(toks.getUTF8String(i).toString)
+        i += 1
+      }
+      ArrayData.toArrayData(out)
+    } else {
+      val out = new scala.collection.mutable.ArrayBuffer[Int](n)
+      var i = 0
+      while (i < n) {
+        val t = toks.getUTF8String(i).toString
+        val v = ids.get(t)
+        if (v != null) out += v.intValue()
+        else {
+          val bs = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var j = 0
+          while (j < bs.length) { out += byteBase + (bs(j) & 0xff); j += 1 }
+        }
+        i += 1
+      }
+      ArrayData.toArrayData(out.toArray)
     }
-    ArrayData.toArrayData(out)
+  }
+
+  /** Decode an id stream back to bytes — in-vocab ids contribute their
+    * token's UTF-8 bytes, byte-tier ids contribute their byte. Because
+    * BPE merges partition each word, the decoded bytes of an encoded
+    * word equal the word's own UTF-8 bytes exactly. */
+  def decodeBytes(idStream: Seq[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    idStream.foreach { id =>
+      if (id >= byteBase) out.write(id - byteBase)
+      else if (id >= 0) out.write(
+        tokenById(id).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      else throw new IllegalArgumentException(
+        "cannot decode OOV id -1; encode with byteFallback = true")
+    }
+    out.toByteArray
   }
 }
 

@@ -76,8 +76,11 @@ object BpeOps {
     * (merging a singleton pair is vocabulary noise). */
   def trainFromCounts(wordCounts: Seq[(String, Long)],
       numMerges: Int): Seq[(String, String)] = {
+    // code-point split, the same base units the encoder starts from
     var vocab: Array[(Array[String], Long)] =
-      wordCounts.map { case (w, c) => (w.map(_.toString).toArray, c) }.toArray
+      wordCounts.map { case (w, c) =>
+        (graft.functions.BpeModel.codePointTokens(w), c)
+      }.toArray
     val tokenStrings = scala.collection.mutable.HashSet[String]()
     vocab.foreach { case (toks, _) => toks.foreach(tokenStrings += _) }
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
@@ -151,6 +154,13 @@ object BpeOps {
 
   val defaultVocab: Seq[(String, Int)] = vocabOf(defaultModel, defaultAlphabet)
   val defaultIdMap: BpeIdMap = BpeIdMap(defaultVocab)
+
+  /** The byte-fallback id map (GPT-2 recipe): ids `vocab.size + b` for
+    * the 256 bytes extend the committed layout, OOV tokens decompose
+    * into their UTF-8 bytes, and NO token is ever dropped — the id
+    * stream a production training shard stores, where out-of-
+    * distribution text must lose nothing. */
+  val defaultIdMapBytes: BpeIdMap = BpeIdMap(defaultVocab, byteFallback = true)
 
   // --------------------------------------- model persistence
 
@@ -247,6 +257,46 @@ object BpeOps {
     bpeIdsOf(wordedDocs(s, dir), col("doc_id"), col("text"))
       .orderBy("doc_id")
 
+  /** The byte-fallback id stream — `n_oov` is provably zero (no -1 can
+    * be emitted) and `n_byte_ids` audits how much of the stream fell
+    * through to the byte tier. Same zero-shuffle scan shape; the
+    * stream is byte-lossless ([[graft.functions.BpeIdMap.decodeBytes]],
+    * property-pinned on arbitrary unicode in BpeBytesPropSpec). */
+  def bpeIdsBytesOf(df: DataFrame, id: Column, text: Column,
+      model: BpeModel = defaultModel,
+      ids: BpeIdMap = defaultIdMapBytes): DataFrame = {
+    val byteBase = ids.byteBase
+    df.withColumn("_ids",
+        bpeTokenIds(filter(split(text, " "), w => length(w) > 0), model, ids))
+      .select(id,
+        size(col("_ids")).as("n_ids"),
+        size(filter(col("_ids"), x => x === -1)).as("n_oov"),
+        size(filter(col("_ids"), x => x >= byteBase)).as("n_byte_ids"),
+        array_join(transform(slice(col("_ids"), 1, 8), _.cast("string")), " ")
+          .as("head_ids"),
+        aggregate(col("_ids"), lit(0L), (acc, x) => acc + x).as("id_sum"))
+  }
+
+  /** The OOV plant for the bytes gate: the driver corpus is entirely
+    * in-alphabet, so (the piiScrub fixture pattern, mirrored in the
+    * oracle) every 7th doc gains a word of out-of-distribution
+    * characters covering all four UTF-8 byte-length branches — 1-byte
+    * (z/x/9 — outside the a-w,y alphabet), 2-byte (§ Ω), 3-byte (∑),
+    * 4-byte astral (𝄞). The hash check then discriminates the whole
+    * fallback tier, not just the in-vocab path; the plant-free generic
+    * API is [[bpeIdsBytesOf]]. */
+  private val oovPlant = "zx9§Ω∑𝄞"
+
+  def bpeIdCountsBytes(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(s, dir)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" " + oovPlant)))
+          .otherwise(col("text")))
+      .filter(size(filter(split(col("text"), " "), w => length(w) > 0)) >= 1)
+    bpeIdsBytesOf(planted, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+  }
+
   /** BPE-budget sequence packing: [[PipelineOps.packSequencesOf]] with
     * the token column denominated in real tokenizer tokens instead of
     * whitespace words — the form every production packer runs. */
@@ -333,11 +383,13 @@ object BpeOps {
     * words back onto the corpus in position order. The distinct-word
     * indirection is also the honest scale shape: Zipf makes the
     * encode-once table tiny relative to any corpus. */
-  private def encodedWordsCte: String =
+  private def encodedWordsCte: String = encodedWordsCteOver("documents")
+
+  private def encodedWordsCteOver(src: String): String =
     s"""merges(rank, pat, rep) AS (VALUES
        |      $mergesValues),
        |dw AS (
-       |  SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
+       |  SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM $src),
        |enc AS (
        |  SELECT w, 1 AS rank,
        |    chr(1) || array_to_string(string_split(w, ''), chr(1)) || chr(1) AS s
@@ -354,7 +406,7 @@ object BpeOps {
        |dwords AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
-       |  FROM documents),
+       |  FROM $src),
        |perdoc AS (
        |  SELECT d.doc_id, flatten(list(t.toks ORDER BY d.pos)) AS toks
        |  FROM dwords d JOIN wtoks t ON d.w = t.w
@@ -502,17 +554,73 @@ object BpeOps {
        |  CAST(sum(id) AS BIGINT) AS id_sum
        |FROM pids GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Byte-fallback twin of [[bpeIdCountsSql]]: an OOV token is always
+    * a single code point (every multi-char token is a merge product,
+    * which is in-vocab by construction), so the oracle expands it to
+    * the UTF-8 bytes of `unicode(tok)` with pure integer arithmetic —
+    * engine-exact, no byte/blob functions needed. */
+  val bpeIdCountsBytesSql: String = {
+    val vSize = defaultVocab.size
+    // UTF-8 encoding of code point c, each byte offset by the byte base
+    val c = "unicode(p.tok)"
+    val byteIds =
+      s"""CASE
+         |      WHEN $c < 128 THEN [$vSize + $c]
+         |      WHEN $c < 2048 THEN
+         |        [$vSize + 192 + $c // 64, $vSize + 128 + $c % 64]
+         |      WHEN $c < 65536 THEN
+         |        [$vSize + 224 + $c // 4096, $vSize + 128 + ($c // 64) % 64,
+         |         $vSize + 128 + $c % 64]
+         |      ELSE
+         |        [$vSize + 240 + $c // 262144, $vSize + 128 + ($c // 4096) % 64,
+         |         $vSize + 128 + ($c // 64) % 64, $vSize + 128 + $c % 64]
+         |    END""".stripMargin
+    s"""WITH RECURSIVE
+       |docs_b AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN text || ' $oovPlant'
+       |         ELSE text END AS text
+       |  FROM documents),
+       |${encodedWordsCteOver("docs_b")},
+       |vocab(token, id) AS (VALUES
+       |      $vocabValues),
+       |ptoks AS (
+       |  SELECT doc_id, unnest(toks) AS tok,
+       |    unnest(range(1, len(toks) + 1)) AS pos
+       |  FROM perdoc),
+       |pids AS (
+       |  SELECT p.doc_id, p.pos,
+       |    CASE WHEN v.id IS NOT NULL THEN [v.id]
+       |    ELSE $byteIds END AS ids
+       |  FROM ptoks p LEFT JOIN vocab v ON p.tok = v.token),
+       |flat AS (
+       |  SELECT doc_id, pos, unnest(ids) AS id,
+       |    unnest(range(1, len(ids) + 1)) AS sub
+       |  FROM pids)
+       |SELECT doc_id,
+       |  CAST(count(*) AS INTEGER) AS n_ids,
+       |  CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS INTEGER) AS n_oov,
+       |  CAST(sum(CASE WHEN id >= $vSize THEN 1 ELSE 0 END) AS INTEGER)
+       |    AS n_byte_ids,
+       |  array_to_string(list(CAST(id AS VARCHAR) ORDER BY pos, sub)[1:8], ' ')
+       |    AS head_ids,
+       |  CAST(sum(id) AS BIGINT) AS id_sum
+       |FROM flat GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_tokens" -> (bpeTokenCounts _),
     "q_pack_sequences_bpe" -> (packSequencesBpe _),
     "q_contamination_bpe" -> (contaminationBpe _),
     "q_bpe_coverage" -> (bpeCoverage _),
-    "q_bpe_ids" -> (bpeIdCounts _))
+    "q_bpe_ids" -> (bpeIdCounts _),
+    "q_bpe_ids_bytes" -> (bpeIdCountsBytes _))
 
   def oracles: Map[String, String] = Map(
     "q_bpe_tokens" -> bpeTokenCountsSql,
     "q_pack_sequences_bpe" -> packSequencesBpeSql,
     "q_contamination_bpe" -> contaminationBpeSql,
     "q_bpe_coverage" -> bpeCoverageSql,
-    "q_bpe_ids" -> bpeIdCountsSql)
+    "q_bpe_ids" -> bpeIdCountsSql,
+    "q_bpe_ids_bytes" -> bpeIdCountsBytesSql)
 }

@@ -35,7 +35,7 @@ class BpePropSpec extends SparkSpec {
 
   /** Rank-order replay to fixpoint — the oracle CTE's exact recipe. */
   private def replay(model: BpeModel, word: String): Seq[String] = {
-    var toks = word.map(_.toString).toList
+    var toks = BpeModel.codePointTokens(word).toList
     model.merges.foreach { case (a, b) =>
       var changed = true
       while (changed) {
