@@ -653,6 +653,128 @@ object AnnOps {
       .orderBy("query_id", "rank")
   }
 
+  // ------------------------------------------------ IVF-PQ (IVFADC)
+
+  /** Subspace split of an arbitrary vector column — the [[subvectors]]
+    * slicing without the normalization (IVFADC splits RESIDUALS, which
+    * are already differences of unit vectors). */
+  private def subSplit(v: Column): Column =
+    transform(sequence(lit(0), lit(pqSubspaces - 1)),
+      j => slice(v, j * (size(v) / pqSubspaces) + 1, size(v) / pqSubspaces))
+
+  /** The centroid frame keyed for residual joins. */
+  private def centById(cents: DataFrame): DataFrame =
+    cents.select(col("centroid_id").as("cluster_id"),
+      col("cv").as("ccv"), col("cn").as("ccn"))
+
+  /** Per-vector PQ-ready residual subvectors against the IVF coarse
+    * quantizer: r = v/|v| − c/|c| for the vector's own cell, split
+    * into [[pqSubspaces]] subspaces. Because both sides are unit
+    * vectors, ‖q_r − x_r‖² within a shared cell equals ‖q_u − x_u‖²
+    * = 2 − 2·cos(q, x) exactly, so ADC over residuals ranks like
+    * cosine — this is IVFADC (Jégou et al. 2011, §III): quantize the
+    * residual, not the vector, and the coarse quantizer's variance is
+    * removed from what PQ must encode. */
+  private[operators] def ivfpqResidualSub(e: DataFrame, cents: DataFrame): DataFrame =
+    assignmentsOf(e, cents)
+      .join(broadcast(centById(cents)), Seq("cluster_id"))
+      .select(col("vec_id"), col("cluster_id"),
+        zip_with(col("v"), col("ccv"),
+          (x, c) => x / col("norm") - c / col("ccn")).as("rv"))
+      .select(col("vec_id"), col("cluster_id"),
+        posexplode(subSplit(col("rv"))).as(Seq("subspace", "sv")))
+
+  /** Residual-encoded corpus: (vec_id, cluster_id, subspace, code) —
+    * four small ints per (vector, subspace); at scale this IS the
+    * search corpus (the float inverted file is only touched by the
+    * exact re-rank's shortlist equi-join), cluster-bucketed so a probe
+    * reads only its cells. The codebook is SHARED across cells (the
+    * standard IVFADC memory layout — per-cell codebooks would be
+    * K·m·k centroids). */
+  private[operators] def ivfpqEncodeOf(residSub: DataFrame, cb: DataFrame): DataFrame =
+    residSub.join(broadcast(codebookArr(cb)), "subspace")
+      .select(col("vec_id"), col("cluster_id"), col("subspace"),
+        array_min(codeScores(col("sv"))).getField("code").as("code"))
+
+  /** IVFADC search: probe `nprobe` cells per query; per probed cell,
+    * the query's RESIDUAL against that cell's centroid builds the
+    * (subspace, code) distance LUT (nQueries·nprobe·m·k rows —
+    * kilobytes, broadcast); the encoded corpus joins on (cluster_id,
+    * subspace, code), so candidate volume is |N|·nprobe/K like plain
+    * IVF while the corpus side carries codes instead of floats; the
+    * ADC shortlist re-ranks exactly against the float corpus.
+    * Composes the two pruning regimes a 100 TB vector corpus needs
+    * AT ONCE: partition pruning (IVF) and compression (PQ). */
+  def annIvfPqSearch(q: DataFrame, cents: DataFrame, cb: DataFrame,
+      encoded: DataFrame, e: DataFrame): DataFrame = {
+    val probes = q
+      .crossJoin(broadcast(centArr(cents)))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"),
+        explode(slice(reverse(array_sort(centScores(col("v"), col("norm")))),
+          1, nprobe)).as("probe"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        (-col("probe.nid")).as("cluster_id"))
+    val lut = probes
+      .join(broadcast(centById(cents)), Seq("cluster_id"))
+      .select(col("query_id"), col("cluster_id"),
+        zip_with(col("qv"), col("ccv"),
+          (x, c) => x / col("qn") - c / col("ccn")).as("qr"))
+      .select(col("query_id"), col("cluster_id"),
+        posexplode(subSplit(col("qr"))).as(Seq("subspace", "sv")))
+      .join(broadcast(codebookArr(cb)), "subspace")
+      .select(col("query_id"), col("cluster_id"), col("subspace"),
+        explode(codeScores(col("sv"))).as("sc"))
+      .select(col("query_id"), col("cluster_id"), col("subspace"),
+        col("sc.code").as("code"), col("sc.d2").as("d2"))
+
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2").asc, col("neighbor_id").asc)
+    val shortlist = encoded.join(broadcast(lut), Seq("cluster_id", "subspace", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d2")).as("approx_d2"))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= pqShortlist)
+      .select("query_id", "neighbor_id")
+
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    shortlist
+      .join(broadcast(q.select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("norm").as("qn"))), "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("norm").as("cn")), "neighbor_id")
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
+  /** The composed IVF-PQ query row (rows-only; recall floor vs brute
+    * force spec-pinned like q_ann_ivf/q_ann_pq). Reuses the session's
+    * trained IVF index as the coarse quantizer, so a deployment that
+    * already runs IVF upgrades to IVFADC without retraining Lloyd. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val (cents, cb, encoded) = ivfpqFor(s, dir)
+    annIvfPqSearch(embeddingsWithNorm(s, dir).filter(col("vec_id") < nQueries),
+      cents, cb, encoded, embeddingsWithNorm(s, dir))
+  }
+
+  private val ivfpqCache = new graft.SessionCache[(DataFrame, DataFrame, DataFrame)]()
+
+  /** (coarse centroids, shared residual codebook, encoded corpus) for
+    * the corpus, training on first use; the coarse quantizer is the
+    * SAME session-cached IVF index the plain-IVF rows use. */
+  def ivfpqFor(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    ivfpqCache.getOrCompute(s, dir) {
+      val (cents, _) = ivfFor(s, dir)
+      val residSub = ivfpqResidualSub(embeddingsWithNorm(s, dir), cents)
+        .localCheckpoint()
+      val cb = pqCodebookOf(residSub)
+      (cents, cb, ivfpqEncodeOf(residSub, cb).localCheckpoint())
+    }
+
   // ------------------------------------------------ trained-index lifecycle
 
   /** The four trained ANN artifacts a deployment persists alongside the
@@ -727,6 +849,7 @@ object AnnOps {
     "q_ann_topk"        -> (annTopk _),
     "q_ann_ivf"         -> (annIvf _),
     "q_ann_pq"          -> (annPq _),
+    "q_ann_ivfpq"       -> (annIvfPq _),
     "q_knn_graph"       -> (knnGraph _),
     "q_knn_graph_ivf"   -> (knnGraphIvf _),
     "q_embed_centroids" -> (embedCentroids _),
