@@ -44,17 +44,51 @@ object BpeOps {
     * capped at `vocabCap` words by count-desc/word-asc — deterministic)
     * then the classic merge loop on the counts. */
   def trainMerges(df: DataFrame, text: Column, numMerges: Int,
-      vocabCap: Int = 1 << 16): Seq[(String, String)] = {
-    val wc = df
-      .select(explode(split(text, " ")).as("w"))
+      vocabCap: Int = 1 << 16): Seq[(String, String)] =
+    trainFromCounts(topWords(wordCountsOf(df, text), vocabCap), numMerges)
+
+  /** The trainer's sufficient statistic as a frame: (w, cnt) word
+    * frequencies. One hash aggregation; Zipf keeps the table tiny
+    * relative to any corpus. */
+  def wordCountsOf(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(split(text, " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("w").asc)
+
+  /** Deterministic cap: top `vocabCap` words by (count desc, word asc)
+    * — the TOTAL order that makes cap truncation independent of
+    * partitioning and input order (a count-only sort would tie-break
+    * arbitrarily at the cap boundary and train different tokenizers on
+    * different cluster layouts; CapDeterminismSpec pins this). */
+  def topWords(wc: DataFrame, vocabCap: Int): Seq[(String, Long)] =
+    wc.orderBy(col("cnt").desc, col("w").asc)
       .limit(vocabCap)
       .collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
-    trainFromCounts(wc, numMerges)
-  }
+
+  /** Persist the word-count table through the artifact store — the
+    * half of the trainer that scans the corpus. A tokenizer retrain on
+    * a GROWN corpus is then incremental: count only the new batch,
+    * [[mergeWordCounts]] with the persisted index, rerun the in-memory
+    * merge loop — the 100 TB retrain never rescans old shards. */
+  def writeWordCounts(wc: DataFrame, path: String): Unit =
+    graft.ArtifactStore.writeTable(wc, path, "bpe_word_counts")
+
+  def loadWordCounts(s: SparkSession, path: String): DataFrame =
+    graft.ArtifactStore.loadTable(s, path, "bpe_word_counts")
+
+  /** Sum two word-count frames — counts are additive, so
+    * counts(A ∪ B) == merge(counts(A), counts(B)) exactly. */
+  def mergeWordCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("w").agg(sum(col("cnt")).as("cnt"))
+
+  /** Retrain from a persisted word-count index (optionally merged with
+    * a new batch's counts first): parity with a fresh [[trainMerges]]
+    * over the same corpus is exact because the word-count table is the
+    * trainer's ONLY input (spec-pinned). */
+  def trainMergesFromIndex(s: SparkSession, path: String, numMerges: Int,
+      vocabCap: Int = 1 << 16): Seq[(String, String)] =
+    trainFromCounts(topWords(loadWordCounts(s, path), vocabCap), numMerges)
 
   /** The base alphabet (distinct characters across the corpus's
     * words) — the other half of the committed tokenizer artifact: ids
