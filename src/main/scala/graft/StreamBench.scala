@@ -177,6 +177,24 @@ object StreamBench {
       try q.processAllAvailable() finally q.stop()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"== ${"feedstock_ingest"}%-22s $n%8d docs  $dt%7.2f s  ${n / dt}%9.0f docs/s")
+
+      // the COMPOSED pipeline over the same landing dir: feedstock
+      // micro-batch read → fused quality gate → shard sink to disk
+      val pplCuts = QualityModelOps.pplCutsOf(
+        QualityModelOps.lmPerplexity(spark, srcDir)
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")))
+        .localCheckpoint()
+      val art = graft.functions.EnsembleArtifacts.of(cbM, cwM, pplCuts, dsirModel)
+      val shardDir = java.nio.file.Files
+        .createTempDirectory("graft-sb-shards").toString + "/out"
+      val ckptDir = java.nio.file.Files
+        .createTempDirectory("graft-sb-ckpt").toString
+      val qp = graft.streaming.IngestPipeline.start(
+        spark, landing, art, shardDir, ckptDir, nShards = 8)
+      val tp = System.nanoTime()
+      try qp.processAllAvailable() finally qp.stop()
+      val dtp = (System.nanoTime() - tp) / 1e9
+      println(f"== ${"ingest_pipeline"}%-22s $n%8d docs  $dtp%7.2f s  ${n / dtp}%9.0f docs/s")
     }
     spark.stop()
   }

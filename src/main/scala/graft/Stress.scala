@@ -64,6 +64,18 @@ object Stress {
               // the mode exists to provide)
               .otherwise(regexp_replace(col("text"), lit("([a-z0-9]+)"),
                 concat(lit("$1_"), col("_copy")))))
+        else if (distinctMode && table == "embeddings")
+          // distinct VECTORS, not 100 identical crawls of one vector
+          // space: a deterministic per-(copy, dimension) jitter keeps
+          // every copy a genuinely new point (so kNN/PageRank at the
+          // big decades measure real neighbor search, not duplicate
+          // lookup) while staying near the unit sphere
+          scaled0.withColumn("embedding",
+            when(col("_copy") % dupEvery === 0, col("embedding"))
+              .otherwise(zip_with(col("embedding"),
+                sequence(lit(0), size(col("embedding")) - 1),
+                (x, i) => (x + ((pmod(col("_copy") * 31 + i * 7, lit(13)) - 6)
+                  .cast("double") * 0.003).cast("float")).cast("float"))))
         else scaled0
       scaled.drop("_copy").repartition(cpus.toInt)
         .write.mode(SaveMode.Overwrite).parquet(s"$workDir/$table.parquet")

@@ -125,6 +125,15 @@ object MultimodalOps {
     val h = hex(bytes)
     conv(concat(substring(h, 3, 2), substring(h, 1, 2)), 16, 10).cast("int")
   }
+  private def le3hex(v: Column): Column = {
+    val be = format_string("%06x", v)
+    concat(substring(be, 5, 2), substring(be, 3, 2), substring(be, 1, 2))
+  }
+  private def parseLe3(bytes: Column): Column = {
+    val h = hex(bytes)
+    conv(concat(substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2)),
+      16, 10).cast("int")
+  }
 
   /** Synthetic WAV-framed corpus: the canonical 44-byte RIFF/WAVE
     * header — "RIFF", chunk size, "WAVE", "fmt ", PCM format, channel
@@ -244,14 +253,63 @@ object MultimodalOps {
       encode(col("text"), "utf-8"))
   }
 
+  /** GIF87a/89a: 6-byte signature, then the logical-screen descriptor's
+    * LE16 width/height — fixed offsets by spec. */
+  private def gifPayload: Column = concat(
+    when(col("doc_id") % 11 === 0, encode(lit("GIF87a"), "utf-8"))
+      .otherwise(encode(lit("GIF89a"), "utf-8")),
+    unhex(le2hex((lit(8) + col("doc_id") % 512).cast("int"))),
+    unhex(le2hex((lit(8) + (col("doc_id") * 3) % 512).cast("int"))),
+    encode(col("text"), "utf-8"))
+
+  /** WebP: RIFF/WEBP container whose FIRST chunk is one of the three
+    * spec formats, cycled per doc — VP8X (extended: LE24 canvas
+    * width-1/height-1), VP8 (lossy: 0x9D012A start code then 14-bit
+    * LE16 dims), VP8L (lossless: 0x2F then 2×14 dims-1 bit-packed into
+    * 4 LE bytes). All dims land at fixed offsets once the chunk
+    * fourCC is known. */
+  private def webpPayload: Column = {
+    val w = (lit(4) + col("doc_id") % 1024).cast("int")
+    val h = (lit(4) + (col("doc_id") * 5) % 1024).cast("int")
+    val dataLen = octet_length(encode(col("text"), "utf-8"))
+    // variant selector must be independent of doc_id % 6 (every
+    // doc_id ≡ 5 mod 6 is ≡ 2 mod 3, so a plain % 3 would only ever
+    // build one variant inside the mixed corpus)
+    val variant = expr("(doc_id div 6) % 3")
+    val chunk =
+      when(variant === 0, concat(
+        encode(lit("VP8X"), "utf-8"), unhex(le4hex(lit(10))),
+        unhex(lit("00000000")),                        // flags + reserved
+        unhex(le3hex(w - 1)), unhex(le3hex(h - 1))))
+      .when(variant === 1, concat(
+        encode(lit("VP8 "), "utf-8"), unhex(le4hex(lit(10))),
+        unhex(lit("000000")),                          // frame tag
+        unhex(lit("9D012A")),                          // start code
+        unhex(le2hex(w)), unhex(le2hex(h))))
+      .otherwise(concat(
+        encode(lit("VP8L"), "utf-8"), unhex(le4hex(lit(5))),
+        unhex(lit("2F")),                              // VP8L signature
+        unhex(le4hex((w - 1) + (h - 1) * lit(16384)))))
+    // RIFF size = file bytes after the 8-byte RIFF header:
+    // "WEBP" (4) + the chunk (incl. its own 8-byte header) + body
+    concat(
+      encode(lit("RIFF"), "utf-8"),
+      unhex(le4hex(lit(4) + octet_length(chunk) + dataLen)),
+      encode(lit("WEBP"), "utf-8"),
+      chunk,
+      encode(col("text"), "utf-8"))
+  }
+
   /** One projection over ONE scan: the per-type payload builders are
     * Column expressions, so no self-joins reassemble the mix. */
   def mixedMediaCorpus(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"),
-      when(col("doc_id") % 4 === 0, pngPayload)
-        .when(col("doc_id") % 4 === 1, wavPayload)
-        .when(col("doc_id") % 4 === 2, jpegPayload)
-        .otherwise(mp4Payload).as("payload"))
+      when(col("doc_id") % 6 === 0, pngPayload)
+        .when(col("doc_id") % 6 === 1, wavPayload)
+        .when(col("doc_id") % 6 === 2, jpegPayload)
+        .when(col("doc_id") % 6 === 3, mp4Payload)
+        .when(col("doc_id") % 6 === 4, gifPayload)
+        .otherwise(webpPayload).as("payload"))
 
   /** Media catalog: ONE pass over a mixed binary column detects each
     * payload's container from its magic bytes and extracts the
@@ -272,6 +330,32 @@ object MultimodalOps {
       hex(substring(col("payload"), 9, 4)) === "57415645"
     val isJpeg = hex(substring(col("payload"), 1, 2)) === "FFD8"
     val isMp4 = hex(substring(col("payload"), 5, 4)) === "66747970"
+    val gifSig = hex(substring(col("payload"), 1, 6))
+    val isGif = gifSig === "474946383961" || gifSig === "474946383761"
+    val isWebp = hex(substring(col("payload"), 1, 4)) === "52494646" &&
+      hex(substring(col("payload"), 9, 4)) === "57454250"
+    // WebP dims: dispatch on the first chunk's fourCC — VP8X canvas
+    // (LE24 minus-one), VP8 lossy (0x9D012A start code, 14-bit LE16),
+    // VP8L lossless (0x2F, 2×14 bits packed LE). A corrupted chunk
+    // degrades to null dims, the container type stands.
+    val webpCc = hex(substring(col("payload"), 13, 4))
+    val vp8lBits = parseLe4(substring(col("payload"), 22, 4))
+    val webpW =
+      when(webpCc === "56503858", parseLe3(substring(col("payload"), 25, 3)) + 1)
+      .when(webpCc === "56503820" &&
+          hex(substring(col("payload"), 24, 3)) === "9D012A",
+        parseLe2(substring(col("payload"), 27, 2)).bitwiseAND(lit(16383)))
+      .when(webpCc === "5650384C" &&
+          hex(substring(col("payload"), 21, 1)) === "2F",
+        vp8lBits.bitwiseAND(lit(16383)) + 1)
+    val webpH =
+      when(webpCc === "56503858", parseLe3(substring(col("payload"), 28, 3)) + 1)
+      .when(webpCc === "56503820" &&
+          hex(substring(col("payload"), 24, 3)) === "9D012A",
+        parseLe2(substring(col("payload"), 29, 2)).bitwiseAND(lit(16383)))
+      .when(webpCc === "5650384C" &&
+          hex(substring(col("payload"), 21, 1)) === "2F",
+        shiftright(vp8lBits, 14).bitwiseAND(lit(16383)) + 1)
     // JPEG dims come from the SOF marker walk (variable segment
     // layout); let-bind the array so the walk runs once per row, not
     // once per consuming column
@@ -287,14 +371,20 @@ object MultimodalOps {
         col("doc_id"),
         when(isPng, "image/png").when(isWav, "audio/wav")
           .when(isJpeg, "image/jpeg")
-          .when(isMp4, "video/mp4").otherwise("unknown").as("detected_type"),
+          .when(isMp4, "video/mp4")
+          .when(isGif, "image/gif")
+          .when(isWebp, "image/webp").otherwise("unknown").as("detected_type"),
         octet_length(col("payload")).as("n_bytes"),
         coalesce(
           when(isPng, conv(hex(substring(col("payload"), 17, 4)), 16, 10).cast("int")),
-          element_at(col("_jd"), 1)).as("width"),
+          element_at(col("_jd"), 1),
+          when(isGif, parseLe2(substring(col("payload"), 7, 2))),
+          when(isWebp, webpW)).as("width"),
         coalesce(
           when(isPng, conv(hex(substring(col("payload"), 21, 4)), 16, 10).cast("int")),
-          element_at(col("_jd"), 2)).as("height"),
+          element_at(col("_jd"), 2),
+          when(isGif, parseLe2(substring(col("payload"), 9, 2))),
+          when(isWebp, webpH)).as("height"),
         (element_at(col("_jd"), 3) === 1).as("progressive"),
         when(isWav, parseLe4(substring(col("payload"), 25, 4))).as("sample_rate"),
         when(isWav, parseLe2(substring(col("payload"), 23, 2))).as("channels"),
@@ -316,33 +406,42 @@ object MultimodalOps {
     * the MP4 duration check the marker/box walks end to end. */
   val mediaCatalogSql: String =
     """SELECT doc_id,
-      |  CASE WHEN doc_id % 4 = 0 THEN
+      |  CASE WHEN doc_id % 6 = 0 THEN
       |         CASE WHEN doc_id % 9 = 0 THEN 'unknown' ELSE 'image/png' END
-      |       WHEN doc_id % 4 = 1 THEN 'audio/wav'
-      |       WHEN doc_id % 4 = 2 THEN 'image/jpeg'
-      |       ELSE 'video/mp4' END AS detected_type,
-      |  CAST(CASE WHEN doc_id % 4 = 0 THEN octet_length(encode(text)) + 24
-      |            WHEN doc_id % 4 = 1 THEN octet_length(encode(text)) + 44
-      |            WHEN doc_id % 4 = 2 THEN octet_length(encode(text)) + 39
-      |            ELSE octet_length(encode(text)) + 136 END AS INTEGER) AS n_bytes,
-      |  CAST(CASE WHEN doc_id % 4 = 0 AND doc_id % 9 <> 0
+      |       WHEN doc_id % 6 = 1 THEN 'audio/wav'
+      |       WHEN doc_id % 6 = 2 THEN 'image/jpeg'
+      |       WHEN doc_id % 6 = 3 THEN 'video/mp4'
+      |       WHEN doc_id % 6 = 4 THEN 'image/gif'
+      |       ELSE 'image/webp' END AS detected_type,
+      |  CAST(CASE WHEN doc_id % 6 = 0 THEN octet_length(encode(text)) + 24
+      |            WHEN doc_id % 6 = 1 THEN octet_length(encode(text)) + 44
+      |            WHEN doc_id % 6 = 2 THEN octet_length(encode(text)) + 39
+      |            WHEN doc_id % 6 = 3 THEN octet_length(encode(text)) + 136
+      |            WHEN doc_id % 6 = 4 THEN octet_length(encode(text)) + 10
+      |            WHEN (doc_id // 6) % 3 = 2 THEN octet_length(encode(text)) + 25
+      |            ELSE octet_length(encode(text)) + 30 END AS INTEGER) AS n_bytes,
+      |  CAST(CASE WHEN doc_id % 6 = 0 AND doc_id % 9 <> 0
       |         THEN 16 + doc_id % 1024
-      |       WHEN doc_id % 4 = 2 THEN 160 + (doc_id * 11) % 1493
+      |       WHEN doc_id % 6 = 2 THEN 160 + (doc_id * 11) % 1493
+      |       WHEN doc_id % 6 = 4 THEN 8 + doc_id % 512
+      |       WHEN doc_id % 6 = 5 THEN 4 + doc_id % 1024
       |       END AS INTEGER) AS width,
-      |  CAST(CASE WHEN doc_id % 4 = 0 AND doc_id % 9 <> 0
+      |  CAST(CASE WHEN doc_id % 6 = 0 AND doc_id % 9 <> 0
       |         THEN 16 + (doc_id * 7) % 1024
-      |       WHEN doc_id % 4 = 2 THEN 120 + (doc_id * 13) % 1987
+      |       WHEN doc_id % 6 = 2 THEN 120 + (doc_id * 13) % 1987
+      |       WHEN doc_id % 6 = 4 THEN 8 + (doc_id * 3) % 512
+      |       WHEN doc_id % 6 = 5 THEN 4 + (doc_id * 5) % 1024
       |       END AS INTEGER) AS height,
-      |  CASE WHEN doc_id % 4 = 2 THEN doc_id % 5 = 0 END AS progressive,
-      |  CAST(CASE WHEN doc_id % 4 = 1 THEN 8000 * (1 + doc_id % 5) END AS INTEGER)
+      |  CASE WHEN doc_id % 6 = 2 THEN doc_id % 5 = 0 END AS progressive,
+      |  CAST(CASE WHEN doc_id % 6 = 1 THEN 8000 * (1 + doc_id % 5) END AS INTEGER)
       |    AS sample_rate,
-      |  CAST(CASE WHEN doc_id % 4 = 1 THEN 1 + doc_id % 2 END AS INTEGER)
+      |  CAST(CASE WHEN doc_id % 6 = 1 THEN 1 + doc_id % 2 END AS INTEGER)
       |    AS channels,
-      |  CASE WHEN doc_id % 4 = 3 THEN 'isom' END AS brand,
-      |  CAST(CASE WHEN doc_id % 4 = 1 THEN
+      |  CASE WHEN doc_id % 6 = 3 THEN 'isom' END AS brand,
+      |  CAST(CASE WHEN doc_id % 6 = 1 THEN
       |         (CAST(octet_length(encode(text)) AS BIGINT) * 1000000) //
       |           (8000 * (1 + doc_id % 5) * (1 + doc_id % 2) * 2)
-      |       WHEN doc_id % 4 = 3 THEN
+      |       WHEN doc_id % 6 = 3 THEN
       |         (CAST(90 + (doc_id * 31) % 100000 AS BIGINT) * 1000000) //
       |           (600 * (1 + doc_id % 5))
       |       END AS BIGINT) AS duration_us

@@ -75,7 +75,8 @@ class MultimodalOpsSpec extends SparkSpec {
     val progressive = soi ++ app0 ++ seg(0xc2, sofPayload(320, 200))
     val noSof = soi ++ app0 ++ Array(0xff.toByte, 0xd9.toByte) // straight to EOI
     val truncated = baseline.take(12)
-    val notJpeg = "GIF89a-not-a-jpeg".getBytes
+    // must not collide with ANY recognized magic (GIF is one now)
+    val notJpeg = "NOTMEDIA-at-all".getBytes
     val out = MultimodalOps.mediaCatalogOf(
       Seq((1L, baseline), (2L, progressive), (3L, noSof), (4L, truncated),
         (5L, notJpeg)).toDF("doc_id", "payload")).collect()
@@ -139,26 +140,87 @@ class MultimodalOpsSpec extends SparkSpec {
     rows.foreach { r =>
       val id = r.getLong(0)
       val t = r.getString(1)
-      if (id % 4 == 0)
+      if (id % 6 == 0)
         assert(t == (if (id % 9 == 0) "unknown" else "image/png"))
-      else if (id % 4 == 1) assert(t == "audio/wav")
-      else if (id % 4 == 2) assert(t == "image/jpeg")
-      else assert(t == "video/mp4" && r.getString(8) == "isom")
+      else if (id % 6 == 1) assert(t == "audio/wav")
+      else if (id % 6 == 2) assert(t == "image/jpeg")
+      else if (id % 6 == 3) assert(t == "video/mp4" && r.getString(8) == "isom")
+      else if (id % 6 == 4) assert(t == "image/gif")
+      else assert(t == "image/webp")
       // per-type fields are null outside their type
       if (t == "image/jpeg") {
         assert(r.getInt(3) == 160 + ((id * 11) % 1493).toInt)
         assert(r.getInt(4) == 120 + ((id * 13) % 1987).toInt)
         assert(r.getBoolean(5) == (id % 5 == 0))
       } else assert(r.isNullAt(5))
-      if (t != "image/png" && t != "image/jpeg") assert(r.isNullAt(3) && r.isNullAt(4))
+      if (t == "image/gif") {
+        assert(r.getInt(3) == 8 + (id % 512).toInt)
+        assert(r.getInt(4) == 8 + ((id * 3) % 512).toInt)
+      }
+      if (t == "image/webp") {
+        // all three chunk variants parse to the same canvas dims
+        assert(r.getInt(3) == 4 + (id % 1024).toInt,
+          s"webp width, doc $id variant ${(id / 6) % 3}")
+        assert(r.getInt(4) == 4 + ((id * 5) % 1024).toInt,
+          s"webp height, doc $id variant ${(id / 6) % 3}")
+      }
+      if (t == "audio/wav" || t == "video/mp4" || t == "unknown")
+        assert(r.isNullAt(3) && r.isNullAt(4))
       if (t != "audio/wav") assert(r.isNullAt(6) && r.isNullAt(7))
       if (t != "video/mp4") assert(r.isNullAt(8))
       if (t == "video/mp4")
         assert(r.getLong(9) ==
           (90L + (id * 31) % 100000) * 1000000L / (600L * (1 + id % 5)))
       if (t == "audio/wav") assert(!r.isNullAt(9))
-      if (t == "image/png" || t == "image/jpeg" || t == "unknown") assert(r.isNullAt(9))
+      if (t != "audio/wav" && t != "video/mp4") assert(r.isNullAt(9))
     }
+    // all three WebP variants are present in the corpus
+    val variants = rows.filter(_.getString(1) == "image/webp")
+      .map(r => (r.getLong(0) / 6) % 3).toSet
+    assert(variants == Set(0L, 1L, 2L), s"webp variants seen: $variants")
+  }
+
+  test("GIF and WebP parse genuine hand-built headers; truncation degrades to null dims") {
+    import spark.implicits._
+    def le2(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le3(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte)
+    def le4(v: Long) = (0 to 3).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    val gif89 = "GIF89a".getBytes("US-ASCII") ++ le2(640) ++ le2(480) ++
+      Array.fill(7)(0.toByte)
+    val gif87 = "GIF87a".getBytes("US-ASCII") ++ le2(13) ++ le2(11)
+    def riff(chunk: Array[Byte]) =
+      "RIFF".getBytes("US-ASCII") ++ le4(4L + chunk.length) ++
+        "WEBP".getBytes("US-ASCII") ++ chunk
+    val vp8x = riff("VP8X".getBytes("US-ASCII") ++ le4(10L) ++
+      Array.fill(4)(0.toByte) ++ le3(799) ++ le3(599))
+    val vp8 = riff("VP8 ".getBytes("US-ASCII") ++ le4(10L) ++
+      Array.fill(3)(0.toByte) ++ Array(0x9d, 0x01, 0x2a).map(_.toByte) ++
+      le2(320) ++ le2(240))
+    val vp8lBits = (1023 - 1) | ((767 - 1) << 14)
+    val vp8l = riff("VP8L".getBytes("US-ASCII") ++ le4(5L) ++
+      Array(0x2f.toByte) ++ le4(vp8lBits.toLong))
+    val truncatedGif = gif89.take(8)
+    val truncatedWebp = vp8x.take(14)
+    val out = MultimodalOps.mediaCatalogOf(
+      Seq((1L, gif89), (2L, gif87), (3L, vp8x), (4L, vp8), (5L, vp8l),
+        (6L, truncatedGif), (7L, truncatedWebp))
+        .toDF("doc_id", "payload")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "image/gif" &&
+      out(1L).getInt(3) == 640 && out(1L).getInt(4) == 480)
+    assert(out(2L).getString(1) == "image/gif" &&
+      out(2L).getInt(3) == 13 && out(2L).getInt(4) == 11)
+    assert(out(3L).getString(1) == "image/webp" &&
+      out(3L).getInt(3) == 800 && out(3L).getInt(4) == 600)
+    assert(out(4L).getString(1) == "image/webp" &&
+      out(4L).getInt(3) == 320 && out(4L).getInt(4) == 240)
+    assert(out(5L).getString(1) == "image/webp" &&
+      out(5L).getInt(3) == 1023 && out(5L).getInt(4) == 767)
+    // truncation: container detected (or unknown), dims null, no crash
+    assert(out(6L).getString(1) == "image/gif" && out(6L).isNullAt(4))
+    assert(out(7L).getString(1) == "image/webp" &&
+      out(7L).isNullAt(3) && out(7L).isNullAt(4))
   }
 
   test("batched decode is deterministic and covers every record") {
