@@ -554,6 +554,18 @@ object QualityModelOps {
   def loadPplCuts(s: SparkSession, path: String): DataFrame =
     graft.ArtifactStore.loadTable(s, path, "ppl_cuts")
 
+  /** The fused ingest gate's closure value, assembled from the three
+    * persisted artifacts above — a deployment trains + persists once
+    * ([[writeLmModel]]/[[writeDsirModel]]/[[writePplCuts]]) and every
+    * ingest job loads the scorer from disk (parity spec-pinned in
+    * ArtifactParitySpec). */
+  def loadEnsembleArtifacts(s: SparkSession,
+      path: String): graft.functions.EnsembleArtifacts = {
+    val (cb, cw) = loadLmModel(s, path)
+    graft.functions.EnsembleArtifacts.of(
+      cb, cw, loadPplCuts(s, path), loadDsirModel(s, path))
+  }
+
   // --------------------------------------------- ensemble gate
 
   /** The full quality cascade in ONE plan — the CCNet/RefinedWeb

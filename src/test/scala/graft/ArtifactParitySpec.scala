@@ -75,6 +75,15 @@ class ArtifactParitySpec extends SparkSpec {
         .map(r => r.getLong(0) -> r.mkString(",")).toMap
     }
     assert(score(cbL, cwL, "lm_loaded") == score(cb, cw, "lm_fresh"))
+
+    // the fused ingest scorer assembled from the LOADED artifacts
+    // emits verdicts identical to the inline-trained one
+    val artFresh = graft.functions.EnsembleArtifacts.of(cb, cw, cuts, dsir)
+    val artLoaded = QualityModelOps.loadEnsembleArtifacts(spark, path)
+    def fused(a: graft.functions.EnsembleArtifacts): Set[String] =
+      rowsOf(graft.streaming.EventStream.qualityEnsembleStreamFused(
+        docs.select(col("doc_id"), col("lang"), col("text")), a))
+    assert(fused(artLoaded) == fused(artFresh))
   }
 
   test("NB model tables round-trip and classify identically") {
