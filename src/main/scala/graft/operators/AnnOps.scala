@@ -761,6 +761,25 @@ object AnnOps {
       cents, cb, encoded, embeddingsWithNorm(s, dir))
   }
 
+  /** Persist the IVFADC artifacts: the coarse centroids are the IVF
+    * index's own (shared), so only the residual codebook and the
+    * cluster-keyed encoded corpus are new tables; the encoded corpus
+    * is repartitioned by cluster_id on write like the inverted file,
+    * so a probe's (cluster_id, subspace, code) join reads only the
+    * probed cells' files. */
+  def writeIvfPq(cents: DataFrame, cb: DataFrame, encoded: DataFrame,
+      path: String): Unit = {
+    cents.write.mode("overwrite").parquet(s"$path/ivfpq_centroids")
+    cb.write.mode("overwrite").parquet(s"$path/ivfpq_codebook")
+    encoded.repartition(col("cluster_id"))
+      .write.mode("overwrite").parquet(s"$path/ivfpq_encoded")
+  }
+
+  def loadIvfPq(s: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) =
+    (s.read.parquet(s"$path/ivfpq_centroids"),
+      s.read.parquet(s"$path/ivfpq_codebook"),
+      s.read.parquet(s"$path/ivfpq_encoded"))
+
   private val ivfpqCache = new graft.SessionCache[(DataFrame, DataFrame, DataFrame)]()
 
   /** (coarse centroids, shared residual codebook, encoded corpus) for

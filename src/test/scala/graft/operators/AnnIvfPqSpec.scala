@@ -42,6 +42,36 @@ class AnnIvfPqSpec extends SparkSpec {
     }
   }
 
+  test("candidate volume is the probed cells' population, not the corpus") {
+    val (cents, cb, encoded) = AnnOps.ivfpqFor(spark, sfDir)
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    val k = cents.count()
+    // per query, ADC touches |probed cells| vectors ≈ N·nprobe/K; with
+    // cell skew, bound by 4× the expectation
+    val cellSizes = encoded.filter(col("subspace") === 0)
+      .groupBy("cluster_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val worstProbe = cellSizes.values.toSeq.sorted.reverse
+      .take(AnnOps.nprobe).sum
+    assert(worstProbe <= 4L * n * AnnOps.nprobe / k,
+      s"worst-case probe population $worstProbe vs n=$n k=$k")
+  }
+
+  test("persisted IVFADC artifacts search identically to the inline-trained index") {
+    val (cents, cb, encoded) = AnnOps.ivfpqFor(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    AnnOps.writeIvfPq(cents, cb, encoded, path)
+    val (centsL, cbL, encodedL) = AnnOps.loadIvfPq(spark, path)
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(graft.functions.GraftFunctions.dot(col("v"), col("v"))))
+    val q = e.filter(col("vec_id") < AnnOps.nQueries)
+    def rows(c: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+        enc: org.apache.spark.sql.DataFrame) =
+      AnnOps.annIvfPqSearch(q, c, b, enc, e).collect().map(_.toString).toSeq
+    assert(rows(centsL, cbL, encodedL) == rows(cents, cb, encoded))
+  }
+
   test("training is deterministic: two fresh trains produce identical artifacts") {
     val e = AnnOps.annTopk(spark, sfDir) // warm nothing relevant; just sanity
     assert(e.columns.nonEmpty)
