@@ -603,6 +603,28 @@ object QualityModelOps {
       .orderBy("doc_id")
   }
 
+  /** The SAME gate through the fused native closure scorer
+    * ([[graft.functions.QualityEnsembleScore]]) — registered as its
+    * own query row against the IDENTICAL DuckDB oracle, so the
+    * ingest-speed scorer is hash-checked by an independent engine,
+    * not merely spec-pinned to the batch plan: the artifacts are
+    * trained from the corpus exactly as the batch gate trains them,
+    * collapse into the closure, and one stateless projection emits
+    * the verdict rows. `target_like` for featureless docs is false in
+    * both (the scorer's empty-histogram sum rounds to 0.0 > 0 =
+    * false, matching the batch coalesce). */
+  def qualityEnsembleFused(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(s, Tables.documents(s, dir))
+    val (cb, cw) = lmModelOf(docs)
+    val cuts = pplCutsOf(lmPerplexity(s, dir)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")))
+    val art = graft.functions.EnsembleArtifacts.of(
+      cb, cw, cuts, dsirModelOf(docs))
+    graft.streaming.EventStream.qualityEnsembleStreamFused(
+      docs.select(col("doc_id"), col("lang"), col("text")), art)
+      .orderBy("doc_id")
+  }
+
   /** Oracle: the component oracles verbatim as CTE bodies (each is a
     * hash-green row on its own), joined on doc_id. */
   lazy val qualityEnsembleSql: String = {
@@ -626,12 +648,15 @@ object QualityModelOps {
     "q_ppl_buckets"   -> (pplBuckets _),
     "q_dsir_weights"  -> (dsirWeights _),
     "q_backoff_score" -> (backoffScore _),
-    "q_quality_ensemble" -> (qualityEnsemble _))
+    "q_quality_ensemble" -> (qualityEnsemble _),
+    "q_quality_ensemble_fused" -> (qualityEnsembleFused _))
 
   def oracles: Map[String, String] = Map(
     "q_lm_perplexity" -> lmPerplexitySql,
     "q_ppl_buckets"   -> pplBucketsSql,
     "q_dsir_weights"  -> dsirWeightsSql,
     "q_backoff_score" -> backoffScoreSql,
-    "q_quality_ensemble" -> qualityEnsembleSql)
+    "q_quality_ensemble" -> qualityEnsembleSql,
+    // the fused scorer must reproduce the identical verdict rows
+    "q_quality_ensemble_fused" -> qualityEnsembleSql)
 }

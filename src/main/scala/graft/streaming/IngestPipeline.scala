@@ -29,16 +29,24 @@ object IngestPipeline {
 
   /** The gate as a frame transform: score each document with the
     * broadcast trained artifacts, keep the keep=true rows, carry the
-    * audit columns a shard consumer wants (why did this doc pass).
-    * `docs` needs (doc_id, lang, text). */
-  def gatedDocs(docs: DataFrame, artifacts: EnsembleArtifacts): DataFrame =
+    * audit columns a shard consumer wants (why did this doc pass) AND
+    * the byte-fallback BPE id stream — the column a training shard
+    * actually exists to store (zero OOV, byte-lossless; the encoder
+    * is the same native per-row expression, so attaching ids costs
+    * scan speed). `docs` needs (doc_id, lang, text). */
+  def gatedDocs(docs: DataFrame, artifacts: EnsembleArtifacts): DataFrame = {
+    import graft.operators.BpeOps
     docs
       .withColumn("e",
         GraftFunctions.qualityEnsemble(col("text"), col("lang"), artifacts))
       .filter(col("e.keep"))
       .select(col("doc_id"), col("lang"), col("text"),
         col("e.ppl_bucket").as("ppl_bucket"),
-        col("e.target_like").as("target_like"))
+        col("e.target_like").as("target_like"),
+        BpeOps.bpeTokenIds(
+          filter(split(col("text"), " "), w => length(w) > 0),
+          BpeOps.defaultModel, BpeOps.defaultIdMapBytes).as("token_ids"))
+  }
 
   /** Wire and start the full pipeline. Returns the running query;
     * stop/restart with the same `ckptDir` resumes exactly-once. */

@@ -73,6 +73,20 @@ class GatedIngestSpec extends SparkSpec {
     streamed.foreach { case (id, v) => assert(v == batchKeep(id), s"doc $id audit") }
     assert(streamed.nonEmpty && streamed.size < docs.count())
 
+    // shards carry the training payload: byte-fallback id streams,
+    // zero OOV, decoding back to the document's own words
+    val idRows = landed.select(col("doc_id"), col("token_ids"), col("text"))
+      .collect()
+    idRows.foreach { r =>
+      val ids = r.getSeq[Int](1)
+      assert(ids.nonEmpty && !ids.contains(-1), s"doc ${r.getLong(0)} ids")
+      val decoded = new String(
+        graft.operators.BpeOps.defaultIdMapBytes.decodeBytes(ids),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(decoded == r.getString(2).split(" ").filter(_.nonEmpty).mkString(""),
+        s"doc ${r.getLong(0)} id stream does not decode to its text")
+    }
+
     // shard membership is the batch writer's pure id-hash rule
     // (layout identity with writeShards is pinned in ShardWriterSpec);
     // here: every shard value is in range and deterministic
