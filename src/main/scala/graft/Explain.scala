@@ -49,6 +49,11 @@ object Explain {
       "q_flow_errors"        -> Seq("ObjectHashAggregate"),
       "q_search_entry"       -> Seq("Window", "Generate"),
       "q_ann_topk"           -> Seq("BroadcastNestedLoopJoin"),
+      // Hamming screen: broadcast queries against the one-long-per-vector
+      // sketch corpus, per-query top-R window, equi-join rerank — the
+      // float corpus is only touched through the shortlist hash join
+      "q_ann_hamming"        -> Seq("BroadcastNestedLoopJoin", "Window",
+        "BroadcastHashJoin"),
       // df must be a hash aggregation (map-side partials collapse hot
       // words), never a whole-partition window on the word key
       // the 1-row n_docs total rides an explicit broadcast hint — no
@@ -277,7 +282,10 @@ object Explain {
       "q_contamination_bpe"  -> Seq("BroadcastHashJoin"),
       // tokenizer-health report: map-side array accounting + ONE
       // per-source hash agg — no explode, no join
-      "q_bpe_coverage"       -> Seq("HashAggregate"))
+      "q_bpe_coverage"       -> Seq("HashAggregate"),
+      // token-budget mix: encoder is a projection; the exact quota costs
+      // exactly one shuffle — the per-source running-total window
+      "q_token_budget_mix"   -> Seq("Window"))
 
     // anti-patterns per query: substrings that must NOT appear. Expand
     // is countDistinct's row-multiplying fallback — these queries are
@@ -290,6 +298,9 @@ object Explain {
       // vocab rides the closure, NOT a join)
       "q_bpe_tokens"        -> Seq("Join", "HashAggregate", "Window"),
       "q_bpe_ids"           -> Seq("Join", "HashAggregate", "Window"),
+      // the quota verdict needs no join and no aggregation — both window
+      // sums share the one per-source exchange
+      "q_token_budget_mix"  -> Seq("Join", "HashAggregate"),
       "q_token_cms"         -> Seq("Expand", "Window"),
       "q_dau_wau"           -> Seq("Expand", "Window"),
       "q_retention_cohorts" -> Seq("Expand", "Window"),

@@ -108,6 +108,110 @@ object AnnOps {
     annIvfSearch(embeddingsWithNorm(s, dir), cents, assigned)
   }
 
+  // ---------------------------------------- binary Hamming-sketch ANN
+
+  /** Hamming-stage shortlist size: candidates per query that survive
+    * sign-sketch screening and get the exact float rerank. */
+  val hammingShortlist = 50
+
+  /** The 64 bit weights (1L << i) as a literal array: sign bits fold in
+    * with bitwiseOR — a multiply-accumulate fold would overflow a long
+    * at bit 63, which ANSI mode rejects; OR of disjoint weights cannot
+    * overflow. */
+  private val bitWeights: Column =
+    array((0 until 64).map(i => lit(1L << i)): _*)
+
+  /** Binary sign sketch: bit i set iff v(i) >= 0. dim = 64 packs the
+    * whole vector into ONE long (a wider embedding would carry
+    * ceil(dim/64) longs, same fold per word). NaN compares above zero
+    * on both engines (larger-than-everything float ordering), so the
+    * sketch is engine-exact. */
+  def signBits(v: Column): Column =
+    aggregate(
+      zip_with(v, bitWeights, (x, w) => when(x >= 0.0d, w).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+
+  /** Binary-quantized ANN: screen candidates by Hamming distance on the
+    * 64-bit sign sketch — sign-random-projection LSH in the Charikar
+    * (STOC 2002) sense, with the coordinate axes as hyperplanes — then
+    * exact-cosine rerank of the per-query `hammingShortlist` survivors.
+    * Unlike IVF/PQ this scale path is fully deterministic (ties break
+    * on neighbor id at BOTH stages), so the driver oracle hash-checks
+    * it end to end: the DuckDB twin reproduces the Hamming distance in
+    * pure list arithmetic, |q XOR c| = pop(q) + pop(c) - 2*dot(sq, sc).
+    *
+    * Scale shape: the screening corpus carries (neighbor_id, one long)
+    * — 32x smaller than the float32 vectors, ~12 GB per billion
+    * vectors; queries broadcast; the per-pair cost is one XOR+POPCNT
+    * inside whole-stage codegen; the only wide shuffle is the per-query
+    * top-R window over narrow (id, id, int) rows; float vectors are
+    * read back only for the |Q| * R shortlist equi-join. */
+  def annHamming(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddingsWithNorm(s, dir).withColumn("bits", signBits(col("v")))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("bits").as("qb"),
+        col("v").as("qv"), col("norm").as("qn"))
+    val sketches = e.select(col("vec_id").as("neighbor_id"), col("bits").as("cb"))
+    val wH = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val short = sketches
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", bit_count(col("qb").bitwiseXOR(col("cb"))))
+      .withColumn("hr", row_number().over(wH))
+      .filter(col("hr") <= hammingShortlist)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        col("qv"), col("qn"))
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    short
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("norm").as("cn")), Seq("neighbor_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wC))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Independent DuckDB re-execution: the sign sketch as a 0/1 double
+    * list, Hamming via the popcount identity (exact small-integer
+    * arithmetic in doubles), identical shortlist and rerank tie rules. */
+  val annHammingSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |      CAST(embedding AS DOUBLE[]))) AS norm
+       |  FROM embeddings),
+       |sp AS (
+       |  SELECT vec_id, v, norm, sb, list_dot_product(sb, sb) AS pop
+       |  FROM (SELECT vec_id, v, norm,
+       |    list_transform(v, x -> CASE WHEN x >= 0 THEN 1.0 ELSE 0.0 END) AS sb
+       |    FROM e)),
+       |ham AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(q.pop + c.pop - 2 * list_dot_product(q.sb, c.sb) AS INTEGER)
+       |      AS hamming
+       |  FROM sp q JOIN sp c ON q.vec_id < $nQueries AND q.vec_id <> c.vec_id),
+       |short AS (
+       |  SELECT query_id, neighbor_id, hamming
+       |  FROM (SELECT query_id, neighbor_id, hamming,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY hamming ASC, neighbor_id ASC) AS hr FROM ham)
+       |  WHERE hr <= $hammingShortlist),
+       |rer AS (
+       |  SELECT s.query_id, s.neighbor_id, s.hamming,
+       |    list_dot_product(q.v, c.v) / (q.norm * c.norm) AS cosine
+       |  FROM short s
+       |  JOIN sp q ON s.query_id = q.vec_id
+       |  JOIN sp c ON s.neighbor_id = c.vec_id)
+       |SELECT query_id, rank, neighbor_id, hamming FROM (
+       |  SELECT query_id, neighbor_id, hamming,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM rer)
+       |WHERE rank <= $topK
+       |ORDER BY query_id, rank""".stripMargin
+
   // ---------------------------------------------- per-label centroids
 
   /** Per-label embedding centroid (element-wise mean) — the summary a
@@ -866,6 +970,7 @@ object AnnOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_topk"        -> (annTopk _),
+    "q_ann_hamming"     -> (annHamming _),
     "q_ann_ivf"         -> (annIvf _),
     "q_ann_pq"          -> (annPq _),
     "q_ann_ivfpq"       -> (annIvfPq _),
@@ -879,6 +984,7 @@ object AnnOps {
   /** IVF is approximate by construction — spec-pinned, rows-only check. */
   def oracles: Map[String, String] = Map(
     "q_ann_topk"        -> annTopkSql,
+    "q_ann_hamming"     -> annHammingSql,
     "q_knn_graph"       -> knnGraphSql,
     "q_embed_centroids" -> embedCentroidsSql,
     "q_embed_outliers"  -> embedOutliersSql,

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 import graft.functions.{BpeEncode, BpeEncodeIds, BpeIdMap, BpeModel}
@@ -343,6 +344,63 @@ object BpeOps {
       .select("doc_id", "source", "n_tokens", "pack_id", "pack_offset")
       .orderBy("doc_id")
 
+  // ---------------------------------------------- token-budget mix
+
+  /** Deterministic pseudo-random order key for budget selection: one
+    * Park-Miller/Lehmer step (id * 48271 mod 2^31-1) — pure integer
+    * arithmetic both engines compute bit-identically (ids up to ~2^44
+    * stay inside a long under the multiply; a content hash replaces it
+    * if ids can exceed that). */
+  private def budgetOrderKey(id: Column): Column =
+    pmod(id * lit(48271L), lit(2147483647L))
+
+  /** Token-budget corpus selection: per source, keep documents in a
+    * deterministic hash-shuffled order until the source's REAL-BPE
+    * token budget is exhausted — the exact-quota form of corpus mixing
+    * (a training run is budgeted in tokens, not documents, and an
+    * over-represented source must land within one document of its
+    * quota, not just in expectation). `budgetOf` maps each source's
+    * total token mass to its budget. Output keeps every row with its
+    * audit trail (running mass before the doc + the verdict), so the
+    * dropped complement is inspectable.
+    *
+    * Scale: one scan + encoder (the token counts are a native
+    * projection), then ONE shuffle for the per-source running-total
+    * window. The per-source sort is the price of an exact quota; when
+    * sources are few (the universal case — a mix config names tens of
+    * sources, not millions) each source's row stream is a single
+    * ordered partition and AQE handles the rest. When an exact quota
+    * is NOT required, [[PipelineOps.sampleByRateOf]] with
+    * rate = budget/total is the stateless map-side form — this
+    * operator is for the contract where the quota is hard. */
+  def tokenBudgetMixOf(df: DataFrame, id: Column, source: Column,
+      nTokens: Column, budgetOf: Column => Column): DataFrame = {
+    val base = df.select(id.as("doc_id"), source.as("source"),
+      nTokens.cast("long").as("n_tokens"))
+    val wOrd = Window.partitionBy(col("source"))
+      .orderBy(col("_ord").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("source"))
+    base
+      .withColumn("_ord", budgetOrderKey(col("doc_id")))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(wOrd), lit(0L)))
+      .withColumn("_budget", budgetOf(sum(col("n_tokens")).over(wAll)))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_before"),
+        (col("cum_before") < col("_budget")).as("kept"))
+  }
+
+  /** The query row: keep half of every source's total BPE token mass
+    * (budget = total >> 1 — integer halving, engine-exact). Both
+    * verdict classes are populated at every sf because the budget is
+    * relative to the source's own mass. */
+  def tokenBudgetMix(s: SparkSession, dir: String): DataFrame =
+    tokenBudgetMixOf(
+      wordedDocs(s, dir).withColumn("n_tokens",
+        size(bpeTokens(filter(split(col("text"), " "), w => length(w) > 0)))),
+      col("doc_id"), col("source"), col("n_tokens"),
+      total => shiftright(total, 1))
+      .orderBy("doc_id")
+
   /** Generic API: each document's BPE token stream re-joined to a
     * single-space text column, so every downstream word-domain operator
     * (shingling, n-gram dedup, decontamination) runs in TOKEN space by
@@ -470,6 +528,28 @@ object BpeOps {
        |SELECT doc_id, source, n_tokens,
        |  CAST(floor(cum_before / ${PipelineOps.packBudget}.0) AS BIGINT) AS pack_id,
        |  CAST(cum_before % ${PipelineOps.packBudget} AS BIGINT) AS pack_offset
+       |FROM cum ORDER BY doc_id""".stripMargin
+
+  /** Budget-mix twin: token counts from the CTE-encoded streams, the
+    * same Lehmer order key and integer-halved budget — every compared
+    * cell is integer arithmetic, so the verdict rows hash-match. */
+  val tokenBudgetMixSql: String =
+    s"""WITH RECURSIVE
+       |$encodedWordsCte,
+       |counts AS (
+       |  SELECT p.doc_id, d.source, CAST(len(p.toks) AS BIGINT) AS n_tokens,
+       |    (p.doc_id * 48271) % 2147483647 AS ord
+       |  FROM perdoc p JOIN documents d ON p.doc_id = d.doc_id),
+       |cum AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY ord, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY source) // 2 AS BIGINT)
+       |      AS budget
+       |  FROM counts)
+       |SELECT doc_id, source, n_tokens, cum_before, cum_before < budget AS kept
        |FROM cum ORDER BY doc_id""".stripMargin
 
   /** Tokenizer-health report — the per-source coverage audit run
@@ -645,6 +725,7 @@ object BpeOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_tokens" -> (bpeTokenCounts _),
     "q_pack_sequences_bpe" -> (packSequencesBpe _),
+    "q_token_budget_mix" -> (tokenBudgetMix _),
     "q_contamination_bpe" -> (contaminationBpe _),
     "q_bpe_coverage" -> (bpeCoverage _),
     "q_bpe_ids" -> (bpeIdCounts _),
@@ -653,6 +734,7 @@ object BpeOps {
   def oracles: Map[String, String] = Map(
     "q_bpe_tokens" -> bpeTokenCountsSql,
     "q_pack_sequences_bpe" -> packSequencesBpeSql,
+    "q_token_budget_mix" -> tokenBudgetMixSql,
     "q_contamination_bpe" -> contaminationBpeSql,
     "q_bpe_coverage" -> bpeCoverageSql,
     "q_bpe_ids" -> bpeIdCountsSql,
