@@ -132,6 +132,29 @@ object StreamBench {
       println(f"== ${"quality_ens_fused"}%-22s ${enRows.size}%8d docs  $dt3%7.2f s  ${enRows.size / dt3}%9.0f docs/s")
     }
 
+    // ---- streaming Hamming-sketch ANN probe against the banded sign-
+    // sketch index (vectors/s: per query, eight 8-bit bucket joins +
+    // one windowed top-k rollup — no floats until the rerank join)
+    locally {
+      import graft.operators.AnnOps
+      val e = AnnOps.embeddingsWithNorm(spark, srcDir).localCheckpoint()
+      val bands = AnnOps.sketchBandsOf(e).localCheckpoint()
+      val vecRows: Seq[(Long, Seq[Float])] = (0 until mult).flatMap { i =>
+        Tables.embeddings(spark, srcDir)
+          .select(col("vec_id") + lit(i * shift), col("embedding"))
+          .as[(Long, Seq[Float])].collect()
+      }
+      val stream = MemoryStream[(Long, Seq[Float])]
+      stream.addData(vecRows)
+      val q = EventStream.hammingProbeStream(
+          stream.toDF().toDF("vec_id", "embedding"), bands, e)
+        .writeStream.format("noop").outputMode("update").start()
+      val t0 = System.nanoTime()
+      try q.processAllAvailable() finally q.stop()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"== ${"hamming_probe"}%-22s ${vecRows.size}%8d vecs  $dt%7.2f s  ${vecRows.size / dt}%9.0f vecs/s")
+    }
+
     // ---- stateful per-user transition feed over the event stream
     // (events/s, not docs/s: the state is one record per user)
     locally {

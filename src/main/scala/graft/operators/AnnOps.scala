@@ -24,7 +24,7 @@ object AnnOps {
 
   private def dot(a: Column, b: Column): Column = graft.functions.GraftFunctions.dot(a, b)
 
-  private[operators] def embeddingsWithNorm(s: SparkSession, dir: String): DataFrame =
+  private[graft] def embeddingsWithNorm(s: SparkSession, dir: String): DataFrame =
     Tables.spread(s, Tables.embeddings(s, dir))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
@@ -166,6 +166,73 @@ object AnnOps {
     short
       .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
         col("norm").as("cn")), Seq("neighbor_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wC))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Band layout for the sketch LSH: 8 bands x 8 bits. Pigeonhole
+    * guarantee — any pair within Hamming distance 7 (< number of
+    * bands) shares at least one EXACT band, so band equality is a
+    * recall contract for near twins, not just a heuristic; at 8 bits
+    * a random pair matches a given band with p = 2^-8, so the
+    * screened candidate volume is ~3% of the corpus per query on
+    * unclustered data and concentrates on true neighbors as angular
+    * structure grows (16-bit bands measured ZERO candidates on the
+    * weakly-clustered test embeddings — a screen, not a contract). */
+  val hammingBands = 8
+  val hammingBandBits = 8
+
+  private[graft] def bandStructsOf(bits: Column): Column =
+    array((0 until hammingBands).map { b =>
+      struct(lit(b).as("band_id"),
+        shiftrightunsigned(bits, b * hammingBandBits)
+          .bitwiseAND(lit(0xFFL)).as("band_key"))
+    }: _*)
+
+  /** The banded sketch index: one (vec_id, bits, band_id, band_key)
+    * row per (vector, band) — the standing artifact a streaming probe
+    * equi-joins instead of scanning every sketch. 4 narrow rows per
+    * corpus vector; persist bucketed by (band_id, band_key) at scale
+    * so a probe reads only its buckets. The full sketch rides along so
+    * the exact Hamming verify needs no second lookup. */
+  def sketchBandsOf(e: DataFrame): DataFrame =
+    e.withColumn("bits", signBits(col("v")))
+      .select(col("vec_id"), col("bits"),
+        explode(bandStructsOf(col("bits"))).as("band"))
+      .select(col("vec_id"), col("bits"),
+        col("band.band_id").as("band_id"), col("band.band_key").as("band_key"))
+
+  /** Banded-Hamming search: candidates are corpus vectors sharing at
+    * least one exact band with the query (an equi-join on
+    * (band_id, band_key) — no per-query corpus scan, unlike
+    * [[annHamming]]'s global top-R screen), deduped, then exact-cosine
+    * reranked. The batch twin of the streaming probe
+    * ([[graft.streaming.EventStream.hammingProbeStream]] — parity
+    * spec-pinned); `q` is any (vec_id, v, norm) frame, `bands` a
+    * [[sketchBandsOf]] index, `e` the float corpus for rerank. */
+  def annHammingBandedSearch(q: DataFrame, bands: DataFrame,
+      e: DataFrame): DataFrame = {
+    val qb = sketchBandsOf(q)
+      .select(col("vec_id").as("query_id"), col("bits").as("qbits"),
+        col("band_id"), col("band_key"))
+    val cands = qb
+      .join(bands.select(col("vec_id").as("neighbor_id"),
+        col("bits").as("cbits"), col("band_id"), col("band_key")),
+        Seq("band_id", "band_key"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        bit_count(col("qbits").bitwiseXOR(col("cbits"))).as("hamming"))
+      .distinct()
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cands
+      .join(broadcast(q.select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("norm").as("qn"))), "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("norm").as("cn")), "neighbor_id")
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(wC))
       .filter(col("rank") <= topK)

@@ -304,6 +304,66 @@ object EventStream {
         (-col("c.nid")).as("neighbor_id"))
   }
 
+  /** Streaming binary-sketch ANN probe against the persisted banded
+    * sign-sketch index ([[graft.operators.AnnOps.sketchBandsOf]]): the
+    * cheapest standing-artifact ANN answerer — the index rows are four
+    * (id, long, int, int) tuples per corpus vector (no floats, no
+    * training), and the probe plan is entirely stateless until the
+    * final top-k rollup.
+    *
+    * Per query vector: the 64-bit sign sketch and its eight 8-bit
+    * bands compute map-side (one native fold), candidates are a
+    * stream-static EQUI-join on (band_id, band_key) — only the
+    * query's eight buckets are read, never the corpus — the exact
+    * Hamming distance verifies on the riding sketch (XOR+POPCNT),
+    * cosine reranks through one more stateless equi-join to the float
+    * corpus, and ONE watermark-bounded per-query aggregation emits
+    * top-k (collect_set dedupes multi-band hits exactly — identical
+    * (cosine, nid) structs collapse). Pigeonhole contract: any corpus
+    * vector within Hamming 7 of the query shares a band and WILL be
+    * scored. Output rows equal the batch
+    * [[graft.operators.AnnOps.annHammingBandedSearch]] on the same
+    * index (spec-pinned).
+    *
+    * `vecs` needs (vec_id, embedding); emits (query_id, rank,
+    * neighbor_id). `update` mode for per-batch answers, `append` for
+    * watermark-finalized rows — like [[annProbeStream]]. */
+  def hammingProbeStream(vecs: DataFrame, bands: DataFrame, corpus: DataFrame,
+      windowDur: String = "1 minute",
+      watermarkDelay: String = "10 seconds"): DataFrame = {
+    import graft.operators.AnnOps
+    import graft.functions.GraftFunctions.dot
+    val qs = vecs
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        current_timestamp().as("ingest_ts"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("bits", AnnOps.signBits(col("v")))
+      .select(col("vec_id").as("query_id"), col("ingest_ts"),
+        col("v").as("qv"), col("norm").as("qn"), col("bits").as("qbits"),
+        explode(AnnOps.bandStructsOf(col("bits"))).as("band"))
+      .select(col("query_id"), col("ingest_ts"), col("qv"), col("qn"),
+        col("qbits"), col("band.band_id").as("band_id"),
+        col("band.band_key").as("band_key"))
+      .withWatermark("ingest_ts", watermarkDelay)
+    qs
+      .join(bands.select(col("vec_id").as("neighbor_id"),
+        col("bits").as("cbits"), col("band_id"), col("band_key")),
+        Seq("band_id", "band_key"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("norm").as("cn")), Seq("neighbor_id"))
+      .select(col("query_id"), col("ingest_ts"),
+        struct((dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"),
+          (-col("neighbor_id")).as("nid")).as("cand"))
+      .groupBy(window(col("ingest_ts"), windowDur), col("query_id"))
+      .agg(slice(reverse(array_sort(collect_set(col("cand")))),
+        1, AnnOps.topK).as("top"))
+      .drop("window")
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r0", "c")))
+      .select(col("query_id"), (col("r0") + 1).cast("int").as("rank"),
+        (-col("c.nid")).as("neighbor_id"))
+  }
+
   /** Streaming heavy-hitter tokens — the native SpaceSaving aggregate
     * ([[graft.functions.HeavyHittersAgg]]) as watermark-bounded
     * streaming state: per window, the state store holds ONE bounded
