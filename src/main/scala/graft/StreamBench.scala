@@ -132,6 +132,29 @@ object StreamBench {
       println(f"== ${"quality_ens_fused"}%-22s ${enRows.size}%8d docs  $dt3%7.2f s  ${enRows.size / dt3}%9.0f docs/s")
     }
 
+    // ---- token-budget admission gate ((doc_id, source, text) stream;
+    // native-encoder counts map-side, ONE O(sources) keyed state)
+    locally {
+      val budgets = docs
+        .withColumn("n_tokens", size(graft.operators.BpeOps.bpeTokens(
+          filter(split(col("text"), " "), w => length(w) > 0))).cast("long"))
+        .groupBy("source").agg(sum("n_tokens").as("t")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1) >> 1)).toMap
+      val bgRows: Seq[(Long, String, String)] = (0 until mult).flatMap { i =>
+        docs.select(col("doc_id") + lit(i * shift), col("source"), col("text"))
+          .as[(Long, String, String)].collect()
+      }
+      val stream = MemoryStream[(Long, String, String)]
+      stream.addData(bgRows)
+      val q = EventStream.tokenBudgetGateStream(
+          stream.toDF().toDF("doc_id", "source", "text"), budgets)
+        .writeStream.format("noop").outputMode("append").start()
+      val t0 = System.nanoTime()
+      try q.processAllAvailable() finally q.stop()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"== ${"token_budget_gate"}%-22s ${bgRows.size}%8d docs  $dt%7.2f s  ${bgRows.size / dt}%9.0f docs/s")
+    }
+
     // ---- streaming Hamming-sketch ANN probe against the banded sign-
     // sketch index (vectors/s: per query, eight 8-bit bucket joins +
     // one windowed top-k rollup — no floats until the rerank join)

@@ -480,6 +480,59 @@ object EventStream {
       }
   }
 
+  final case class BudgetState(spent: Long)
+  final case class BudgetVerdict(doc_id: Long, source: String, n_tokens: Long,
+      cum_before: Long, kept: Boolean)
+
+  /** Streaming token-budget admission gate: the ingest-side twin of
+    * [[graft.operators.BpeOps.tokenBudgetMixOf]] — each source admits
+    * documents until its REAL-BPE token budget is spent, then drops the
+    * rest, emitting the same audit row the batch mix does
+    * ((doc_id, source, n_tokens, cum_before, kept); cum_before keeps
+    * accumulating over dropped docs exactly like the batch window, so
+    * the two surfaces are row-comparable).
+    *
+    * Token counts are the native encoder as a map-side projection
+    * (zero shuffle); the only stateful operator keys on SOURCE with a
+    * single running counter per key — state is O(sources), independent
+    * of corpus size and history, the minimal footprint like
+    * [[transitionStream]]. Within a micro-batch a source's documents
+    * are admitted in the deterministic Lehmer-shuffled order the batch
+    * mix uses, so a one-batch feed reproduces the batch verdicts
+    * row-for-row and split feeds stay exactly-once on the running
+    * total (both spec-pinned). Budgets arrive as a plain map — the
+    * driver-side quota config every token-budgeted ingest carries;
+    * an unlisted source is unthrottled. */
+  def tokenBudgetGateStream(docs: DataFrame, budgets: Map[String, Long],
+      model: graft.functions.BpeModel = graft.operators.BpeOps.defaultModel)
+      : Dataset[BudgetVerdict] = {
+    import docs.sparkSession.implicits._
+    import graft.operators.BpeOps
+    docs
+      .withColumn("n_tokens",
+        size(BpeOps.bpeTokens(
+          filter(split(col("text"), " "), w => length(w) > 0), model))
+          .cast("long"))
+      .select(col("doc_id").cast("long"), col("source"), col("n_tokens"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[BudgetState, BudgetVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (source, rows, state: GroupState[BudgetState]) =>
+          val budget = budgets.getOrElse(source, Long.MaxValue)
+          var spent = state.getOption.map(_.spent).getOrElse(0L)
+          val out = rows.toSeq
+            .sortBy(t => ((t._1 * 48271L) % 2147483647L, t._1))
+            .map { case (id, _, n) =>
+              val v = BudgetVerdict(id, source, n, spent, spent < budget)
+              spent += n
+              v
+            }
+          state.update(BudgetState(spent))
+          out.iterator
+      }
+  }
+
   /** Stateless streaming DSIR quality scoring: score an incoming
     * document stream against a trained bucket model
     * ([[graft.operators.QualityModelOps.dsirModelOf]], ≤256 rows by
