@@ -965,6 +965,85 @@ object AnnOps {
       (cents, cb, ivfpqEncodeOf(residSub, cb).localCheckpoint())
     }
 
+  // ------------------------------------- streaming-shaped ADC (arrays)
+
+  /** The encoded corpus re-pivoted to ONE row per vector —
+    * (cluster_id, neighbor_id, codes: array<int> in subspace order) —
+    * the layout a stream probes: candidate fetch stays an equi-join on
+    * cluster_id and the whole ADC distance becomes per-row array math
+    * instead of an m-way (subspace, code) join + sum. Derived once
+    * from [[ivfpqEncodeOf]]'s row form and persistable next to it. */
+  def ivfpqEncodedArrays(encoded: DataFrame): DataFrame =
+    encoded.groupBy(col("cluster_id"), col("vec_id").as("neighbor_id"))
+      .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
+        t => t.getField("code")).as("codes"))
+
+  /** The shared residual codebook collapsed to one broadcastable row:
+    * grid(subspace+1)(code+1).cv — m×k×(d/m) doubles, kilobytes. */
+  def codebookGrid(cb: DataFrame): DataFrame =
+    codebookArr(cb)
+      .agg(transform(array_sort(collect_list(struct(col("subspace"), col("cents")))),
+        t => t.getField("cents")).as("grid"))
+
+  /** Probe expansion shared by the batch ADC top-k and the streaming
+    * IVFADC probe: for a frame carrying (query_id, qv, qn) plus any
+    * pass-through columns (e.g. the stream's ingest_ts), emit one row
+    * per (query, probed cell) with the query's residual subvectors
+    * against that cell's centroid. Pure map-side against two broadcast
+    * scalars (centroid array + per-cell centroid lookup). */
+  private[graft] def adcProbes(frame: DataFrame, cents: DataFrame): DataFrame =
+    frame
+      .crossJoin(broadcast(centArr(cents)))
+      .withColumn("probe",
+        explode(slice(reverse(array_sort(centScores(col("qv"), col("qn")))),
+          1, nprobe)))
+      .withColumn("cluster_id", -col("probe.nid"))
+      .drop("probe", "cents")
+      .join(broadcast(centById(cents)), Seq("cluster_id"))
+      .withColumn("rq",
+        subSplit(zip_with(col("qv"), col("ccv"),
+          (x, c) => x / col("qn") - c / col("ccn"))))
+      .drop("ccv", "ccn")
+
+  /** Scored ADC candidates: probe rows equi-join the array-form encoded
+    * corpus on cluster_id, the codebook grid rides as one broadcast
+    * scalar, and the approximate distance is a DETERMINISTIC
+    * subspace-ordered fold per row (unlike the LUT join's shuffled
+    * 8-row sum — batch and stream computing the identical fold is what
+    * makes their outputs bit-comparable). */
+  private[graft] def adcCandidates(probes: DataFrame, encArrays: DataFrame,
+      grid: DataFrame): DataFrame =
+    probes
+      .join(encArrays, Seq("cluster_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .crossJoin(broadcast(grid))
+      .withColumn("approx_d2",
+        aggregate(
+          transform(sequence(lit(0), lit(pqSubspaces - 1)), j =>
+            l2sq(element_at(col("rq"), j + 1),
+              element_at(element_at(col("grid"), j + 1),
+                element_at(col("codes"), j + 1) + 1).getField("cv"))),
+          lit(0.0), _ + _))
+
+  /** Batch ADC top-k over the array-form index: the streaming probe's
+    * exact twin (same probes, same fold, same tie rules — spec-pinned
+    * row parity), and the ADC-only answer shape for callers that skip
+    * the exact re-rank. */
+  def annIvfPqAdcTopk(q: DataFrame, cents: DataFrame, cb: DataFrame,
+      encArrays: DataFrame): DataFrame = {
+    val probes = adcProbes(
+      q.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn")), cents)
+    adcCandidates(probes, encArrays, codebookGrid(cb))
+      .groupBy(col("query_id"))
+      .agg(slice(array_sort(collect_list(
+        struct(col("approx_d2"), col("neighbor_id")))), 1, topK).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r0", "c")))
+      .select(col("query_id"), (col("r0") + 1).cast("int").as("rank"),
+        col("c.neighbor_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
   // ------------------------------------------------ trained-index lifecycle
 
   /** The four trained ANN artifacts a deployment persists alongside the

@@ -304,6 +304,51 @@ object EventStream {
         (-col("c.nid")).as("neighbor_id"))
   }
 
+  /** Streaming IVFADC probe against the COMPRESSED persisted index
+    * ([[graft.operators.AnnOps.ivfpqEncodedArrays]] — one
+    * (cluster_id, neighbor_id, codes) row per corpus vector, 32× less
+    * than the floats): the streaming twin of
+    * [[graft.operators.AnnOps.annIvfPqAdcTopk]], answering a query
+    * stream against a corpus whose float vectors never enter the plan.
+    *
+    * Probe selection and residual subvectors compute map-side against
+    * two broadcast scalars (the coarse-centroid array and the per-cell
+    * lookup); candidates are a stateless stream-static EQUI-join on
+    * cluster_id (cluster-bucketed index reads co-located); the ADC
+    * distance is a deterministic subspace-ordered fold per row against
+    * the broadcast codebook grid — so stream and batch compute the
+    * bit-identical double and the ONE watermark-bounded per-query
+    * top-k rollup emits exactly the batch twin's rows (spec-pinned).
+    * State per in-flight query is ≤ nprobe·cell candidate structs,
+    * bounded by adaptive K like [[annProbeStream]].
+    *
+    * `vecs` needs (vec_id, embedding); emits (query_id, rank,
+    * neighbor_id). */
+  def ivfpqProbeStream(vecs: DataFrame, cents: DataFrame, cb: DataFrame,
+      encArrays: DataFrame,
+      windowDur: String = "1 minute",
+      watermarkDelay: String = "10 seconds"): DataFrame = {
+    import graft.operators.AnnOps
+    import graft.functions.GraftFunctions.dot
+    val q = vecs
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        current_timestamp().as("ingest_ts"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .select(col("vec_id").as("query_id"), col("ingest_ts"),
+        col("v").as("qv"), col("norm").as("qn"))
+    val probes = AnnOps.adcProbes(q, cents)
+      .withWatermark("ingest_ts", watermarkDelay)
+    AnnOps.adcCandidates(probes, encArrays, AnnOps.codebookGrid(cb))
+      .select(col("query_id"), col("ingest_ts"),
+        struct(col("approx_d2"), col("neighbor_id")).as("cand"))
+      .groupBy(window(col("ingest_ts"), windowDur), col("query_id"))
+      .agg(slice(array_sort(collect_list(col("cand"))), 1, AnnOps.topK).as("top"))
+      .drop("window")
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r0", "c")))
+      .select(col("query_id"), (col("r0") + 1).cast("int").as("rank"),
+        col("c.neighbor_id").as("neighbor_id"))
+  }
+
   /** Streaming binary-sketch ANN probe against the persisted banded
     * sign-sketch index ([[graft.operators.AnnOps.sketchBandsOf]]): the
     * cheapest standing-artifact ANN answerer — the index rows are four
