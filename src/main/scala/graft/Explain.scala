@@ -54,6 +54,9 @@ object Explain {
       // float corpus is only touched through the shortlist hash join
       "q_ann_hamming"        -> Seq("BroadcastNestedLoopJoin", "Window",
         "BroadcastHashJoin"),
+      // banded form: the candidate fetch is a bucket EQUI-join (no
+      // nested loop anywhere) + the rerank window
+      "q_ann_hamming_banded" -> Seq("BroadcastHashJoin", "Window"),
       // df must be a hash aggregation (map-side partials collapse hot
       // words), never a whole-partition window on the word key
       // the 1-row n_docs total rides an explicit broadcast hint — no

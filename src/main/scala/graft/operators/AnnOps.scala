@@ -240,6 +240,59 @@ object AnnOps {
       .orderBy("query_id", "rank")
   }
 
+  /** The banded query row: [[annHammingBandedSearch]] over the corpus'
+    * own [[sketchBandsOf]] index — the LSH-indexed form of
+    * [[annHamming]] (bucket equi-joins instead of a per-query corpus
+    * scan), still fully deterministic, so IT TOO hash-checks against a
+    * full SQL oracle: DuckDB rebuilds each 8-bit band key as a slice
+    * dot-product against [1,2,...,128] and replays the same candidate
+    * join, popcount-identity Hamming and rerank tie rules. */
+  def annHammingBanded(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddingsWithNorm(s, dir)
+    annHammingBandedSearch(e.filter(col("vec_id") < nQueries),
+      sketchBandsOf(e), e)
+  }
+
+  val annHammingBandedSql: String = {
+    val weights = (0 until hammingBandBits).map(j => s"${1 << j}.0").mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |      CAST(embedding AS DOUBLE[]))) AS norm
+       |  FROM embeddings),
+       |sp AS (
+       |  SELECT vec_id, v, norm, sb, list_dot_product(sb, sb) AS pop
+       |  FROM (SELECT vec_id, v, norm,
+       |    list_transform(v, x -> CASE WHEN x >= 0 THEN 1.0 ELSE 0.0 END) AS sb
+       |    FROM e)),
+       |bands AS (
+       |  SELECT vec_id, b AS band_id,
+       |    CAST(list_dot_product(
+       |      sb[$hammingBandBits*b+1 : $hammingBandBits*b+$hammingBandBits],
+       |      [$weights]) AS INTEGER) AS band_key
+       |  FROM sp CROSS JOIN (SELECT unnest(range($hammingBands)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+       |  FROM bands qb JOIN bands cb
+       |    ON qb.band_id = cb.band_id AND qb.band_key = cb.band_key
+       |  WHERE qb.vec_id < $nQueries AND qb.vec_id <> cb.vec_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    CAST(q.pop + c.pop - 2 * list_dot_product(q.sb, c.sb) AS INTEGER)
+       |      AS hamming,
+       |    list_dot_product(q.v, c.v) / (q.norm * c.norm) AS cosine
+       |  FROM cand
+       |  JOIN sp q ON cand.query_id = q.vec_id
+       |  JOIN sp c ON cand.neighbor_id = c.vec_id)
+       |SELECT query_id, rank, neighbor_id, hamming FROM (
+       |  SELECT query_id, neighbor_id, hamming,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM scored)
+       |WHERE rank <= $topK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Independent DuckDB re-execution: the sign sketch as a 0/1 double
     * list, Hamming via the popcount identity (exact small-integer
     * arithmetic in doubles), identical shortlist and rerank tie rules. */
@@ -1117,6 +1170,7 @@ object AnnOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_topk"        -> (annTopk _),
     "q_ann_hamming"     -> (annHamming _),
+    "q_ann_hamming_banded" -> (annHammingBanded _),
     "q_ann_ivf"         -> (annIvf _),
     "q_ann_pq"          -> (annPq _),
     "q_ann_ivfpq"       -> (annIvfPq _),
@@ -1131,6 +1185,7 @@ object AnnOps {
   def oracles: Map[String, String] = Map(
     "q_ann_topk"        -> annTopkSql,
     "q_ann_hamming"     -> annHammingSql,
+    "q_ann_hamming_banded" -> annHammingBandedSql,
     "q_knn_graph"       -> knnGraphSql,
     "q_embed_centroids" -> embedCentroidsSql,
     "q_embed_outliers"  -> embedOutliersSql,
