@@ -205,6 +205,17 @@ object AnnOps {
       .select(col("vec_id"), col("bits"),
         col("band.band_id").as("band_id"), col("band.band_key").as("band_key"))
 
+  /** Persist the banded sketch index, clustered by band_key on write so
+    * a probe's bucket equi-join reads only its buckets' files; the
+    * whole index is four (id, long, int, int) rows per corpus vector.
+    * Load-parity is spec-pinned like every standing artifact. */
+  def writeSketchIndex(bands: DataFrame, path: String): Unit =
+    bands.repartition(col("band_key"))
+      .write.mode("overwrite").parquet(s"$path/sketch_bands")
+
+  def loadSketchIndex(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(s"$path/sketch_bands")
+
   /** Banded-Hamming search: candidates are corpus vectors sharing at
     * least one exact band with the query (an equi-join on
     * (band_id, band_key) — no per-query corpus scan, unlike
@@ -1030,6 +1041,15 @@ object AnnOps {
     encoded.groupBy(col("cluster_id"), col("vec_id").as("neighbor_id"))
       .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
         t => t.getField("code")).as("codes"))
+
+  /** Persist the array-form encoded corpus next to the row form
+    * ([[writeIvfPq]]), cluster-keyed on write like the inverted file. */
+  def writeIvfPqArrays(encArrays: DataFrame, path: String): Unit =
+    encArrays.repartition(col("cluster_id"))
+      .write.mode("overwrite").parquet(s"$path/ivfpq_encoded_arrays")
+
+  def loadIvfPqArrays(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(s"$path/ivfpq_encoded_arrays")
 
   /** The shared residual codebook collapsed to one broadcastable row:
     * grid(subspace+1)(code+1).cv — m×k×(d/m) doubles, kilobytes. */

@@ -57,6 +57,31 @@ class AnnHammingSpec extends SparkSpec {
     assert(recall >= 0.7, s"Hamming recall $recall")
   }
 
+  test("persisted sketch index and encoded arrays search identically to inline") {
+    val tmp = java.nio.file.Files.createTempDirectory("ann-sketch").toString
+    val e = AnnOps.embeddingsWithNorm(spark, sfDir)
+    val q = e.filter(col("vec_id") < AnnOps.nQueries)
+
+    val bandsInline = AnnOps.sketchBandsOf(e)
+    AnnOps.writeSketchIndex(bandsInline, tmp)
+    val bandsLoaded = AnnOps.loadSketchIndex(spark, tmp)
+    val inline = AnnOps.annHammingBandedSearch(q, bandsInline, e)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val loaded = AnnOps.annHammingBandedSearch(q, bandsLoaded, e)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(inline.nonEmpty && inline == loaded)
+
+    val (cents, cb, encoded) = AnnOps.ivfpqFor(spark, sfDir)
+    val arrInline = AnnOps.ivfpqEncodedArrays(encoded)
+    AnnOps.writeIvfPqArrays(arrInline, tmp)
+    val arrLoaded = AnnOps.loadIvfPqArrays(spark, tmp)
+    val adcInline = AnnOps.annIvfPqAdcTopk(q, cents, cb, arrInline)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val adcLoaded = AnnOps.annIvfPqAdcTopk(q, cents, cb, arrLoaded)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(adcInline.nonEmpty && adcInline == adcLoaded)
+  }
+
   test("shortlist bound caps the rerank volume per query") {
     // The rerank stage only ever sees hammingShortlist candidates per
     // query — the scale contract: float vectors are touched for
