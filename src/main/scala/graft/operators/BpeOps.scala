@@ -348,11 +348,18 @@ object BpeOps {
 
   /** Deterministic pseudo-random order key for budget selection: one
     * Park-Miller/Lehmer step (id * 48271 mod 2^31-1) — pure integer
-    * arithmetic both engines compute bit-identically (ids up to ~2^44
-    * stay inside a long under the multiply; a content hash replaces it
-    * if ids can exceed that). */
+    * arithmetic both engines compute bit-identically. Contract:
+    * NON-NEGATIVE ids up to ~2^44 (the multiply stays inside a long,
+    * and DuckDB's % is sign-preserving where Spark's pmod is not — a
+    * negative id would diverge); a content hash replaces it if ids can
+    * exceed that. */
   private def budgetOrderKey(id: Column): Column =
     pmod(id * lit(48271L), lit(2147483647L))
+
+  /** The same Lehmer step host-side — the streaming admission gate and
+    * the specs replay selection order with it, so the constant lives
+    * once. */
+  def lehmerKey(id: Long): Long = (id * 48271L) % 2147483647L
 
   /** Token-budget corpus selection: per source, keep documents in a
     * deterministic hash-shuffled order until the source's REAL-BPE

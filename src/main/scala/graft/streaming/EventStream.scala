@@ -567,7 +567,7 @@ object EventStream {
           val budget = budgets.getOrElse(source, Long.MaxValue)
           var spent = state.getOption.map(_.spent).getOrElse(0L)
           val out = rows.toSeq
-            .sortBy(t => ((t._1 * 48271L) % 2147483647L, t._1))
+            .sortBy(t => (graft.operators.BpeOps.lehmerKey(t._1), t._1))
             .map { case (id, _, n) =>
               val v = BudgetVerdict(id, source, n, spent, spent < budget)
               spent += n

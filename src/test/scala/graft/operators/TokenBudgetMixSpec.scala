@@ -31,7 +31,7 @@ class TokenBudgetMixSpec extends SparkSpec {
     // replay the selection order host-side: cum_before must equal the
     // running sum over (lehmer(doc_id), doc_id) order within each source
     rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
-      val ordered = rs.sortBy(r => ((r.getLong(0) * 48271L) % 2147483647L,
+      val ordered = rs.sortBy(r => (BpeOps.lehmerKey(r.getLong(0)),
         r.getLong(0)))
       var running = 0L
       ordered.foreach { r =>

@@ -52,7 +52,7 @@ class TokenBudgetGateSpec extends SparkSpec {
       .select(col("doc_id"), col("source"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
       // feed in the gate's own admission order so batch splits respect it
-      .sortBy(t => ((t._1 * 48271L) % 2147483647L, t._1))
+      .sortBy(t => (graft.operators.BpeOps.lehmerKey(t._1), t._1))
     val (first, second) = rows.splitAt(rows.length / 2)
     val stream = MemoryStream[(Long, String, String)]
     val q = EventStream.tokenBudgetGateStream(
