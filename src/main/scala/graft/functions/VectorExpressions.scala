@@ -152,4 +152,10 @@ object GraftFunctions {
   def heavyHitters(key: Column, capacity: Int): Column =
     GraftBridge.column(
       HeavyHittersAgg(GraftBridge.expression(key), capacity).toAggregateExpression())
+
+  /** Bounded top-k (score, id) summary — see [[TopKScoreIdAgg]]. */
+  def topkScoreId(score: Column, id: Column, k: Int, ascending: Boolean): Column =
+    GraftBridge.column(
+      TopKScoreIdAgg(GraftBridge.expression(score), GraftBridge.expression(id),
+        k, ascending).toAggregateExpression())
 }

