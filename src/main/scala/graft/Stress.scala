@@ -100,7 +100,7 @@ object Stress {
       "q_tfidf_top_terms", "q_dup_span_frac", "q_dedup_ngram_jaccard",
       "q_dedup_clusters", "q_dedup_simhash", "q_dedup_minhash_lsh",
       "q_dedup_embedding_lsh", "q_ann_ivf", "q_ann_pq", "q_ann_hamming",
-      "q_semdedup", "q_token_budget_mix",
+      "q_ann_hamming_banded", "q_semdedup", "q_token_budget_mix",
       "q_lm_perplexity", "q_dsir_weights", "q_dedup_keep",
       "q_gap_fill", "q_locf", "q_ewma", "q_anomaly", "q_winsorize",
       "q_asof_nearest", "q_hopping_window",
