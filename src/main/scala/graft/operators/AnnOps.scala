@@ -131,6 +131,27 @@ object AnnOps {
       zip_with(v, bitWeights, (x, w) => when(x >= 0.0d, w).otherwise(lit(0L))),
       lit(0L), (acc, b) => acc.bitwiseOR(b))
 
+  /** Sign sketch for ARBITRARY dimensionality: ceil(dim/64) longs,
+    * word w bit i = sign(v(64w+i)) — the wide form the 64-dim
+    * [[signBits]] fast path specializes ([[signBitsWide]] of a 64-dim
+    * vector is exactly array(signBits(v)), spec-pinned). zip_with pads
+    * a short tail word with nulls, whose `when` falls to 0 — tail bits
+    * beyond dim stay clear on both vectors and never contribute to a
+    * Hamming distance. */
+  def signBitsWide(v: Column): Column =
+    transform(sequence(lit(0), floor((size(v) - 1) / 64).cast("int")),
+      w => aggregate(
+        zip_with(slice(v, w * 64 + 1, lit(64)), bitWeights,
+          (x, wt) => when(x >= 0.0d, wt).otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc.bitwiseOR(b)))
+
+  /** Hamming distance between two wide sketches: per-word XOR+POPCNT,
+    * summed — the multi-word twin of
+    * `bit_count(a.bitwiseXOR(b))`. */
+  def hammingWide(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, h) => acc + h).cast("int")
+
   /** Binary-quantized ANN: screen candidates by Hamming distance on the
     * 64-bit sign sketch — sign-random-projection LSH in the Charikar
     * (STOC 2002) sense, with the coordinate axes as hyperplanes — then

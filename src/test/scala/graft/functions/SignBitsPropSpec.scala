@@ -52,4 +52,47 @@ class SignBitsPropSpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("wide sketch: arbitrary dims pack per 64-word, 64-dim equals the fast path") {
+    import spark.implicits._
+    val dims = Seq(1, 63, 64, 65, 128, 150)
+    val prop = Prop.forAll(Gen.listOfN(4, Gen.listOfN(150, dimGen))) { raws =>
+      dims.forall { dim =>
+        val vecs = raws.map(_.take(dim))
+        val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("vec_id", "v")
+        val got = df.select(col("vec_id"),
+            graft.operators.AnnOps.signBitsWide(col("v")).as("words"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        vecs.zipWithIndex.forall { case (v, i) =>
+          val words = got(i.toLong)
+          words.length == (dim + 63) / 64 &&
+            words.zipWithIndex.forall { case (word, w) =>
+              word == hostBits(v.slice(w * 64, math.min((w + 1) * 64, dim)))
+            }
+        }
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("wide Hamming equals the summed per-word popcount, 64-dim matches bit_count") {
+    import spark.implicits._
+    val ops = graft.operators.AnnOps
+    val vecs = (0 until 6).map(i =>
+      (i.toLong, (0 until 128).map(d => math.sin(i * 131 + d * 17).toDouble).toList))
+    val df = vecs.toDF("vec_id", "v")
+      .select(col("vec_id"), ops.signBitsWide(col("v")).as("w"))
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        ops.hammingWide(col("a.w"), col("b.w")).as("h"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val words = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for ((i, _) <- vecs; (j, _) <- vecs) {
+      val expect = words(i).zip(words(j))
+        .map(t => java.lang.Long.bitCount(t._1 ^ t._2)).sum
+      assert(pairs((i, j)) == expect, s"pair ($i, $j)")
+    }
+  }
 }
