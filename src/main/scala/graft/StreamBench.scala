@@ -264,6 +264,26 @@ object StreamBench {
       try qp.processAllAvailable() finally qp.stop()
       val dtp = (System.nanoTime() - tp) / 1e9
       println(f"== ${"ingest_pipeline"}%-22s $n%8d docs  $dtp%7.2f s  ${n / dtp}%9.0f docs/s")
+
+      // the quota-enforcing variant: gate → per-source token budget →
+      // shards (budgets = half of each source's corpus token mass)
+      val budgets = docs
+        .withColumn("n", size(graft.operators.BpeOps.bpeTokenIds(
+          filter(split(col("text"), " "), w => length(w) > 0),
+          graft.operators.BpeOps.defaultModel,
+          graft.operators.BpeOps.defaultIdMapBytes)).cast("long"))
+        .groupBy("source").agg(sum("n").as("t")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1) >> 1)).toMap
+      val shardDirB = java.nio.file.Files
+        .createTempDirectory("graft-sb-shards-b").toString + "/out"
+      val ckptDirB = java.nio.file.Files
+        .createTempDirectory("graft-sb-ckpt-b").toString
+      val qb = graft.streaming.IngestPipeline.startBudgeted(
+        spark, landing, art, budgets, shardDirB, ckptDirB, nShards = 8)
+      val tb = System.nanoTime()
+      try qb.processAllAvailable() finally qb.stop()
+      val dtb = (System.nanoTime() - tb) / 1e9
+      println(f"== ${"ingest_budgeted"}%-22s $n%8d docs  $dtb%7.2f s  ${n / dtb}%9.0f docs/s")
     }
     spark.stop()
   }

@@ -24,7 +24,8 @@ object FeedstockSource {
     StructField("record", StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType),
-      StructField("lang", StringType))))))
+      StructField("lang", StringType),
+      StructField("source", StringType))))))
 
   /** Read a feedstock directory (JSON-lines) with the fixed schema. */
   def read(spark: SparkSession, path: String): DataFrame =
@@ -51,7 +52,8 @@ object FeedstockSource {
         concat(lit("ds"), (col("doc_id") % 40).cast("string")).as("source_name"),
         ((col("doc_id") % 3) + 1).cast("int").as("version"),
         lit("record").as("resource_type")).as("mdf"),
-      struct(col("doc_id"), col("text"), col("lang")).as("record"))
+      struct(col("doc_id"), col("text"), col("lang"), col("source"))
+        .as("record"))
 
   /** Write feedstock as JSON-lines partitioned by source_name — the
     * partition column is the natural ingest unit (one dataset's records

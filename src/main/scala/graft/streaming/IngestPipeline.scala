@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamReader, StreamingQuery}
+import org.apache.spark.sql.streaming.{DataStreamReader, GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 import graft.functions.{EnsembleArtifacts, GraftFunctions}
 import graft.sources.ShardWriter
@@ -34,18 +34,60 @@ object IngestPipeline {
     * actually exists to store (zero OOV, byte-lossless; the encoder
     * is the same native per-row expression, so attaching ids costs
     * scan speed). `docs` needs (doc_id, lang, text). */
-  def gatedDocs(docs: DataFrame, artifacts: EnsembleArtifacts): DataFrame = {
+  private def gatedCore(docs: DataFrame, artifacts: EnsembleArtifacts,
+      keep: Seq[String]): DataFrame = {
     import graft.operators.BpeOps
     docs
       .withColumn("e",
         GraftFunctions.qualityEnsemble(col("text"), col("lang"), artifacts))
       .filter(col("e.keep"))
-      .select(col("doc_id"), col("lang"), col("text"),
+      .select(keep.map(col) ++ Seq(
         col("e.ppl_bucket").as("ppl_bucket"),
         col("e.target_like").as("target_like"),
         BpeOps.bpeTokenIds(
           filter(split(col("text"), " "), w => length(w) > 0),
-          BpeOps.defaultModel, BpeOps.defaultIdMapBytes).as("token_ids"))
+          BpeOps.defaultModel, BpeOps.defaultIdMapBytes).as("token_ids")): _*)
+  }
+
+  def gatedDocs(docs: DataFrame, artifacts: EnsembleArtifacts): DataFrame =
+    gatedCore(docs, artifacts, Seq("doc_id", "lang", "text"))
+
+  /** One shard-bound document after the gate — the budgeted pipeline's
+    * typed row (the id stream IS the payload a shard stores). */
+  final case class ShardDoc(doc_id: Long, source: String, lang: String,
+      text: String, ppl_bucket: String, target_like: Boolean,
+      token_ids: Seq[Int])
+
+  /** Per-source token-quota admission over the GATED stream — the
+    * budget sits after quality (a junk doc never spends quota) and is
+    * denominated in the byte-fallback ids the shards actually store,
+    * so a source's landed shard mass is its quota to within one
+    * document. Same state/order contract as
+    * [[EventStream.tokenBudgetGateStream]]: one counter per source,
+    * Lehmer-ordered admission within a micro-batch, the running total
+    * accumulates over dropped docs too, unlisted sources unthrottled. */
+  def budgetAdmit(gated: DataFrame,
+      budgets: Map[String, Long]): Dataset[ShardDoc] = {
+    import gated.sparkSession.implicits._
+    gated.select(col("doc_id"), col("source"), col("lang"), col("text"),
+        col("ppl_bucket"), col("target_like"), col("token_ids"))
+      .as[ShardDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[EventStream.BudgetState, ShardDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[EventStream.BudgetState]) =>
+          var spent = state.getOption.map(_.spent).getOrElse(0L)
+          val out = rows.toSeq
+            .sortBy(d => (graft.operators.BpeOps.lehmerKey(d.doc_id), d.doc_id))
+            .flatMap { d =>
+              val budget = budgets.getOrElse(d.source, Long.MaxValue)
+              val admit = spent < budget
+              spent += d.token_ids.length
+              if (admit) Some(d) else None
+            }
+          state.update(EventStream.BudgetState(spent))
+          out.iterator
+      }
   }
 
   /** Wire and start the full pipeline. Returns the running query;
@@ -61,6 +103,30 @@ object IngestPipeline {
         col("record.lang").as("lang"),
         col("record.text").as("text"))
     ShardWriter.shardSink(gatedDocs(docs, artifacts), "doc_id", shardDir, nShards)
+      .option("checkpointLocation", ckptDir)
+      .start()
+  }
+
+  /** The quota-enforcing pipeline: feedstock read → fused gate →
+    * per-source token-budget admission → shard sink. Same exactly-once
+    * contract; the budget state rides the same checkpoint, so a
+    * restart resumes each source's spent counter. */
+  def startBudgeted(spark: SparkSession, landingDir: String,
+      artifacts: EnsembleArtifacts, budgets: Map[String, Long],
+      shardDir: String, ckptDir: String,
+      nShards: Int = 8, maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader: DataStreamReader = spark.readStream.format("graft-feedstock")
+    val paced = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+    val docs = paced.load(landingDir)
+      .select(col("record.doc_id").as("doc_id"),
+        col("record.source").as("source"),
+        col("record.lang").as("lang"),
+        col("record.text").as("text"))
+    val gated = gatedCore(docs, artifacts,
+      Seq("doc_id", "source", "lang", "text"))
+    ShardWriter.shardSink(budgetAdmit(gated, budgets).toDF(),
+        "doc_id", shardDir, nShards)
       .option("checkpointLocation", ckptDir)
       .start()
   }
