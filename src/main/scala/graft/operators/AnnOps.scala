@@ -139,11 +139,14 @@ object AnnOps {
     * beyond dim stay clear on both vectors and never contribute to a
     * Hamming distance. */
   def signBitsWide(v: Column): Column =
-    transform(sequence(lit(0), floor((size(v) - 1) / 64).cast("int")),
-      w => aggregate(
-        zip_with(slice(v, w * 64 + 1, lit(64)), bitWeights,
-          (x, wt) => when(x >= 0.0d, wt).otherwise(lit(0L))),
-        lit(0L), (acc, b) => acc.bitwiseOR(b)))
+    // the empty-vector guard matters: sequence(0, -1) COUNTS DOWN, so
+    // without it a zero-dim vector would sketch to two junk words
+    when(size(v) === 0, array().cast("array<bigint>")).otherwise(
+      transform(sequence(lit(0), floor((size(v) - 1) / 64).cast("int")),
+        w => aggregate(
+          zip_with(slice(v, w * 64 + 1, lit(64)), bitWeights,
+            (x, wt) => when(x >= 0.0d, wt).otherwise(lit(0L))),
+          lit(0L), (acc, b) => acc.bitwiseOR(b))))
 
   /** Hamming distance between two wide sketches: per-word XOR+POPCNT,
     * summed — the multi-word twin of

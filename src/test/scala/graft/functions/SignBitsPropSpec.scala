@@ -77,6 +77,14 @@ class SignBitsPropSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("wide sketch of an empty vector is the empty word array") {
+    import spark.implicits._
+    val got = Seq((0L, List.empty[Double])).toDF("vec_id", "v")
+      .select(graft.operators.AnnOps.signBitsWide(col("v")).as("w"))
+      .collect().head.getSeq[Long](0)
+    assert(got.isEmpty)
+  }
+
   test("wide Hamming equals the summed per-word popcount, 64-dim matches bit_count") {
     import spark.implicits._
     val ops = graft.operators.AnnOps
