@@ -288,7 +288,9 @@ object Explain {
       "q_bpe_coverage"       -> Seq("HashAggregate"),
       // token-budget mix: encoder is a projection; the exact quota costs
       // exactly one shuffle — the per-source running-total window
-      "q_token_budget_mix"   -> Seq("Window"))
+      "q_token_budget_mix"   -> Seq("Window"),
+      // its utilization report adds one per-source rollup on top
+      "q_token_budget_report" -> Seq("Window", "HashAggregate"))
 
     // anti-patterns per query: substrings that must NOT appear. Expand
     // is countDistinct's row-multiplying fallback — these queries are

@@ -408,6 +408,43 @@ object BpeOps {
       total => shiftright(total, 1))
       .orderBy("doc_id")
 
+  /** Quota-utilization report over the budget mix — the per-source
+    * audit a mix operator reads before a training run (how much of
+    * each quota is spent, how many documents the cut dropped): one
+    * rollup over [[tokenBudgetMix]]'s verdicts, exact integer ppm so
+    * the report hash-checks. The crossing document is counted kept
+    * (cum_before < budget admits it), so utilization can exceed 1e6 by
+    * at most that one document — the same within-one-doc contract the
+    * mix itself carries. */
+  def tokenBudgetReport(s: SparkSession, dir: String): DataFrame =
+    tokenBudgetMix(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("total_tokens"), col("kept_tokens"),
+        shiftright(col("total_tokens"), 1).as("budget"),
+        expr("kept_tokens * 1000000 div (total_tokens div 2)")
+          .as("utilization_ppm"))
+      .orderBy("source")
+
+  // lazy: composes tokenBudgetMixSql, which is declared further down
+  // the object body (object vals initialize in declaration order)
+  lazy val tokenBudgetReportSql: String =
+    s"""WITH mix AS ($tokenBudgetMixSql)
+       |SELECT source,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
+       |    AS kept_tokens,
+       |  CAST(sum(n_tokens) // 2 AS BIGINT) AS budget,
+       |  CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) * 1000000
+       |    // (sum(n_tokens) // 2) AS BIGINT) AS utilization_ppm
+       |FROM mix GROUP BY source ORDER BY source""".stripMargin
+
   /** Generic API: each document's BPE token stream re-joined to a
     * single-space text column, so every downstream word-domain operator
     * (shingling, n-gram dedup, decontamination) runs in TOKEN space by
@@ -733,6 +770,7 @@ object BpeOps {
     "q_bpe_tokens" -> (bpeTokenCounts _),
     "q_pack_sequences_bpe" -> (packSequencesBpe _),
     "q_token_budget_mix" -> (tokenBudgetMix _),
+    "q_token_budget_report" -> (tokenBudgetReport _),
     "q_contamination_bpe" -> (contaminationBpe _),
     "q_bpe_coverage" -> (bpeCoverage _),
     "q_bpe_ids" -> (bpeIdCounts _),
@@ -742,6 +780,7 @@ object BpeOps {
     "q_bpe_tokens" -> bpeTokenCountsSql,
     "q_pack_sequences_bpe" -> packSequencesBpeSql,
     "q_token_budget_mix" -> tokenBudgetMixSql,
+    "q_token_budget_report" -> tokenBudgetReportSql,
     "q_contamination_bpe" -> contaminationBpeSql,
     "q_bpe_coverage" -> bpeCoverageSql,
     "q_bpe_ids" -> bpeIdCountsSql,
