@@ -426,7 +426,10 @@ object BpeOps {
       .select(col("source"), col("n_docs"), col("n_kept"),
         col("total_tokens"), col("kept_tokens"),
         shiftright(col("total_tokens"), 1).as("budget"),
-        expr("kept_tokens * 1000000 div (total_tokens div 2)")
+        // a one-token source has budget 0 — report 0 utilization
+        // rather than tripping ANSI division-by-zero
+        expr("CASE WHEN total_tokens div 2 = 0 THEN 0L " +
+          "ELSE kept_tokens * 1000000 div (total_tokens div 2) END")
           .as("utilization_ppm"))
       .orderBy("source")
 
@@ -441,8 +444,9 @@ object BpeOps {
        |  CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
        |    AS kept_tokens,
        |  CAST(sum(n_tokens) // 2 AS BIGINT) AS budget,
-       |  CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) * 1000000
-       |    // (sum(n_tokens) // 2) AS BIGINT) AS utilization_ppm
+       |  CAST(CASE WHEN sum(n_tokens) // 2 = 0 THEN 0
+       |    ELSE sum(CASE WHEN kept THEN n_tokens ELSE 0 END) * 1000000
+       |      // (sum(n_tokens) // 2) END AS BIGINT) AS utilization_ppm
        |FROM mix GROUP BY source ORDER BY source""".stripMargin
 
   /** Generic API: each document's BPE token stream re-joined to a

@@ -371,8 +371,9 @@ object EventStream {
     * Hamming distance verifies on the riding sketch (XOR+POPCNT),
     * cosine reranks through one more stateless equi-join to the float
     * corpus, and ONE watermark-bounded per-query aggregation emits
-    * top-k (collect_set dedupes multi-band hits exactly — identical
-    * (cosine, nid) structs collapse). Pigeonhole contract: any corpus
+    * top-k (the native bounded top-k aggregate — O(k) state, and
+    * identical (cosine, nid) multi-band hits collapse on insert, the
+    * collect_set semantics). Pigeonhole contract: any corpus
     * vector within Hamming 7 of the query shares a band and WILL be
     * scored. Output rows equal the batch
     * [[graft.operators.AnnOps.annHammingBandedSearch]] on the same
