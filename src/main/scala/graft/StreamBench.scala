@@ -178,6 +178,27 @@ object StreamBench {
       println(f"== ${"hamming_probe"}%-22s ${vecRows.size}%8d vecs  $dt%7.2f s  ${vecRows.size / dt}%9.0f vecs/s")
     }
 
+    // ---- streaming ANN probe against the plain IVF inverted file
+    locally {
+      import graft.operators.AnnOps
+      val (cents, assigned) = AnnOps.ivfFor(spark, srcDir)
+      val (centsM, assignedM) = (cents.localCheckpoint(), assigned.localCheckpoint())
+      val vecRows: Seq[(Long, Seq[Float])] = (0 until mult).flatMap { i =>
+        Tables.embeddings(spark, srcDir)
+          .select(col("vec_id") + lit(i * shift), col("embedding"))
+          .as[(Long, Seq[Float])].collect()
+      }
+      val stream = MemoryStream[(Long, Seq[Float])]
+      stream.addData(vecRows)
+      val q = EventStream.annProbeStream(
+          stream.toDF().toDF("vec_id", "embedding"), centsM, assignedM)
+        .writeStream.format("noop").outputMode("update").start()
+      val t0 = System.nanoTime()
+      try q.processAllAvailable() finally q.stop()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"== ${"ann_probe"}%-22s ${vecRows.size}%8d vecs  $dt%7.2f s  ${vecRows.size / dt}%9.0f vecs/s")
+    }
+
     // ---- streaming IVFADC probe against the compressed index
     // (vectors/s: map-side probes + one cluster equi-join + per-query
     // rollup; the corpus side is codes, never floats)
