@@ -229,6 +229,53 @@ object AnnOps {
       .select(col("vec_id"), col("bits"),
         col("band.band_id").as("band_id"), col("band.band_key").as("band_key"))
 
+  /** Wide-sketch banded index: every 64-bit word contributes its
+    * [[hammingBands]] bands under a word-offset band_id
+    * (word·8 + band), so an arbitrary-dimension corpus gets
+    * 8·ceil(dim/64) buckets per vector with the same equi-join probe
+    * shape; the full word array rides for the exact
+    * [[hammingWide]] verify. For a 64-dim corpus this is exactly
+    * [[sketchBandsOf]] with an array-wrapped sketch (spec-pinned). */
+  def sketchBandsWideOf(e: DataFrame): DataFrame =
+    e.withColumn("words", signBitsWide(col("v")))
+      .select(col("vec_id"), col("words"),
+        posexplode(col("words")).as(Seq("word_idx", "word")))
+      .select(col("vec_id"), col("words"), col("word_idx"),
+        explode(bandStructsOf(col("word"))).as("band"))
+      .select(col("vec_id"), col("words"),
+        (col("word_idx") * hammingBands + col("band.band_id")).as("band_id"),
+        col("band.band_key").as("band_key"))
+
+  /** [[annHammingBandedSearch]] for arbitrary dimensionality: the same
+    * candidate/verify/rerank pipeline over a [[sketchBandsWideOf]]
+    * index, Hamming via the multi-word popcount sum. */
+  def annHammingBandedWideSearch(q: DataFrame, bands: DataFrame,
+      e: DataFrame): DataFrame = {
+    val qb = sketchBandsWideOf(q)
+      .select(col("vec_id").as("query_id"), col("words").as("qwords"),
+        col("band_id"), col("band_key"))
+    val cands = qb
+      .join(bands.select(col("vec_id").as("neighbor_id"),
+        col("words").as("cwords"), col("band_id"), col("band_key")),
+        Seq("band_id", "band_key"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        hammingWide(col("qwords"), col("cwords")).as("hamming"))
+      .distinct()
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cands
+      .join(broadcast(q.select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("norm").as("qn"))), "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("norm").as("cn")), "neighbor_id")
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wC))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Persist the banded sketch index, clustered by band_key on write so
     * a probe's bucket equi-join reads only its buckets' files; the
     * whole index is four (id, long, int, int) rows per corpus vector.

@@ -65,7 +65,13 @@ object IngestPipeline {
     * document. Same state/order contract as
     * [[EventStream.tokenBudgetGateStream]]: one counter per source,
     * Lehmer-ordered admission within a micro-batch, the running total
-    * accumulates over dropped docs too, unlisted sources unthrottled. */
+    * accumulates over dropped docs too, unlisted sources unthrottled.
+    *
+    * Memory note: the ordering sort buffers ONE micro-batch's rows per
+    * source in the group callback — full ShardDoc rows, text included.
+    * The pipeline's `maxFilesPerTrigger` admission control is the
+    * sizing knob: it bounds the batch, hence the buffer, regardless of
+    * how large a catch-up backlog is. */
   def budgetAdmit(gated: DataFrame,
       budgets: Map[String, Long]): Dataset[ShardDoc] = {
     import gated.sparkSession.implicits._

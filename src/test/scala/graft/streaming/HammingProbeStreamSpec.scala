@@ -62,6 +62,43 @@ class HammingProbeStreamSpec extends SparkSpec {
     }
   }
 
+  test("wide banded search: 64-dim equals the one-word form; 128-dim finds planted twins") {
+    import org.apache.spark.sql.functions.{transform => atransform}
+    val e = corpus().localCheckpoint()
+    // 64-dim: the wide form must reproduce the one-word search exactly
+    val narrow = ops.annHammingBandedSearch(
+        e.filter(col("vec_id") < ops.nQueries), ops.sketchBandsOf(e), e)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSeq
+    val wide = ops.annHammingBandedWideSearch(
+        e.filter(col("vec_id") < ops.nQueries), ops.sketchBandsWideOf(e), e)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(narrow.nonEmpty && narrow == wide)
+
+    // 128-dim (pairwise-sum second half: genuinely new sign bits), with
+    // sign-preserving planted twins recalled at rank 1, hamming 0
+    val mix = atransform(sequence(lit(0), lit(63)), i =>
+      element_at(col("v"), i + 1) +
+        element_at(col("v"), pmod(i + 1, lit(64)) + 1))
+    val e128 = e.select(col("vec_id"), concat(col("v"), mix).as("v"))
+      .withColumn("norm",
+        sqrt(graft.functions.GraftFunctions.dot(col("v"), col("v"))))
+    val twins = e128.filter(col("vec_id") < ops.nQueries)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        atransform(col("v"), x => x * 1.01).as("v"))
+      .withColumn("norm",
+        sqrt(graft.functions.GraftFunctions.dot(col("v"), col("v"))))
+    val planted = e128.unionByName(twins).localCheckpoint()
+    val out = ops.annHammingBandedWideSearch(
+        planted.filter(col("vec_id") < ops.nQueries),
+        ops.sketchBandsWideOf(planted), planted).collect()
+    val rank1 = out.filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
+    (0L until ops.nQueries.toLong).foreach { q =>
+      assert(rank1.get(q).contains((q + 10000, 0)),
+        s"query $q rank-1 = ${rank1.get(q)}")
+    }
+  }
+
   test("pigeonhole: any pair within Hamming hammingBands-1 shares a band and is scored") {
     val e = corpus()
     val sk = e.withColumn("bits", ops.signBits(col("v")))
