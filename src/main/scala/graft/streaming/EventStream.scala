@@ -423,6 +423,54 @@ object EventStream {
         (-col("c.id")).as("neighbor_id"))
   }
 
+  /** [[hammingProbeStream]] for ARBITRARY embedding width: probes a
+    * [[graft.operators.AnnOps.sketchBandsWideOf]] index — the query's
+    * ceil(dim/64)-word sketch bands under word-offset band ids, the
+    * exact verify via the multi-word popcount sum, the same stateless
+    * bucket joins and O(k) top-k rollup. Rows equal the batch
+    * [[graft.operators.AnnOps.annHammingBandedWideSearch]] (spec). */
+  def hammingProbeStreamWide(vecs: DataFrame, bands: DataFrame,
+      corpus: DataFrame,
+      windowDur: String = "1 minute",
+      watermarkDelay: String = "10 seconds"): DataFrame = {
+    import graft.operators.AnnOps
+    import graft.functions.GraftFunctions.dot
+    val qs = vecs
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        current_timestamp().as("ingest_ts"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("words", AnnOps.signBitsWide(col("v")))
+      .select(col("vec_id").as("query_id"), col("ingest_ts"),
+        col("v").as("qv"), col("norm").as("qn"), col("words").as("qwords"),
+        posexplode(col("words")).as(Seq("word_idx", "word")))
+      .select(col("query_id"), col("ingest_ts"), col("qv"), col("qn"),
+        col("qwords"), col("word_idx"),
+        explode(AnnOps.bandStructsOf(col("word"))).as("band"))
+      .select(col("query_id"), col("ingest_ts"), col("qv"), col("qn"),
+        col("qwords"),
+        (col("word_idx") * AnnOps.hammingBands + col("band.band_id"))
+          .as("band_id"),
+        col("band.band_key").as("band_key"))
+      .withWatermark("ingest_ts", watermarkDelay)
+    qs
+      .join(bands.select(col("vec_id").as("neighbor_id"),
+        col("words").as("cwords"), col("band_id"), col("band_key")),
+        Seq("band_id", "band_key"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("norm").as("cn")), Seq("neighbor_id"))
+      .select(col("query_id"), col("ingest_ts"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"),
+        (-col("neighbor_id")).as("nid"))
+      .groupBy(window(col("ingest_ts"), windowDur), col("query_id"))
+      .agg(graft.functions.GraftFunctions.topkScoreId(
+        col("cosine"), col("nid"), AnnOps.topK, ascending = false).as("top"))
+      .drop("window")
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r0", "c")))
+      .select(col("query_id"), (col("r0") + 1).cast("int").as("rank"),
+        (-col("c.id")).as("neighbor_id"))
+  }
+
   /** Streaming heavy-hitter tokens — the native SpaceSaving aggregate
     * ([[graft.functions.HeavyHittersAgg]]) as watermark-bounded
     * streaming state: per window, the state store holds ONE bounded

@@ -99,6 +99,46 @@ class HammingProbeStreamSpec extends SparkSpec {
     }
   }
 
+  test("wide streaming probe matches the wide batch search on a 128-dim corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{transform => atransform}
+    implicit val sqlCtx = spark.sqlContext
+    val mix = atransform(sequence(lit(0), lit(63)), i =>
+      element_at(col("v"), i + 1) +
+        element_at(col("v"), pmod(i + 1, lit(64)) + 1))
+    val e128 = corpus().select(col("vec_id"), concat(col("v"), mix).as("v"))
+      .withColumn("norm",
+        sqrt(graft.functions.GraftFunctions.dot(col("v"), col("v"))))
+      .localCheckpoint()
+    val bands = ops.sketchBandsWideOf(e128).localCheckpoint()
+    val queries = e128.filter(col("vec_id") < ops.nQueries)
+      .select(col("vec_id"),
+        atransform(col("v"), x => x.cast("float")).as("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val stream = MemoryStream[(Long, Seq[Float])]
+    stream.addData(queries.toSeq)
+    val q = EventStream.hammingProbeStreamWide(
+        stream.toDF().toDF("vec_id", "embedding"), bands, e128)
+      .writeStream.format("memory").queryName("hamwide")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // the stream casts embeddings float->double like every vec stream;
+    // mirror that on the batch side so both search the identical floats
+    val qf = e128.filter(col("vec_id") < ops.nQueries)
+      .select(col("vec_id"),
+        atransform(col("v"), x => x.cast("float").cast("double")).as("v"))
+      .withColumn("norm",
+        sqrt(graft.functions.GraftFunctions.dot(col("v"), col("v"))))
+    val got = spark.table("hamwide").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val batch = ops.annHammingBandedWideSearch(qf, bands, e128).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty && got == batch,
+      s"stream-only ${got.diff(batch).size}, batch-only ${batch.diff(got).size}")
+  }
+
   test("pigeonhole: any pair within Hamming hammingBands-1 shares a band and is scored") {
     val e = corpus()
     val sk = e.withColumn("bits", ops.signBits(col("v")))
