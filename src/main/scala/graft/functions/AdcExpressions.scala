@@ -47,6 +47,10 @@ case class AdcDistance(left: Expression, right: Expression,
     var total = 0.0
     var j = 0
     while (j < m) {
+      // null elements degrade like out-of-range codes: NaN, not an NPE
+      // (the contract inputs never carry them, but a hand-built frame
+      // with containsNull=true must not fail the job)
+      if (codes.isNullAt(j) || rq.isNullAt(j)) return Double.NaN
       val code = codes.getInt(j)
       if (j >= grid.length || code < 0 || code >= grid(j).length)
         return Double.NaN
@@ -85,6 +89,7 @@ case class AdcDistance(left: Expression, right: Expression,
          |double $total = 0.0;
          |boolean $bad = false;
          |for (int $j = 0; $j < $m && !$bad; $j++) {
+         |  if ($b.isNullAt($j) || $a.isNullAt($j)) { $bad = true; continue; }
          |  int $code = $b.getInt($j);
          |  if ($j >= $gridRef.length || $code < 0 || $code >= $gridRef[$j].length) {
          |    $bad = true;

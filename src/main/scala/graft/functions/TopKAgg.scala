@@ -77,14 +77,13 @@ case class TopKScoreIdAgg(
   override def createAggregationBuffer(): mutable.ArrayBuffer[(Double, Long)] =
     mutable.ArrayBuffer.empty[(Double, Long)]
 
-  /** Insert preserving kept order; O(k) scan — k is small by design. */
+  /** Insert preserving kept order; O(k) scan — k is small by design.
+    * A duplicate can only sit at the first not-less position (the
+    * order is strict), so one equality check there suffices. */
   private def insert(buf: mutable.ArrayBuffer[(Double, Long)],
       e: (Double, Long)): Unit = {
     var i = 0
-    while (i < buf.length && lt(buf(i), e)) {
-      if (eq(buf(i), e)) return // duplicate of a kept element
-      i += 1
-    }
+    while (i < buf.length && lt(buf(i), e)) i += 1
     if (i < buf.length && eq(buf(i), e)) return
     if (i < k) {
       buf.insert(i, e)
