@@ -657,11 +657,26 @@ object TextFunctions {
   def pmiCollocations(s: SparkSession, dir: String): DataFrame = {
     val bg = graft.Tables.spread(s, graft.Tables.documents(s, dir))
       .select(explode(graft.operators.QualityModelOps.bigramsCol).as("bg"))
+    // Position counts DERIVE from the bigram count table: c1(w) =
+    // Σ c12 over bigrams starting with w (and symmetrically c2) — the
+    // identical integers the raw-stream groupBys computed, but
+    // aggregated from |distinct bigrams| rows instead of the full
+    // exploded stream. The measured final plan of the raw-stream form
+    // ran the corpus explode FOUR times (only the spread exchange was
+    // AQE-reused; each position count re-exploded — see
+    // plans/r10/q_pmi_collocations_before.txt, Generate at ops 6, 17,
+    // 31, 45). Deriving from cb alone is not enough: the joins push
+    // per-leg isnotnull predicates below each leg's aggregation, the
+    // four cb subtrees stop being canonically equal, and AQE still
+    // re-explodes per leg — so cb is MATERIALIZED once
+    // (localCheckpoint, |distinct bigrams| rows) and every consumer
+    // reads it (guide §2.3 "aggregate before you shuffle" / §2.4). */
     val cb = bg.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
-    val cl = bg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
-      .agg(count(lit(1)).as("c1"))
-    val cr = bg.groupBy(substring_index(col("bg"), " ", -1).as("w2"))
-      .agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
+    val cl = cb.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val cr = cb.groupBy(substring_index(col("bg"), " ", -1).as("w2"))
+      .agg(sum(col("c12")).as("c2"))
     val n = cb.agg(sum(col("c12")).as("n"))
     cb.filter(col("c12") >= pmiMinCount)
       .withColumn("w1", substring_index(col("bg"), " ", 1))

@@ -115,6 +115,11 @@ object GraftFunctions {
   def minhash(hashes: Column, k: Int): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(hashes), k))
 
+  /** Per-document DSIR md5 feature-bucket counts — see
+    * [[Md5BucketCounts]]. */
+  def md5BucketCounts(text: Column): Column =
+    GraftBridge.column(Md5BucketCounts(GraftBridge.expression(text)))
+
   /** Column-level handle, usable without session registration. */
   def dot(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))

@@ -1004,9 +1004,18 @@ object PipelineOps {
       length(col("text")).cast("long").as("n_chars"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
       graft.operators.DedupOps.exactKeyOf(col("text")).as("fp"))
-    val dupFp = perDoc.groupBy(col("fp"))
-      .agg(count(lit(1)).as("n_copies"))
-    perDoc.join(dupFp, Seq("fp"))
+    // Copy counts as a window on the fp partitioning instead of a
+    // groupBy + join-back: the join shape re-ran the whole per-doc
+    // projection (tokenize + md5) for the aggregate side — the two
+    // join inputs shuffle different children, so AQE could not reuse
+    // the exchange — and paid two fp exchanges; the window is ONE
+    // tokenize pass and ONE fp exchange (guide §2.4). fp groups are
+    // exact-copy groups (bounded by crawl duplication, never
+    // Zipfian), so the window partition cannot concentrate a hot key.
+    val withCopies = perDoc.withColumn("n_copies",
+      count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+    withCopies
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),

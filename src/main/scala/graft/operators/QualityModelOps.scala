@@ -426,11 +426,21 @@ object QualityModelOps {
     * aggregate cross-join, never a driver count(). */
   def dsirWeights(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(s, Tables.documents(s, dir))
+    // Per-doc bucket counts in ONE native codegen pass
+    // ([[graft.functions.Md5BucketCounts]]) — value-identical to
+    // `explode(featuresCol) -> substring(md5(f),1,2) -> groupBy count`
+    // (spec-pinned), but with no per-feature string materialization, no
+    // ~2·|words| exploded rows per document, and no (doc, bucket)
+    // pre-aggregation exchange: rows are born final, so the heavy leg
+    // of this query is a pure scan projection. The bucket travels as
+    // the first digest byte (an int) — `substring(md5(f),1,2)` is its
+    // two hex chars — and never leaves the query, so no hex formatting
+    // is needed anywhere. (Optimization guide §1.2 step 2 / §2.3.)
     val fb = docs
-      .select(col("source"), col("doc_id"), explode(featuresCol).as("f"))
-      .select(col("source"), col("doc_id"), substring(md5(col("f")), 1, 2).as("bucket"))
-      .groupBy(col("doc_id"), col("source"), col("bucket"))
-      .agg(count(lit(1)).as("m"))
+      .select(col("source"), col("doc_id"),
+        explode(graft.functions.GraftFunctions.md5BucketCounts(col("text"))).as("bm"))
+      .select(col("source"), col("doc_id"),
+        col("bm.bucket").as("bucket"), col("bm.m").as("m"))
     val cr = fb.groupBy(col("bucket")).agg(sum(col("m")).as("cr"))
     val ct = fb.filter(col("source").isin(refSources: _*))
       .groupBy(col("bucket")).agg(sum(col("m")).as("ct"))
