@@ -276,6 +276,145 @@ object WindowHashes {
   }
 }
 
+/** Distinct word n-gram shingle STRINGS in one native pass — the
+  * string-output sibling of [[ShingleHashes]] for consumers that need
+  * the n-gram text itself (the corpus top-n-gram leaderboard).
+  * Semantics are value-identical to
+  * `array_distinct(transform(sequence(...), i -> concat_ws(" ", w[i],
+  * ..., w[i+n-1])))` over `split(text, " ")` (spec-pinned): words are
+  * the single-space splits (empty tokens included), each shingle is
+  * the byte span covering its n words (byte-equal to the concat_ws
+  * string because the separators ARE single spaces), and duplicates
+  * collapse to the first occurrence. Documents with fewer than n
+  * words yield an empty array — the callers' `size(ws) >= n` filter
+  * built in. The interpreted form evaluates three element_at + a
+  * concat_ws expression tree per shingle and then an array_distinct
+  * pass; this is one split and one byte-copy per DISTINCT shingle. */
+case class ShingleStrings(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle width must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_strings needs a string column, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleStrings.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleStrings.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_shingle_strings"
+}
+
+object ShingleStrings {
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val len = s.numBytes()
+    var words = 1
+    var i = 0
+    while (i < len) {
+      if (s.getByte(i) == ' '.toByte) words += 1
+      i += 1
+    }
+    if (words < n) return ArrayData.toArrayData(Array.empty[UTF8String])
+    val starts = new Array[Int](words)
+    val ends = new Array[Int](words)
+    var w = 0
+    starts(0) = 0
+    i = 0
+    while (i < len) {
+      if (s.getByte(i) == ' '.toByte) {
+        ends(w) = i
+        w += 1
+        starts(w) = i + 1
+      }
+      i += 1
+    }
+    ends(w) = len
+    val m = words - n + 1
+    // first-occurrence dedupe by string content; each emitted shingle
+    // is a fresh byte copy (the input buffer is row-reused upstream)
+    val seen = new java.util.HashSet[UTF8String](m * 2)
+    val out = new java.util.ArrayList[UTF8String](m)
+    var j = 0
+    while (j < m) {
+      val a = starts(j)
+      val b = ends(j + n - 1)
+      val view = UTF8String.fromAddress(s.getBaseObject, s.getBaseOffset + a, b - a)
+      if (seen.add(view)) out.add(view.clone())
+      j += 1
+    }
+    ArrayData.toArrayData(out.toArray(new Array[UTF8String](out.size())))
+  }
+}
+
+/** 64-bit SimHash of a document in ONE native pass — the per-document
+  * twin of the `explode(split(text, " ")) → groupBy(doc, word) →
+  * xxhash64 → SimHashAgg` chain (value-identical, spec-pinned):
+  * tokens are the single-space splits (empty tokens included, exactly
+  * like `split`), each occurrence contributes ±1 per bit of its
+  * xxhash64 (seed 42) — summing ±1 per occurrence equals summing
+  * ±count per distinct word, which is [[SimHashAgg]]'s fold — and bit
+  * j of the result is set iff its counter is > 0, the same
+  * finalization rule. Replaces a per-word explode + a (doc, word)
+  * aggregation exchange with a scan projection. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash64 needs a string column, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHash64.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_simhash64"
+}
+
+object SimHash64 {
+  def compute(s: UTF8String): Long = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+    val counters = new Array[Int](64)
+    var start = 0
+    var i = 0
+    // single-space token spans, empty spans included (split semantics)
+    while (i <= len) {
+      if (i == len || s.getByte(i) == ' '.toByte) {
+        val h = XXH64.hashUnsafeBytes(base, off + start, i - start, ShingleHashes.Seed)
+        var j = 0
+        while (j < 64) {
+          counters(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (counters(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
 /** Intersection size of two sorted-distinct `array<bigint>` columns —
   * the exact-Jaccard verify kernel of every LSH candidate pair
   * (batch MinHash-LSH, the incremental index probe, and the streaming

@@ -617,9 +617,13 @@ object TextFunctions {
     * and the leaderboard is a TakeOrdered over (df desc, ngram asc) —
     * a k-row heap per partition, no global sort. */
   def topNgrams(s: SparkSession, dir: String): DataFrame =
-    graft.operators.DedupOps.shinglesOf(
-      graft.Tables.spread(s, graft.Tables.documents(s, dir)), "doc_id", "text", 3)
-      .select(explode(col("sh")).as("ngram"))
+    // distinct per-doc shingle STRINGS via the native one-pass
+    // [[graft.functions.ShingleStrings]] (value-identical to the
+    // interpreted shinglesOf chain, spec-pinned; <3-word docs yield an
+    // empty array, subsuming the old size filter)
+    graft.Tables.spread(s, graft.Tables.documents(s, dir))
+      .select(explode(
+        GraftFunctions.shingleStrings(col("text"), 3)).as("ngram"))
       .groupBy(col("ngram")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("ngram").asc)
       .limit(topNgramsK)

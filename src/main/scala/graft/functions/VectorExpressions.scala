@@ -141,6 +141,14 @@ object GraftFunctions {
     GraftBridge.column(QualityEnsembleScore(
       GraftBridge.expression(text), GraftBridge.expression(lang), artifacts))
 
+  /** Distinct word-n-gram shingle strings — see [[ShingleStrings]]. */
+  def shingleStrings(text: Column, n: Int): Column =
+    GraftBridge.column(ShingleStrings(GraftBridge.expression(text), n))
+
+  /** One-pass per-document 64-bit SimHash — see [[SimHash64]]. */
+  def simhash64(text: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(text)))
+
   /** SimHash aggregate over (word-hash, weight) rows — see [[SimHashAgg]]. */
   def simhash(hash: Column, weight: Column): Column =
     GraftBridge.column(

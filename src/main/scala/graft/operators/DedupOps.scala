@@ -180,15 +180,23 @@ object DedupOps {
     * distinct sets — on a duplicated corpus that is the more meaningful
     * reading (a phrase is not viral because one page was crawled often). */
   /** The collapse groups: one row per distinct shingle set —
-    * (gk, rep_id, hs, members), eagerly materialized since every
-    * consumer reads it at least twice. */
+    * (rep_id, hs, members), eagerly materialized since every consumer
+    * reads it at least twice. The group key is the sorted hash array
+    * ITSELF (UnsafeRow byte-wise array equality): the previous
+    * md5(concat_ws(cast<string>)) key allocated one decimal string per
+    * hash per document plus a concat buffer plus an md5 just to name
+    * the group — pure per-row CPU the direct array key does not pay
+    * (guide §1.2 step 2) — and grouping on the value is exact where a
+    * digest is exact-minus-collisions. Emitting the SORTED array as
+    * `hs` is value-identical for every consumer: all of them explode
+    * it, size it, or intersect it — multiset/order-insensitive — and
+    * group members have bitwise-equal sorted sets by construction. */
   private[operators] def ngramCollapseOf(hashSets: DataFrame): DataFrame =
     hashSets
-      .withColumn("gk", md5(concat_ws(",", array_sort(col("hs")).cast("array<string>"))))
-      .groupBy(col("gk"))
+      .groupBy(array_sort(col("hs")).as("hs"))
       .agg(min(col("doc_id")).as("rep_id"),
-        min_by(col("hs"), col("doc_id")).as("hs"),
         sort_array(collect_list(col("doc_id"))).as("members"))
+      .select(col("rep_id"), col("hs"), col("members"))
       .localCheckpoint()
 
   def ngramJaccardHashedOf(hashSets: DataFrame, threshold: Double,
@@ -964,11 +972,14 @@ object DedupOps {
     * (copy pairs are exact jaccard 1.0 — same value the raw verify
     * computes). */
   def minhashLshOf(signatures: DataFrame, threshold: Double): DataFrame = {
+    // group key = the hash-set array itself (sorted-distinct by the
+    // [[minhashSignaturesHashedOf]] chokepoint), not an md5 of its
+    // string rendering — see [[ngramCollapseOf]]. sig is a pure
+    // function of the set, so every member's sig is identical;
+    // min_by keeps the aggregation deterministic.
     val grouped = signatures
-      .withColumn("gk", md5(concat_ws(",", array_sort(col("hs")).cast("array<string>"))))
-      .groupBy(col("gk"))
+      .groupBy(col("hs"))
       .agg(min(col("doc_id")).as("rep_id"),
-        min_by(col("hs"), col("doc_id")).as("hs"),
         min_by(col("sig"), col("doc_id")).as("sig"),
         sort_array(collect_list(col("doc_id"))).as("members"))
       .localCheckpoint()
@@ -995,15 +1006,28 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** THE band-key array over a `sig` column — the one definition every
+    * LSH probe shares (batch banding, the persisted index, and the
+    * streaming probes in [[graft.streaming.EventStream]]), so a batch
+    * index and a streaming probe can never band differently. Key i =
+    * xxhash64 of band i's signature LONGS directly; the previous form
+    * hashed `concat_ws("_", slice(sig).cast("array<string>"))`, paying
+    * two decimal-string allocations plus a separator concat per band
+    * per document for the same equal-iff-slices-equal contract (the
+    * key is an opaque equi-join value on both sides everywhere). */
+  def lshBandKeysCol: Column =
+    array((0 until lshBands).map { bi =>
+      xxhash64((0 until lshRows).map(r =>
+        element_at(col("sig"), bi * lshRows + r + 1)): _*)
+    }: _*)
+
   /** (doc_id, band_id, band_key) rows of a (doc_id, sig) signature
     * frame — the LSH probe key both the batch operator and the
     * incremental index share, so their band keys are identical by
     * construction. */
   def lshBandsOf(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"),
-      posexplode(array((0 until lshBands).map { bi =>
-        xxhash64(concat_ws("_", slice(col("sig"), bi * lshRows + 1, lshRows).cast("array<string>")))
-      }: _*)).as(Seq("band_id", "band_key")))
+      posexplode(lshBandKeysCol).as(Seq("band_id", "band_key")))
 
   // ----------------------------------------------- incremental dedup
 
@@ -1149,13 +1173,17 @@ object DedupOps {
         min_by(col("__text"), col("doc_id")).as("__text"),
         collect_list(col("doc_id")).as("members"))
       .localCheckpoint()
+    // one native pass per representative ([[graft.functions.SimHash64]],
+    // value-identical to explode → groupBy(rep, word) → xxhash64 →
+    // SimHashAgg, spec-pinned): the per-word explode and the
+    // (rep, word) aggregation exchange disappear — signatures are a
+    // scan projection of the collapse output. The isNotNull guard
+    // mirrors the old chain, where a null text exploded to no rows and
+    // the inner join below dropped its members.
     val repSigs = grouped
-      .select(col("rep_id"), explode(split(col("__text"), " ")).as("word"))
-      .groupBy(col("rep_id"), col("word"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("word")))
-      .groupBy(col("rep_id"))
-      .agg(graft.functions.GraftFunctions.simhash(col("h"), col("cnt")).as("simhash"))
+      .filter(col("__text").isNotNull)
+      .select(col("rep_id"),
+        graft.functions.GraftFunctions.simhash64(col("__text")).as("simhash"))
     grouped.select(col("rep_id"), explode(col("members")).as("doc_id"))
       .join(repSigs, "rep_id")
       .select(col("doc_id"), col("simhash"))
@@ -1311,13 +1339,18 @@ object DedupOps {
     // representative level, expand through the copy groups after.
     // Cosine of a copy pair is dot(v,v)/(norm·norm) — the same doubles
     // the uncollapsed plan would produce for that pair.
+    // Collapse key = the vector itself (UnsafeRow array equality with
+    // Spark's grouping-key float normalization: -0.0 folds into 0.0 and
+    // NaNs are equal — exactly as cheap and strictly no coarser for any
+    // cosine downstream, since ±0.0 contribute identical products) —
+    // not an md5 of the Double.toString rendering, which allocated
+    // dim strings + a concat + a digest per row (see ngramCollapseOf).
     val grouped = vecs
       .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("gk", md5(concat_ws(",", col("v").cast("array<string>"))))
-      .groupBy(col("gk"))
+      .groupBy(col("v"))
       .agg(min(col("vec_id")).as("rep_id"),
-        min_by(col("v"), col("vec_id")).as("v"),
         sort_array(collect_list(col("vec_id"))).as("members"))
+      .select(col("rep_id"), col("v"), col("members"))
       .localCheckpoint()
     val e = grouped
       .select(col("rep_id").as("vec_id"), col("v"))

@@ -100,7 +100,12 @@ object OrgOps {
     * stickiness), append-merged dest list, first-org-wins base_acl,
     * user-filled tag — or the reference's error string. */
   def orgRulesFull(s: SparkSession, dir: String): DataFrame = {
-    val catalog = orgCatalog(s, dir)
+    // materialized once: the catalog subtree (nation⋈region + union +
+    // literals) otherwise re-plans and re-scans for each of its FOUR
+    // consumers below (aliasMap + the n/r/g hops), each behind its own
+    // broadcast stage — measured ~12 parquet scans and a 3.9 s spread
+    // in the final plan for a ≤31-row frame (guide §2.4)
+    val catalog = orgCatalog(s, dir).localCheckpoint()
     // normalized alias → canonical (canonical itself is always an alias)
     val aliasMap = catalog
       .select(col("canonical_name"),

@@ -66,18 +66,20 @@ object SemDedupOps {
       (grouped, AnnOps.centroidsOf(e)) // both localCheckpoint-materialized
     }
 
-  /** Collapse groups: one row per distinct vector value (md5 of the
-    * exact double strings — Double.toString round-trips), members
-    * sorted, representative = min id. Eagerly materialized: training,
-    * assignment, edges, and the final expansion all read it. */
+  /** Collapse groups: one row per distinct vector value (grouped on
+    * the vector array itself — UnsafeRow equality with grouping-key
+    * float normalization, strictly no coarser for anything cosine
+    * downstream; see [[DedupOps.ngramCollapseOf]] for why the md5
+    * string-render key was dropped), members sorted, representative =
+    * min id. Eagerly materialized: training, assignment, edges, and
+    * the final expansion all read it. */
   private[operators] def collapseOf(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
     vecs
       .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("gk", md5(concat_ws(",", col("v").cast("array<string>"))))
-      .groupBy(col("gk"))
+      .groupBy(col("v"))
       .agg(min(col("vec_id")).as("rep_id"),
-        min_by(col("v"), col("vec_id")).as("v"),
         sort_array(collect_list(col("vec_id"))).as("members"))
+      .select(col("rep_id"), col("v"), col("members"))
       .localCheckpoint()
 
   /** Generic API: (vec_id, cluster_id, sem_group, keep) for any

@@ -164,10 +164,8 @@ object EventStream {
       .select(col("doc_id"), col("ts"),
         GraftFunctions.minhash(col("hs"), minhashK).as("sig"))
     val bands = sig.select(col("doc_id"), col("ts"), col("sig"),
-      posexplode(array((0 until lshBands).map { bi =>
-        xxhash64(concat_ws("_", slice(col("sig"), bi * lshRows + 1, lshRows)
-          .cast("array<string>")))
-      }: _*)).as(Seq("band_id", "band_key")))
+      posexplode(graft.operators.DedupOps.lshBandKeysCol)
+        .as(Seq("band_id", "band_key")))
     bands
       .withWatermark("ts", "1 hour")
       .select(col("band_id"), col("band_key"), col("doc_id"), col("ts"), col("sig"))
@@ -228,10 +226,8 @@ object EventStream {
       .select(col("doc_id"), col("hs"),
         GraftFunctions.minhash(col("hs"), minhashK).as("sig"))
     val bands = sig.select(col("doc_id").as("new_id"), col("hs"),
-      posexplode(array((0 until lshBands).map { bi =>
-        xxhash64(concat_ws("_", slice(col("sig"), bi * lshRows + 1, lshRows)
-          .cast("array<string>")))
-      }: _*)).as(Seq("band_id", "band_key")))
+      posexplode(graft.operators.DedupOps.lshBandKeysCol)
+        .as(Seq("band_id", "band_key")))
     bands
       .join(index.bands.select(col("doc_id").as("corpus_id"),
         col("band_id"), col("band_key")), Seq("band_id", "band_key"))
