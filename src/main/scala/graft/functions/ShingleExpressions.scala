@@ -3,8 +3,9 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType,
+  StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Distinct 64-bit hashes of word n-gram shingles, as one native pass.
@@ -273,6 +274,167 @@ object WindowHashes {
       j += 1
     }
     ArrayData.toArrayData(hs)
+  }
+}
+
+/** Consecutive n-word chunk strings in one native pass — the chunker
+  * of [[graft.operators.DedupOps.chunkDedupOf]]. Value-identical to
+  * `transform(sequence(0, ceil(len(ws)/n)-1), i ->
+  * array_join(slice(ws, i*n+1, n), " "))` over
+  * `ws = split(trim(text), "\s+")` (spec-pinned): tokens are the
+  * Java-regex splits of the space-trimmed text (WindowHashes'
+  * tokenizer), chunk i covers tokens [i·n, i·n+n) joined by single
+  * spaces (the tail chunk takes what remains), and `posexplode` over
+  * the result reproduces the old (pos, chunk) rows exactly. The
+  * interpreted form evaluated an array_join(slice(...)) expression
+  * tree per chunk; this is one split, one normalized buffer, and one
+  * byte copy per chunk. */
+case class ChunkStrings(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "chunk width must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_chunk_strings needs a string column, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    ChunkStrings.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ChunkStrings.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ChunkStrings =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_chunk_strings"
+}
+
+object ChunkStrings {
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    // replicate split(trim(text), "\s+"): Spark trim strips spaces
+    // only, then Java-regex split with limit -1
+    val str = s.toString
+    var b0 = 0
+    var e0 = str.length
+    while (b0 < e0 && str.charAt(b0) == ' ') b0 += 1
+    while (e0 > b0 && str.charAt(e0 - 1) == ' ') e0 -= 1
+    val toks = Whitespace.split(str.substring(b0, e0), -1)
+    // normalized buffer: tokens joined by single spaces (the same
+    // bytes array_join produces for any slice of consecutive tokens)
+    val tb = new Array[Array[Byte]](toks.length)
+    var total = toks.length - 1
+    var j = 0
+    while (j < toks.length) {
+      tb(j) = toks(j).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      total += tb(j).length
+      j += 1
+    }
+    val buf = new Array[Byte](math.max(total, 0))
+    val starts = new Array[Int](toks.length)
+    val ends = new Array[Int](toks.length)
+    var pos = 0
+    j = 0
+    while (j < toks.length) {
+      if (j > 0) { buf(pos) = ' '.toByte; pos += 1 }
+      starts(j) = pos
+      System.arraycopy(tb(j), 0, buf, pos, tb(j).length)
+      pos += tb(j).length
+      ends(j) = pos
+      j += 1
+    }
+    val m = (toks.length + n - 1) / n
+    val out = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) {
+      val a = starts(i * n)
+      val b = ends(math.min(i * n + n, toks.length) - 1)
+      out(i) = UTF8String.fromBytes(java.util.Arrays.copyOfRange(buf, a, b))
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
+/** Ordered candidate pairs from one posting list, natively — the pair
+  * generator of the inverted-index dedup miners
+  * ([[graft.operators.DedupOps]]). Input: the collect_list posting
+  * array of (doc_id, sh_size) structs for one shingle (any order, ids
+  * unique within a list). Output: the i<j pairs of the doc_id-sorted
+  * list, flattened to (doc_a, doc_b, size_a, size_b) — value-identical
+  * to `array_sort(ds)` + the nested transform/slice/struct chain +
+  * flatten (spec-pinned), which evaluated an interpreted expression
+  * tree per PAIR; candidate pairs are the biggest intermediate stream
+  * of the whole dedup tier, so the per-pair constant dominates. */
+case class PostingPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("doc_a", LongType, nullable = false),
+      StructField("doc_b", LongType, nullable = false),
+      StructField("size_a", IntegerType, nullable = false),
+      StructField("size_b", IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(
+      StructField(_, LongType, _, _), StructField(_, IntegerType, _, _))), _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_posting_pairs needs array<struct<bigint,int>>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    PostingPairs.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PostingPairs.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): PostingPairs =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_posting_pairs"
+}
+
+object PostingPairs {
+  def compute(ds: ArrayData): ArrayData = {
+    val n = ds.numElements()
+    val ids = new Array[Long](n)
+    val sizes = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val row = ds.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      sizes(i) = row.getInt(1)
+      i += 1
+    }
+    // sort by doc_id (unique within a posting list): insertion via
+    // index sort keeps the (id, size) rows paired
+    val order = (0 until n).toArray
+    // simple dual-pivot via boxed sort is fine: lists are DF-capped
+    val boxed = order.map(Integer.valueOf)
+    java.util.Arrays.sort(boxed, (x: Integer, y: Integer) =>
+      java.lang.Long.compare(ids(x), ids(y)))
+    val m = n * (n - 1) / 2
+    val out = new Array[Any](m)
+    var k = 0
+    i = 0
+    while (i < n) {
+      val a = boxed(i)
+      var j = i + 1
+      while (j < n) {
+        val b = boxed(j)
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(
+          ids(a), ids(b), sizes(a), sizes(b))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 }
 

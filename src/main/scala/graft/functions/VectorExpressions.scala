@@ -141,6 +141,15 @@ object GraftFunctions {
     GraftBridge.column(QualityEnsembleScore(
       GraftBridge.expression(text), GraftBridge.expression(lang), artifacts))
 
+  /** Consecutive n-word chunk strings — see [[ChunkStrings]]. */
+  def chunkStrings(text: Column, n: Int): Column =
+    GraftBridge.column(ChunkStrings(GraftBridge.expression(text), n))
+
+  /** Sorted i<j candidate pairs of one posting list — see
+    * [[PostingPairs]]. */
+  def postingPairs(ds: Column): Column =
+    GraftBridge.column(PostingPairs(GraftBridge.expression(ds)))
+
   /** Distinct word-n-gram shingle strings — see [[ShingleStrings]]. */
   def shingleStrings(text: Column, n: Int): Column =
     GraftBridge.column(ShingleStrings(GraftBridge.expression(text), n))

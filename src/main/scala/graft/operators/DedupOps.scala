@@ -280,16 +280,18 @@ object DedupOps {
     // Ordered pairs generated array-side from the sorted posting list
     // (position i < j ⇒ doc_a < doc_b): each candidate pair is emitted
     // exactly once — half the exploded volume of an a≠b self-pairing,
-    // with no a>b rows to filter after the fact.
+    // with no a>b rows to filter after the fact. Pair generation is
+    // the native [[graft.functions.PostingPairs]] (sort + flat
+    // (doc_a, doc_b, size_a, size_b) structs in one JVM loop) —
+    // value-identical to the interpreted array_sort +
+    // transform/slice/struct chain it replaces (spec-pinned), which
+    // paid an interpreted expression tree per candidate pair, the
+    // biggest intermediate stream of this operator (measured 1.45 s →
+    // the pair step of a 2.6 s query at sf0.1).
     postings
-      .withColumn("ds", array_sort(col("ds")))
-      .select(flatten(transform(col("ds"), (a, i) =>
-        transform(slice(col("ds"), i + 2, size(col("ds"))),
-          b => struct(a.as("a"), b.as("b"))))).as("pairs"))
-      .select(explode(col("pairs")).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh_size").as("size_a"), col("b.sh_size").as("size_b"))
+      .select(explode(graft.functions.GraftFunctions.postingPairs(col("ds"))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.size_a").as("size_a"), col("p.size_b").as("size_b"))
       .agg(count(lit(1)).as("common"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("size_a") + col("size_b") - col("common")))
@@ -352,13 +354,10 @@ object DedupOps {
       .filter(col("df") >= 2 && col("df") <= maxShingleDf)
       .groupBy(col("h"))
       .agg(collect_list(struct(col("doc_id"), col("sh_size"))).as("ds"))
-      .withColumn("ds", array_sort(col("ds")))
-      .select(flatten(transform(col("ds"), (a, i) =>
-        transform(slice(col("ds"), i + 2, size(col("ds"))),
-          b => struct(a.as("a"), b.as("b"))))).as("pairs"))
-      .select(explode(col("pairs")).as("p"))
-      .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
-        col("p.a.sh_size").as("size_a"), col("p.b.sh_size").as("size_b"))
+      // native pair generation — see the repPairsOf note
+      .select(explode(graft.functions.GraftFunctions.postingPairs(col("ds"))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.size_a").as("size_a"), col("p.size_b").as("size_b"))
       .agg(count(lit(1)).as("common"))
       .withColumn("v", struct(col("common"),
         expr("common * 1000000 div least(size_a, size_b)").as("containment_ppm"),
@@ -470,18 +469,15 @@ object DedupOps {
     * state, order restored by sorting the (pos, chunk) structs. */
   def chunkDedupOf(docs: DataFrame, idCol: String, textCol: String,
       n: Int, dfCap: Long): DataFrame = {
-    val ws = split(trim(col(textCol)), "\\s+")
-    // let-bind the token array: a raw `ws` inside the chunk lambda
-    // would re-tokenize the document once per chunk (the HOF pitfall
-    // documented at AnnOps.quantizeEmbeddings); bound once as a lambda
-    // variable, chunking is one split + len/n slices
-    val chunkArr = element_at(transform(array(ws), wsv =>
-      transform(sequence(lit(0), ceil(size(wsv).cast("double") / n).cast("int") - 1),
-        i => array_join(slice(wsv, i * n + 1, lit(n)), " "))), 1)
+    // chunking is the native one-pass [[graft.functions.ChunkStrings]]
+    // (value-identical to the interpreted let-bound
+    // transform/array_join/slice chain, spec-pinned; `split` never
+    // returns an empty array, so the old `size(ws) >= 1` filter was
+    // vacuous and posexplode reproduces its rows exactly)
     val chunks = docs
-      .filter(size(ws) >= 1)
       .select(col(idCol).as("doc_id"),
-        posexplode(chunkArr).as(Seq("pos", "chunk")))
+        posexplode(graft.functions.GraftFunctions.chunkStrings(col(textCol), n))
+          .as(Seq("pos", "chunk")))
     val freq = chunks.groupBy(col("chunk")).agg(count(lit(1)).as("c"))
     chunks.join(freq, Seq("chunk"))
       .groupBy(col("doc_id"))

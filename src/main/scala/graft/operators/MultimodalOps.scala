@@ -555,10 +555,18 @@ object MultimodalOps {
   val minFrameBytes = 16
 
   def mediaDedupOf(frames: DataFrame, frac: Double): DataFrame = {
+    // materialized once: the distinct (doc_id, fh) signature table is
+    // read by THREE consumers below (per-video counts, the df-capped
+    // keep filter, and both sides of the pair join); without the cut,
+    // join-pushed isnotnull predicates make each consumer's subtree
+    // non-canonical, AQE cannot reuse the exchange, and the frame
+    // DECODE upstream re-runs per consumer (guide §2.4 — the same
+    // re-explode failure measured on q_pmi_collocations)
     val sigs = frames
       .filter(octet_length(col("frame_bytes")) >= minFrameBytes)
       .select(col("doc_id"), xxhash64(col("frame_bytes")).as("fh"))
       .distinct()
+      .localCheckpoint()
     val counts = sigs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
     val kept = sigs.join(
       sigs.groupBy(col("fh")).agg(count(lit(1)).as("dfc"))

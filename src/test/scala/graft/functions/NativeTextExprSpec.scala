@@ -68,6 +68,62 @@ class NativeTextExprSpec extends SparkSpec {
     assert(nat.collect().toSeq == dec.collect().toSeq)
   }
 
+  // ---------------------------------------------- ChunkStrings
+
+  /** The interpreted chunker from the pre-optimization chunkDedupOf. */
+  private def declChunks(text: Column, n: Int): Column = {
+    val ws = split(trim(text), "\\s+")
+    element_at(transform(array(ws), wsv =>
+      transform(sequence(lit(0), ceil(size(wsv).cast("double") / n).cast("int") - 1),
+        i => array_join(slice(wsv, i * n + 1, lit(n)), " "))), 1)
+  }
+
+  test("chunk strings match the interpreted chunker on the corpus") {
+    val n = 3
+    val mism = graft.Tables.documents(spark, sfDir)
+      .select(GraftFunctions.chunkStrings(col("text"), n).as("nat"),
+        declChunks(col("text"), n).as("dec"))
+      .filter(col("nat") =!= col("dec"))
+      .count()
+    assert(mism == 0L)
+  }
+
+  test("chunk strings match the interpreted chunker on edge cases, in order") {
+    val n = 3
+    val out = edgeCases.toDF("doc_id", "text")
+      .select(col("text"),
+        GraftFunctions.chunkStrings(col("text"), n).as("nat"),
+        declChunks(col("text"), n).as("dec"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"mismatch on '${r.getString(0)}'")
+    }
+  }
+
+  // ---------------------------------------------- PostingPairs
+
+  test("posting pairs match the interpreted array_sort + transform chain") {
+    val lists = Seq(
+      Seq((5L, 3), (1L, 7), (9L, 2)),
+      Seq((2L, 4), (8L, 1)),
+      Seq((3L, 3)),
+      Seq.empty[(Long, Int)],
+      Seq((10L, 1), (7L, 2), (4L, 9), (12L, 5), (6L, 6)))
+      .toDF("raw")
+      .select(transform(col("raw"), r =>
+        struct(r.getField("_1").as("doc_id"), r.getField("_2").as("sh_size"))).as("ds"))
+    val decl = lists
+      .withColumn("s", array_sort(col("ds")))
+      .select(flatten(transform(col("s"), (a, i) =>
+        transform(slice(col("s"), i + 2, size(col("s"))),
+          b => struct(a.getField("doc_id").as("doc_a"), b.getField("doc_id").as("doc_b"),
+            a.getField("sh_size").as("size_a"), b.getField("sh_size").as("size_b")))))
+        .as("pairs"))
+    val nat = lists.select(GraftFunctions.postingPairs(col("ds")).as("pairs"))
+    assert(nat.collect().map(_.getSeq[org.apache.spark.sql.Row](0)).toSeq ==
+      decl.collect().map(_.getSeq[org.apache.spark.sql.Row](0)).toSeq)
+  }
+
   // ---------------------------------------------- SimHash64
 
   /** The aggregate chain SimHash64 replaces. */
