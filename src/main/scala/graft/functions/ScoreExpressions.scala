@@ -1,0 +1,158 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The trained bigram-LM model as a closure value for the native
+  * streaming scorer — the [[EnsembleArtifacts]] pattern restricted to
+  * the LM tables (vocabulary-sized driver collect, O(1) hash probes
+  * per bigram at score time). */
+final case class LmModel(
+    cbPairs: Array[(String, Long)],
+    cwPairs: Array[(String, Long)]) extends Serializable {
+
+  /** context-vocabulary size — the `cw.agg(count(1))` scalar. */
+  val v: Long = cwPairs.length.toLong
+
+  @transient private lazy val cb: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](cbPairs.length * 2)
+    cbPairs.foreach { case (k, c) => m.put(k, c) }
+    m
+  }
+  @transient private lazy val cw: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](cwPairs.length * 2)
+    cwPairs.foreach { case (k, c) => m.put(k, c) }
+    m
+  }
+
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  /** Score one document: (n_bigrams, mean_log_prob), both null for a
+    * <2-word document — exactly the map-fold scorer's `when` guards.
+    * The fold is the POSITIONAL per-occurrence order the map-fold
+    * computed, so the doubles are bit-identical to the old stream,
+    * and 1e-9-close to the batch operator's sorted fold. */
+  def score(textU: UTF8String): InternalRow = {
+    val text = textU.toString
+    var b0 = 0
+    var e0 = text.length
+    while (b0 < e0 && text.charAt(b0) == ' ') b0 += 1
+    while (e0 > b0 && text.charAt(e0 - 1) == ' ') e0 -= 1
+    val ws = LmModel.Whitespace.split(text.substring(b0, e0), -1)
+    if (ws.length < 2) return new GenericInternalRow(Array[Any](null, null))
+    val n = ws.length - 1
+    var lp = 0.0
+    var i = 0
+    while (i < n) {
+      val bg = ws(i) + " " + ws(i + 1)
+      val cb0 = cb.get(bg)
+      val cw0 = cw.get(ws(i))
+      lp += Math.log((if (cb0 == null) 0L else cb0.longValue()) + 1.0) -
+        Math.log(((if (cw0 == null) 0L else cw0.longValue()) + v).toDouble)
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](n.toLong, round6(lp / n)))
+  }
+}
+
+object LmModel {
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
+  def of(cb: org.apache.spark.sql.DataFrame,
+      cw: org.apache.spark.sql.DataFrame): LmModel =
+    LmModel(
+      cb.select("bg", "cb").collect().map(r => (r.getString(0), r.getLong(1))),
+      cw.select("w1", "cw").collect().map(r => (r.getString(0), r.getLong(1))))
+}
+
+/** `graft_lm_score(text)` under a captured [[LmModel]]: per-document
+  * (n_bigrams, mean_log_prob) struct — the native form of the
+  * streaming map-fold LM scorer, which paid an interpreted md5-free
+  * but LINEAR MapType probe (O(|vocab|)) per bigram; this is one JVM
+  * loop with O(1) hash probes. Null text yields a null struct (the
+  * old plan emitted the row with null fields — callers read the
+  * fields through getField, which nulls identically). */
+case class LmScore(child: Expression, model: LmModel) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bigrams", LongType, nullable = true),
+    StructField("mean_log_prob", DoubleType, nullable = true)))
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_lm_score needs a string column, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    model.score(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lmModel", model, classOf[LmModel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.score($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LmScore =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_lm_score"
+}
+
+/** Wide binary sign sketch in one native pass — ceil(dim/64) longs,
+  * word w bit i = sign of v(64w+i). Value-identical to the interpreted
+  * [[graft.operators.AnnOps.signBitsWide]] HOF chain (spec-pinned):
+  * an element >= 0 sets its bit, and Spark's float ordering treats NaN
+  * as larger than every value, so NaN sets its bit too; a NULL element
+  * leaves its bit clear (the zip_with/when chain's otherwise-0); tail
+  * bits beyond dim stay clear; a zero-dim vector sketches to an empty
+  * array. The HOF form allocated a zip_with array + an aggregate fold
+  * per WORD per row; this is one loop per vector. */
+case class SignBitsWide(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_sign_bits_wide needs array<double>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SignBitsWide.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SignBitsWide.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SignBitsWide =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_sign_bits_wide"
+}
+
+object SignBitsWide {
+  def compute(v: ArrayData): ArrayData = {
+    val dim = v.numElements()
+    if (dim == 0) return ArrayData.toArrayData(Array.emptyLongArray)
+    val nWords = (dim + 63) / 64
+    val words = new Array[Long](nWords)
+    var i = 0
+    while (i < dim) {
+      if (!v.isNullAt(i)) {
+        val x = v.getDouble(i)
+        // Spark comparison semantics: NaN > everything, -0.0 == 0.0
+        if (x >= 0.0 || java.lang.Double.isNaN(x))
+          words(i / 64) |= (1L << (i % 64))
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(words)
+  }
+}

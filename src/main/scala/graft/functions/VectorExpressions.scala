@@ -141,6 +141,15 @@ object GraftFunctions {
     GraftBridge.column(QualityEnsembleScore(
       GraftBridge.expression(text), GraftBridge.expression(lang), artifacts))
 
+  /** Native streaming LM scorer under a captured [[LmModel]]. */
+  def lmScore(text: Column, model: LmModel): Column =
+    GraftBridge.column(LmScore(GraftBridge.expression(text), model))
+
+  /** Wide binary sign sketch (ceil(dim/64) longs) — see
+    * [[SignBitsWide]]. */
+  def signBitsWide(v: Column): Column =
+    GraftBridge.column(SignBitsWide(GraftBridge.expression(v)))
+
   /** Consecutive n-word chunk strings — see [[ChunkStrings]]. */
   def chunkStrings(text: Column, n: Int): Column =
     GraftBridge.column(ChunkStrings(GraftBridge.expression(text), n))

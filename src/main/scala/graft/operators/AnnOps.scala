@@ -114,39 +114,29 @@ object AnnOps {
     * sign-sketch screening and get the exact float rerank. */
   val hammingShortlist = 50
 
-  /** The 64 bit weights (1L << i) as a literal array: sign bits fold in
-    * with bitwiseOR — a multiply-accumulate fold would overflow a long
-    * at bit 63, which ANSI mode rejects; OR of disjoint weights cannot
-    * overflow. */
-  private val bitWeights: Column =
-    array((0 until 64).map(i => lit(1L << i)): _*)
-
   /** Binary sign sketch: bit i set iff v(i) >= 0. dim = 64 packs the
     * whole vector into ONE long (a wider embedding would carry
     * ceil(dim/64) longs, same fold per word). NaN compares above zero
     * on both engines (larger-than-everything float ordering), so the
     * sketch is engine-exact. */
   def signBits(v: Column): Column =
-    aggregate(
-      zip_with(v, bitWeights, (x, w) => when(x >= 0.0d, w).otherwise(lit(0L))),
-      lit(0L), (acc, b) => acc.bitwiseOR(b))
+    // first word of the native wide sketch — for the ≤64-dim contract
+    // this is exactly the old zip_with/aggregate fold (spec-pinned),
+    // without the per-row interpreted HOF allocations
+    element_at(graft.functions.GraftFunctions.signBitsWide(v), 1)
 
   /** Sign sketch for ARBITRARY dimensionality: ceil(dim/64) longs,
     * word w bit i = sign(v(64w+i)) — the wide form the 64-dim
     * [[signBits]] fast path specializes ([[signBitsWide]] of a 64-dim
-    * vector is exactly array(signBits(v)), spec-pinned). zip_with pads
-    * a short tail word with nulls, whose `when` falls to 0 — tail bits
+    * vector is exactly array(signBits(v)), spec-pinned). Tail bits
     * beyond dim stay clear on both vectors and never contribute to a
     * Hamming distance. */
   def signBitsWide(v: Column): Column =
-    // the empty-vector guard matters: sequence(0, -1) COUNTS DOWN, so
-    // without it a zero-dim vector would sketch to two junk words
-    when(size(v) === 0, array().cast("array<bigint>")).otherwise(
-      transform(sequence(lit(0), floor((size(v) - 1) / 64).cast("int")),
-        w => aggregate(
-          zip_with(slice(v, w * 64 + 1, lit(64)), bitWeights,
-            (x, wt) => when(x >= 0.0d, wt).otherwise(lit(0L))),
-          lit(0L), (acc, b) => acc.bitwiseOR(b))))
+    // native one-pass sketch ([[graft.functions.SignBitsWide]]) —
+    // value-identical to the interpreted transform/zip_with/aggregate
+    // chain (spec-pinned incl. NaN/-0.0/null-element/empty corners),
+    // which allocated a zip_with array + a fold per WORD per row
+    graft.functions.GraftFunctions.signBitsWide(v)
 
   /** Hamming distance between two wide sketches: per-word XOR+POPCNT,
     * summed — the multi-word twin of

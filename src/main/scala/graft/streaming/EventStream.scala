@@ -651,17 +651,30 @@ object EventStream {
     * `docs` needs (doc_id, text); emits (doc_id, n_features,
     * log_weight, target_like) in append mode. */
   def dsirScoreStream(docs: DataFrame, bucketModel: DataFrame): DataFrame = {
+    // model keyed by the bucket's INTEGER value (the first md5 digest
+    // byte — `substring(md5(f),1,2)` is its hex spelling), matching
+    // the native per-doc bucket counts below
     val m = bucketModel.agg(
-      map_from_entries(collect_list(struct(col("bucket"), col("log_ratio"))))
+      map_from_entries(collect_list(struct(
+        conv(col("bucket"), 16, 10).cast("int").as("b"), col("log_ratio"))))
         .as("lr"))
+    // ONE native pass per document ([[graft.functions.Md5BucketCounts]],
+    // the batch q_dsir_weights hot path): no per-feature string
+    // allocation and a ≤256-element model fold instead of a
+    // per-feature interpreted md5 + linear map scan (measured 277 →
+    // see StreamBench). Σ m(b)·ratio(b) equals the old per-occurrence
+    // fold up to double fold order — inside the spec's 1e-9 pin.
     docs
       .crossJoin(broadcast(m))
       .select(col("doc_id"),
-        graft.operators.QualityModelOps.featuresCol.as("fs"), col("lr"))
+        graft.functions.GraftFunctions.md5BucketCounts(col("text")).as("bm"),
+        col("lr"))
       .select(col("doc_id"),
-        size(col("fs")).cast("long").as("n_features"),
-        round(aggregate(col("fs"), lit(0.0), (acc, f) =>
-          acc + coalesce(element_at(col("lr"), substring(md5(f), 1, 2)), lit(0.0))),
+        aggregate(col("bm"), lit(0L), (acc, x) =>
+          acc + x.getField("m")).as("n_features"),
+        round(aggregate(col("bm"), lit(0.0), (acc, x) =>
+          acc + x.getField("m").cast("double") *
+            coalesce(element_at(col("lr"), x.getField("bucket")), lit(0.0))),
           6).as("log_weight"))
       .withColumn("target_like", col("log_weight") > 0.0)
   }
@@ -706,24 +719,21 @@ object EventStream {
     * Scores match the batch operator to 1e-9 (different fold order
     * over the same add-one-smoothed log terms; spec-pinned). */
   def lmScoreStream(docs: DataFrame, cb: DataFrame, cw: DataFrame): DataFrame = {
-    val cbM = cb.agg(
-      map_from_entries(collect_list(struct(col("bg"), col("cb")))).as("cbm"))
-    val cwM = cw.agg(
-      map_from_entries(collect_list(struct(col("w1"), col("cw")))).as("cwm"),
-      count(lit(1)).as("v"))
+    // The model rides the task closure as a native scorer
+    // ([[graft.functions.LmScore]] — the EnsembleArtifacts pattern):
+    // the previous MapType broadcast paid a LINEAR O(|vocab|) probe
+    // per bigram (Spark map lookup is an array scan — measured 80-646
+    // docs/s in StreamBench), the hash-map probe is O(1). Same
+    // stateless zero-shuffle shape; the fold replays the map-fold's
+    // positional per-occurrence order, so scores are bit-identical to
+    // the old stream and 1e-9-close to the batch operator's sorted
+    // fold (LmStreamSpec).
+    val model = graft.functions.LmModel.of(cb, cw)
     docs
-      .crossJoin(broadcast(cbM)).crossJoin(broadcast(cwM))
       .select(col("doc_id"),
-        graft.operators.QualityModelOps.bigramsCol.as("bgs"),
-        col("cbm"), col("cwm"), col("v"))
-      .select(col("doc_id"),
-        when(size(col("bgs")) >= 1, size(col("bgs")).cast("long")).as("n_bigrams"),
-        when(size(col("bgs")) >= 1,
-          round(aggregate(col("bgs"), lit(0.0), (acc, bg) =>
-            acc + (log(coalesce(element_at(col("cbm"), bg), lit(0L)) + lit(1)) -
-              log(coalesce(element_at(col("cwm"), substring_index(bg, " ", 1)),
-                lit(0L)) + col("v"))))
-            / size(col("bgs")), 6)).as("mean_log_prob"))
+        graft.functions.GraftFunctions.lmScore(col("text"), model).as("s"))
+      .select(col("doc_id"), col("s.n_bigrams").as("n_bigrams"),
+        col("s.mean_log_prob").as("mean_log_prob"))
   }
 
   /** Streaming BM25 relevance scoring — the streaming twin of
@@ -893,14 +903,22 @@ object EventStream {
         col("gopher_keep"), col("rep_flag"),
         explode(QualityModelOps.featuresCol).as("f"))
       .withColumn("is_bg", instr(col("f"), " ") >= 1)
+      // the context key, masked to bigrams: a PURE equi key. The
+      // previous mixed join condition (`is_bg && substring_index(f)
+      // === w1`) denied equi-key extraction, the planner fell back to
+      // a broadcast NESTED-LOOP join of the exploded feature stream
+      // against the whole context vocabulary, and the gate measured
+      // 39 docs/s; a null key never equi-matches, so non-bigram rows
+      // keep the same null `cw` the old condition produced.
+      .withColumn("w1k", when(col("is_bg"), substring_index(col("f"), " ", 1)))
       .withColumn("bucket", substring(md5(col("f")), 1, 2))
     val rolled = exploded
       .join(broadcast(dsirModel.select(col("bucket"), col("log_ratio"))),
         Seq("bucket"), "left")
       .join(broadcast(cb.select(col("bg"), col("cb"))),
         col("f") === col("bg"), "left")
-      .join(broadcast(cw.select(col("w1"), col("cw"))),
-        col("is_bg") && substring_index(col("f"), " ", 1) === col("w1"), "left")
+      .join(broadcast(cw.select(col("w1").as("w1k"), col("cw"))),
+        Seq("w1k"), "left")
       .crossJoin(broadcast(v1))
       .groupBy(window(col("ingest_ts"), windowDur), col("doc_id"),
         col("lang"), col("gopher_keep"), col("rep_flag"))

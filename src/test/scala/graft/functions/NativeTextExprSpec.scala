@@ -68,6 +68,45 @@ class NativeTextExprSpec extends SparkSpec {
     assert(nat.collect().toSeq == dec.collect().toSeq)
   }
 
+  // ---------------------------------------------- SignBitsWide
+
+  /** The interpreted chain the native wide sketch replaces. */
+  private def declSignBitsWide(v: Column): Column = {
+    val bitWeights = array((0 until 64).map(i => lit(1L << i)): _*)
+    when(size(v) === 0, array().cast("array<bigint>")).otherwise(
+      transform(sequence(lit(0), floor((size(v) - 1) / 64).cast("int")),
+        w => aggregate(
+          zip_with(slice(v, w * 64 + 1, lit(64)), bitWeights,
+            (x, wt) => when(x >= 0.0d, wt).otherwise(lit(0L))),
+          lit(0L), (acc, b) => acc.bitwiseOR(b))))
+  }
+
+  test("native wide sign sketch matches the interpreted chain on the corpus") {
+    val mism = graft.Tables.embeddings(spark, sfDir)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .select(GraftFunctions.signBitsWide(col("v")).as("nat"),
+        declSignBitsWide(col("v")).as("dec"))
+      .filter(col("nat") =!= col("dec"))
+      .count()
+    assert(mism == 0L)
+  }
+
+  test("native wide sign sketch matches on NaN/-0.0/null/empty/odd-width corners") {
+    val rows: Seq[Seq[java.lang.Double]] = Seq(
+      Seq(1.0, -1.0, 0.0, -0.0),
+      Seq(Double.NaN, -Double.NaN, -1.0),
+      Seq[java.lang.Double](null, 1.0, null, -2.0),
+      Seq.empty[java.lang.Double],
+      Seq.fill(64)(java.lang.Double.valueOf(-1.0)) :+ java.lang.Double.valueOf(3.0),
+      Seq.tabulate(130)(i => java.lang.Double.valueOf(if (i % 3 == 0) -1.0 else 1.0)))
+    val df = rows.toDF("v").select(col("v").cast("array<double>").as("v"))
+    val out = df.select(GraftFunctions.signBitsWide(col("v")).as("nat"),
+      declSignBitsWide(col("v")).as("dec")).collect()
+    out.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"mismatch: $r")
+    }
+  }
+
   // ---------------------------------------------- ChunkStrings
 
   /** The interpreted chunker from the pre-optimization chunkDedupOf. */
