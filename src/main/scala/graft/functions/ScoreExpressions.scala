@@ -106,6 +106,90 @@ case class LmScore(child: Expression, model: LmModel) extends UnaryExpression {
   override def prettyName: String = "graft_lm_score"
 }
 
+/** Top-`nprobe` centroid ids for one vector against a broadcast
+  * centroid array, natively — the probe-selection / assignment kernel
+  * of the IVF family ([[graft.operators.AnnOps]]). Value-identical to
+  * the interpreted chain `slice(reverse(array_sort(transform(cents,
+  * c -> struct(dot(v,cv)/(norm*cn) AS csim, -id AS nid)))), 1, n)`
+  * (and, at n = 1, to `-array_max(...).nid`): csim is the same
+  * index-order dot fold [[DotProduct]] computes, ordering is csim
+  * descending with Spark's float semantics (NaN above everything,
+  * -0.0 < 0.0 — exactly java.lang.Double.compare) and ties break to
+  * the smaller centroid id. The interpreted form allocated a K-struct
+  * array + a sort + a reverse per ROW; this is one primitive loop. */
+case class CentroidProbes(v: Expression, norm: Expression, cents: Expression,
+    nprobe: Int) extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  require(nprobe >= 1, "nprobe must be >= 1")
+
+  override def first: Expression = v
+  override def second: Expression = norm
+  override def third: Expression = cents
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (v.dataType, norm.dataType, cents.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType,
+        ArrayType(StructType(Array(
+          StructField(_, LongType, _, _),
+          StructField(_, ArrayType(DoubleType, _), _, _),
+          StructField(_, DoubleType, _, _))), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"graft_centroid_probes needs (array<double>, double, " +
+          s"array<struct<bigint,array<double>,double>>), got " +
+          s"(${a.catalogString}, ${b.catalogString}, ${c.catalogString})")
+    }
+
+  override protected def nullSafeEval(vv: Any, nn: Any, cc: Any): Any =
+    CentroidProbes.compute(vv.asInstanceOf[ArrayData],
+      nn.asInstanceOf[Double], cc.asInstanceOf[ArrayData], nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = graft.functions.CentroidProbes.compute($a, $b, $c, $nprobe);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): CentroidProbes =
+    copy(v = newFirst, norm = newSecond, cents = newThird)
+
+  override def prettyName: String = "graft_centroid_probes"
+}
+
+object CentroidProbes {
+  def compute(v: ArrayData, norm: Double, cents: ArrayData, nprobe: Int): ArrayData = {
+    val k = cents.numElements()
+    val ids = new Array[Long](k)
+    val sims = new Array[Double](k)
+    val dim = v.numElements()
+    var i = 0
+    while (i < k) {
+      val c = cents.getStruct(i, 3)
+      ids(i) = c.getLong(0)
+      val cv = c.getArray(1)
+      val cn = c.getDouble(2)
+      // the same index-order fold and min-length rule as DotProduct
+      val n = math.min(dim, cv.numElements())
+      var acc = 0.0
+      var j = 0
+      while (j < n) { acc += v.getDouble(j) * cv.getDouble(j); j += 1 }
+      sims(i) = acc / (norm * cn)
+      i += 1
+    }
+    val order = Array.tabulate(k)(Integer.valueOf)
+    java.util.Arrays.sort(order, (x: Integer, y: Integer) => {
+      // csim DESC with Spark float semantics, tie -> smaller id
+      val c = java.lang.Double.compare(sims(y), sims(x))
+      if (c != 0) c else java.lang.Long.compare(ids(x), ids(y))
+    })
+    val m = math.min(nprobe, k)
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) { out(i) = ids(order(i)); i += 1 }
+    ArrayData.toArrayData(out)
+  }
+}
+
 /** Wide binary sign sketch in one native pass — ceil(dim/64) longs,
   * word w bit i = sign of v(64w+i). Value-identical to the interpreted
   * [[graft.operators.AnnOps.signBitsWide]] HOF chain (spec-pinned):

@@ -141,6 +141,12 @@ object GraftFunctions {
     GraftBridge.column(QualityEnsembleScore(
       GraftBridge.expression(text), GraftBridge.expression(lang), artifacts))
 
+  /** Top-nprobe centroid ids against a broadcast centroid array — see
+    * [[CentroidProbes]]. */
+  def centroidProbes(v: Column, norm: Column, cents: Column, nprobe: Int): Column =
+    GraftBridge.column(CentroidProbes(GraftBridge.expression(v),
+      GraftBridge.expression(norm), GraftBridge.expression(cents), nprobe))
+
   /** Native streaming LM scorer under a captured [[LmModel]]. */
   def lmScore(text: Column, model: LmModel): Column =
     GraftBridge.column(LmScore(GraftBridge.expression(text), model))

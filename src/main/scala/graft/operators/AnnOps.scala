@@ -545,11 +545,23 @@ object AnnOps {
     cents.agg(collect_list(struct(col("centroid_id"), col("cv"), col("cn"))).as("cents"))
 
   /** Per-row scores against every centroid: array of (csim, nid) structs,
-    * nid = negated id so lexicographic max tie-breaks to the smallest id. */
+    * nid = negated id so lexicographic max tie-breaks to the smallest id.
+    * Retained as the declarative twin the native kernel is spec-pinned
+    * against; production paths go through [[probeIdsCol]]. */
   private[graft] def centScores(v: Column, norm: Column): Column =
     transform(col("cents"), c => struct(
       (dot(v, c.getField("cv")) / (norm * c.getField("cn"))).as("csim"),
       (-c.getField("centroid_id")).as("nid")))
+
+  /** Top-`n` centroid ids for the row's vector against the broadcast
+    * `cents` array — the native probe/assignment kernel
+    * ([[graft.functions.CentroidProbes]]): value-identical to
+    * `slice(reverse(array_sort(centScores(v, norm))), 1, n)` id
+    * extraction (and at n = 1 to `-array_max(centScores).nid`), but
+    * one primitive loop per row instead of an interpreted K-struct
+    * transform + sort + reverse (spec-pinned, CentroidProbesSpec). */
+  private[graft] def probeIdsCol(v: Column, norm: Column, n: Int): Column =
+    graft.functions.GraftFunctions.centroidProbes(v, norm, col("cents"), n)
 
   /** k-means-trained centroids: deterministic pseudo-random seeds (top-k
     * by id hash — random init without a driver-side RNG), then
@@ -579,7 +591,7 @@ object AnnOps {
     for (_ <- 1 to lloydIterations) {
       val assigned = e.crossJoin(broadcast(centArr(cents)))
         .select(col("v"),
-          (-array_max(centScores(col("v"), col("norm"))).getField("nid")).as("cluster_id"))
+          element_at(probeIdsCol(col("v"), col("norm"), 1), 1).as("cluster_id"))
       // Per-dimension means via the native vector-sum aggregate (one
       // shuffle, no 64x posexplode amplification), quantized to float
       // precision: double accumulation varies in the last ulps with
@@ -618,7 +630,7 @@ object AnnOps {
   def assignmentsOf(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(centArr(cents)))
       .select(col("vec_id"), col("v"), col("norm"),
-        (-array_max(centScores(col("v"), col("norm"))).getField("nid")).as("cluster_id"))
+        element_at(probeIdsCol(col("v"), col("norm"), 1), 1).as("cluster_id"))
 
   /** IVF search: probe the `nprobe` closest clusters per query, exact
     * re-rank within candidates. Probe selection is the same map-side
@@ -641,10 +653,7 @@ object AnnOps {
     val probes = q
       .crossJoin(broadcast(centArr(cents)))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"),
-        explode(slice(reverse(array_sort(centScores(col("v"), col("norm")))),
-          1, nprobe)).as("probe"))
-      .select(col("query_id"), col("qv"), col("qn"),
-        (-col("probe.nid")).as("cluster_id"))
+        explode(probeIdsCol(col("v"), col("norm"), nprobe)).as("cluster_id"))
     annIvfCandidates(probes, assigned)
   }
 
@@ -1006,10 +1015,7 @@ object AnnOps {
     val probes = q
       .crossJoin(broadcast(centArr(cents)))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"),
-        explode(slice(reverse(array_sort(centScores(col("v"), col("norm")))),
-          1, nprobe)).as("probe"))
-      .select(col("query_id"), col("qv"), col("qn"),
-        (-col("probe.nid")).as("cluster_id"))
+        explode(probeIdsCol(col("v"), col("norm"), nprobe)).as("cluster_id"))
     val lut = probes
       .join(broadcast(centById(cents)), Seq("cluster_id"))
       .select(col("query_id"), col("cluster_id"),
@@ -1134,11 +1140,9 @@ object AnnOps {
   private[graft] def adcProbes(frame: DataFrame, cents: DataFrame): DataFrame =
     frame
       .crossJoin(broadcast(centArr(cents)))
-      .withColumn("probe",
-        explode(slice(reverse(array_sort(centScores(col("qv"), col("qn")))),
-          1, nprobe)))
-      .withColumn("cluster_id", -col("probe.nid"))
-      .drop("probe", "cents")
+      .withColumn("cluster_id",
+        explode(probeIdsCol(col("qv"), col("qn"), nprobe)))
+      .drop("cents")
       .join(broadcast(centById(cents)), Seq("cluster_id"))
       .withColumn("rq",
         subSplit(zip_with(col("qv"), col("ccv"),

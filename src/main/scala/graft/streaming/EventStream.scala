@@ -278,10 +278,8 @@ object EventStream {
       .crossJoin(broadcast(AnnOps.centArr(cents)))
       .select(col("vec_id").as("query_id"), col("ingest_ts"),
         col("v").as("qv"), col("norm").as("qn"),
-        explode(slice(reverse(array_sort(AnnOps.centScores(col("v"), col("norm")))),
-          1, AnnOps.nprobe)).as("probe"))
-      .select(col("query_id"), col("ingest_ts"), col("qv"), col("qn"),
-        (-col("probe.nid")).as("cluster_id"))
+        explode(AnnOps.probeIdsCol(col("v"), col("norm"), AnnOps.nprobe))
+          .as("cluster_id"))
       .withWatermark("ingest_ts", watermarkDelay)
     probes
       .join(assigned.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
