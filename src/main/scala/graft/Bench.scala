@@ -41,7 +41,7 @@ object Bench {
       // A failing query must fail the bench visibly, never time as
       // instantly fast: record the error and make the run exit non-zero.
       var err: Option[String] = None
-      val times = (1 to reps).map { _ =>
+      val raw = (1 to reps).map { _ =>
         // drop SQL-cached relations so the scan side of every rep is
         // cold (trained-artifact caches intentionally survive — see
         // note above), and take the GC pause now, outside the timer
@@ -53,19 +53,27 @@ object Bench {
           err = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
         }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
+      }
+      val times = raw.sorted
       // MEDIAN is the reported number (robust to one GC pause / noisy
       // neighbor without the min's optimistic bias); max-min rides
       // along as the per-query spread so a reader can see how much a
-      // single-shot run could have drifted.
+      // single-shot run could have drifted. The CHRONOLOGICALLY FIRST
+      // rep rides separately as `train`: for the artifact-backed
+      // queries (ANN index, dedup cluster map, SemDedup model, bloom,
+      // incremental indexes) rep 1 is the only rep that pays artifact
+      // training, so `train` is the honest train-inclusive cost while
+      // the median stays the deployed standing-artifact read path.
       val dt = times(times.length / 2)
-      (name, dt, times.last - times.head, err)
+      (name, dt, times.last - times.head, raw.head, err)
     }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, sp, _) => s"\"" + k + "\":" + sp }
+    val spreads = results.map { case (k, _, sp, _, _) => s"\"" + k + "\":" + sp }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, Some(e)) => k -> e }
+    val trains = results.map { case (k, _, _, t1, _) => s"\"" + k + "\":" + t1 }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, _, Some(e)) => k -> e }
     val errs = failed.map { case (k, e) =>
       "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
@@ -73,10 +81,10 @@ object Bench {
     // query that failed at analysis is not a benchmark number — and the
     // artifact carries rc/valid so a consumer never has to cross-check
     // the errors map to know whether value is trustworthy.
-    val total = results.collect { case (_, v, _, None) => v }.sum
+    val total = results.collect { case (_, v, _, _, None) => v }.sum
     val valid = failed.isEmpty
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"rc":${if (valid) 0 else 1},"reps":$reps,"stat":"median","queries":$qs,"spread":$spreads,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"rc":${if (valid) 0 else 1},"reps":$reps,"stat":"median","queries":$qs,"spread":$spreads,"train":$trains,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // Belt-and-braces against captured-stdout truncation: the same JSON
     // goes to a file next to the working dir.

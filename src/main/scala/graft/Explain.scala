@@ -272,7 +272,11 @@ object Explain {
       "q_org_closure"        -> Seq("Generate"),
       "q_tumbling_window"    -> Seq("HashAggregate"),
       "q_sessionize"         -> Seq("HashAggregate"),
-      "q_token_rarity"       -> Seq("ObjectHashAggregate", "Generate"),
+      // r11: the tokenize Generate moved into the materialization job
+      // of the once-scanned (doc, word, m) frame (native TokenCounts +
+      // localCheckpoint), so the consumer plan reads ExistingRDD and
+      // shows only the sorted-fold rollup
+      "q_token_rarity"       -> Seq("ObjectHashAggregate"),
       // temperature resample: two bounded rollups, rates broadcast back,
       // accept is a map-side hash compare
       "q_temperature_mix"    -> Seq("HashAggregate", "BroadcastHashJoin",

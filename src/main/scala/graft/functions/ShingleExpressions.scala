@@ -368,8 +368,23 @@ object ChunkStrings {
   * to `array_sort(ds)` + the nested transform/slice/struct chain +
   * flatten (spec-pinned), which evaluated an interpreted expression
   * tree per PAIR; candidate pairs are the biggest intermediate stream
-  * of the whole dedup tier, so the per-pair constant dominates. */
-case class PostingPairs(child: Expression) extends UnaryExpression {
+  * of the whole dedup tier, so the per-pair constant dominates.
+  *
+  * `minOverMax` is the exact LENGTH FILTER of similarity-join
+  * literature (Arasu et al. 2006; the prefix/length-filter family):
+  * for a Jaccard threshold t, a pair's best achievable jaccard is
+  * min(|A|,|B|)/max(|A|,|B|) (at common = min the jaccard is exactly
+  * min/max), so any pair with min/max < t is guaranteed below
+  * threshold and is never emitted at all — the candidate stream
+  * shrinks BEFORE the pair exchange with zero recall loss (the
+  * dropped pairs could only ever reach the downstream
+  * `jaccard >= t` filter with jaccard ≤ min/max < t; double division
+  * of exact ints is correctly rounded hence monotone, so the double
+  * compares agree with the real-arithmetic argument). 0.0 disables
+  * the filter (every i<j pair) — the containment miner's setting,
+  * since containment = common/min has no size-ratio bound. */
+case class PostingPairs(child: Expression, minOverMax: Double = 0.0)
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("doc_a", LongType, nullable = false),
@@ -387,11 +402,11 @@ case class PostingPairs(child: Expression) extends UnaryExpression {
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    PostingPairs.compute(input.asInstanceOf[ArrayData])
+    PostingPairs.compute(input.asInstanceOf[ArrayData], minOverMax)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.PostingPairs.compute($c);")
+      s"${ev.value} = graft.functions.PostingPairs.compute($c, $minOverMax);")
 
   override protected def withNewChildInternal(newChild: Expression): PostingPairs =
     copy(child = newChild)
@@ -400,7 +415,7 @@ case class PostingPairs(child: Expression) extends UnaryExpression {
 }
 
 object PostingPairs {
-  def compute(ds: ArrayData): ArrayData = {
+  def compute(ds: ArrayData, minOverMax: Double): ArrayData = {
     val n = ds.numElements()
     val ids = new Array[Long](n)
     val sizes = new Array[Int](n)
@@ -427,14 +442,28 @@ object PostingPairs {
       var j = i + 1
       while (j < n) {
         val b = boxed(j)
-        out(k) = org.apache.spark.sql.catalyst.InternalRow(
-          ids(a), ids(b), sizes(a), sizes(b))
-        k += 1
+        val sa = sizes(a)
+        val sb = sizes(b)
+        val smin = if (sa < sb) sa else sb
+        val smax = if (sa < sb) sb else sa
+        // length filter (see the case-class doc): a pair whose best
+        // achievable jaccard min/max is below the threshold is never
+        // emitted; 0.0 emits every i<j pair
+        if (minOverMax <= 0.0 || smin.toDouble / smax.toDouble >= minOverMax) {
+          out(k) = org.apache.spark.sql.catalyst.InternalRow(
+            ids(a), ids(b), sa, sb)
+          k += 1
+        }
         j += 1
       }
       i += 1
     }
-    new GenericArrayData(out)
+    if (k == m) new GenericArrayData(out)
+    else {
+      val trimmed = new Array[Any](k)
+      System.arraycopy(out, 0, trimmed, 0, k)
+      new GenericArrayData(trimmed)
+    }
   }
 }
 

@@ -179,27 +179,33 @@ object TextFunctions {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.spread(s, Tables.documents(s, dir))
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-    // One scan + one explode feed both statistics: per-(word, doc)
-    // counts first (doc_id determines source, so source rides along in
-    // the group key), then document frequency and term frequency as two
-    // rollups of the same frame — the shared (word, doc_id, source)
-    // exchange is planned once and reused (ReusedExchange), so the
-    // heavy tokenization runs exactly once.
-    val wd = docs.select(col("source"), col("doc_id"),
-      explode(split(trim(col("text")), "\\s+")).as("word"))
-      .groupBy(col("word"), col("doc_id"), col("source"))
-      .agg(count(lit(1)).as("c"))
-    // Document frequency as groupBy + join, NOT a whole-partition window
-    // on the word key: words are Zipfian, and a window would stream the
-    // hottest word's entire posting list through one partition that AQE
-    // cannot split. The groupBy's map-side partial aggregation collapses
-    // a hot word to one row per task before the shuffle; the join back is
-    // broadcast when the vocabulary is small (AQE) and an AQE-splittable
-    // sort-merge join when it is not.
-    val df = wd.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    val tf = wd
-      .groupBy(col("source"), col("word"))
-      .agg(sum(col("c")).as("tf"))
+    // Per-document term counts are the native one-pass
+    // [[GraftFunctions.tokenCounts]] (value-identical to
+    // explode(split) → per-doc groupBy count, spec-pinned): the
+    // per-(word, doc) counting never touches a shuffle — the old shape
+    // paid a corpus-wide (word, doc_id, source) exchange of one row
+    // PER TOKEN OCCURRENCE just to collapse occurrences into counts
+    // (guide §2.3 "aggregate before you shuffle").
+    val wd = docs.select(col("source"),
+      explode(GraftFunctions.tokenCounts(col("text"))).as("tc"))
+    // ONE (source, word) aggregation feeds both statistics: tf is its
+    // sum, and df DERIVES from it (df = Σ over sources of per-(source,
+    // word) doc counts — doc_id determines source, so the integers are
+    // identical; the PMI count-derivation trick). The derivation side
+    // aggregates the already-aggregated |sources|·|vocab| rows, never
+    // the corpus, and the tokenization runs exactly once.
+    // Document frequency stays groupBy + join, NOT a whole-partition
+    // window on the word key: words are Zipfian, and a window would
+    // stream the hottest word's entire posting list through one
+    // partition that AQE cannot split. Map-side partial aggregation
+    // collapses a hot word to one row per task before the shuffle; the
+    // join back is broadcast when the vocabulary is small (AQE) and an
+    // AQE-splittable sort-merge join when it is not.
+    val sw = wd
+      .groupBy(col("source"), col("tc.w").as("word"))
+      .agg(sum(col("tc.c")).as("tf"), count(lit(1)).as("dfs"))
+    val df = sw.groupBy(col("word")).agg(sum(col("dfs")).as("df"))
+    val tf = sw.select(col("source"), col("word"), col("tf"))
       .join(df, Seq("word"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("score").desc, col("word").asc)
@@ -410,10 +416,21 @@ object TextFunctions {
     * Spark and the DuckDB oracle add the same doubles in the same
     * sequence, making the score bit-identical. */
   def tokenRarity(s: SparkSession, dir: String): DataFrame = {
+    // Per-(word, doc) counts are the native one-pass
+    // [[GraftFunctions.tokenCounts]] (spec-pinned value identity): the
+    // per-document counting never touches a shuffle — the old shape
+    // paid a (word, doc_id) exchange of one row per token occurrence.
+    // The compact counts are materialized ONCE: the corpus-frequency
+    // aggregation and the join probe are different consumers whose
+    // join-pushed filters deny exchange reuse, so without the cut the
+    // corpus scan + tokenize pass ran twice per query (measured as two
+    // ~550 ms stages at sf0.1 — the q_pmi_collocations reuse-denial
+    // mechanism; guide §2.4).
     val wd = Tables.spread(s, Tables.documents(s, dir))
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
-      .groupBy(col("word"), col("doc_id"))
-      .agg(count(lit(1)).as("m"))
+      .select(col("doc_id"),
+        explode(GraftFunctions.tokenCounts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.w").as("word"), col("tc.c").as("m"))
+      .localCheckpoint()
     val cf = wd.groupBy(col("word")).agg(sum(col("m")).as("c"))
     wd
       .join(cf, Seq("word"))
@@ -563,13 +580,30 @@ object TextFunctions {
   def tokenCms(s: SparkSession, dir: String): DataFrame =
     tokenCmsOf(graft.Tables.spread(s, graft.Tables.documents(s, dir)), col("text"))
 
-  def tokenCmsOf(docs: DataFrame, textCol: Column): DataFrame =
+  /** Sketch updates are born as per-document partial sketches: the
+    * native [[GraftFunctions.cmsBucketCounts]] emits ≤ depth·width
+    * (row, bucket, m) counters per document in one pass (the md5 of
+    * "row#token" digested from reused buffers — no concat string, no
+    * hex rendering, no depth× explode of the token stream), and the
+    * corpus sketch is one aggregation of those partials — counts are
+    * linear, so Σ m by (row, bucket) equals counting the exploded
+    * update stream (spec-pinned in TokenCountsSpec; guide §2.3
+    * "aggregate before you shuffle"). The bucket's two lowercase hex
+    * chars are re-rendered from the byte only for the final ≤
+    * depth·width output rows. */
+  def tokenCmsOf(docs: DataFrame, textCol: Column): DataFrame = {
+    // the native pass indexes buckets by the digest's FIRST BYTE — the
+    // two-hex-char bucket key; widening the sketch beyond one byte
+    // must widen the native kernel with it
+    require(cmsHexChars == 2,
+      "native cms kernel is specialized to 2 hex chars (one digest byte)")
     docs
-      .select(explode(split(trim(textCol), "\\s+")).as("tok"))
-      .select(col("tok"), explode(array((0 until cmsDepth).map(lit(_)): _*)).as("row"))
-      .select(col("row"), cmsBucket(col("row"), col("tok")).as("bucket"))
-      .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("c"))
+      .select(explode(GraftFunctions.cmsBucketCounts(textCol, cmsDepth)).as("rc"))
+      .groupBy(col("rc.row").as("row"), col("rc.bucket").as("b"))
+      .agg(sum(col("rc.m")).as("c"))
+      .select(col("row"), format_string("%02x", col("b")).as("bucket"), col("c"))
       .orderBy("row", "bucket")
+  }
 
   /** Engine-common bucket: the first cmsHexChars md5 hex chars of
     * "row#token" — width buckets with zero hex parsing, the same
@@ -835,10 +869,22 @@ object TextFunctions {
     * planner-decided (vocabulary-sized); the final rollup is bounded
     * by |sources|; corpus totals ride a 1-row broadcast. */
   def sourceKl(s: SparkSession, dir: String): DataFrame = {
+    // Native per-doc token counts feed the (source, word) aggregation
+    // (guide §2.3 — the occurrence explode and its exchange are gone),
+    // and the vocabulary-sized sw table is materialized once: its
+    // three consumers (corpus rollup, totals, join probe) carry
+    // join-pushed filters that deny exchange reuse, so without the cut
+    // the corpus tokenize pass ran THREE times per query (measured as
+    // three ~700 ms stages at sf0.1 — the q_pmi_collocations
+    // reuse-denial mechanism; guide §2.4). sw is |sources|·|vocab|
+    // rows — a bounded model-sized table, safe to pin at any corpus
+    // scale.
     val sw = Tables.spread(s, Tables.documents(s, dir))
-      .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("word"))
-      .groupBy(col("source"), col("word"))
-      .agg(count(lit(1)).as("cs"))
+      .select(col("source"),
+        explode(GraftFunctions.tokenCounts(col("text"))).as("tc"))
+      .groupBy(col("source"), col("tc.w").as("word"))
+      .agg(sum(col("tc.c")).as("cs"))
+      .localCheckpoint()
     val cw = sw.groupBy(col("word")).agg(sum(col("cs")).as("cc"))
     val nc = cw.agg(sum(col("cc")).as("n_corpus"))
     sw.join(cw, Seq("word"))

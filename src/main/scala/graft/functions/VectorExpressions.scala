@@ -161,9 +161,10 @@ object GraftFunctions {
     GraftBridge.column(ChunkStrings(GraftBridge.expression(text), n))
 
   /** Sorted i<j candidate pairs of one posting list — see
-    * [[PostingPairs]]. */
-  def postingPairs(ds: Column): Column =
-    GraftBridge.column(PostingPairs(GraftBridge.expression(ds)))
+    * [[PostingPairs]]. `minOverMax` > 0 applies the exact jaccard
+    * length filter (emit only pairs with min(size)/max(size) >= t). */
+  def postingPairs(ds: Column, minOverMax: Double = 0.0): Column =
+    GraftBridge.column(PostingPairs(GraftBridge.expression(ds), minOverMax))
 
   /** Distinct word-n-gram shingle strings — see [[ShingleStrings]]. */
   def shingleStrings(text: Column, n: Int): Column =
@@ -172,6 +173,15 @@ object GraftFunctions {
   /** One-pass per-document 64-bit SimHash — see [[SimHash64]]. */
   def simhash64(text: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(text)))
+
+  /** Per-document distinct-token (w, c) counts — see [[TokenCounts]]. */
+  def tokenCounts(text: Column): Column =
+    GraftBridge.column(TokenCounts(GraftBridge.expression(text)))
+
+  /** Per-document count-min (row, bucket, m) counts — see
+    * [[CmsBucketCounts]]. */
+  def cmsBucketCounts(text: Column, depth: Int): Column =
+    GraftBridge.column(CmsBucketCounts(GraftBridge.expression(text), depth))
 
   /** SimHash aggregate over (word-hash, weight) rows — see [[SimHashAgg]]. */
   def simhash(hash: Column, weight: Column): Column =

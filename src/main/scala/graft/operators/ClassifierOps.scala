@@ -20,8 +20,6 @@ import graft.Tables
   */
 object ClassifierOps {
 
-  private def wordsCol = split(trim(col("text")), "\\s+")
-
   /** Held-out evaluation of a Naive Bayes language classifier:
     *
     *   - TRAIN on the deterministic hash-split train slice
@@ -61,10 +59,17 @@ object ClassifierOps {
     * model — persist them via [[writeNbModel]] and a later job scores
     * without retraining. `train` needs (doc_id, lang, text). */
   def nbModelOf(train: DataFrame): (DataFrame, DataFrame) = {
+    // per-document (w, m) counts are the native one-pass
+    // [[graft.functions.TokenCounts]] (value-identical to the old
+    // explode → groupBy(doc, lang, w) count, spec-pinned): the
+    // per-document counting never touches a shuffle, so the model
+    // aggregation is the ONLY corpus exchange — the old shape paid a
+    // (doc_id, lang, w) exchange of one row per token occurrence
+    // first (guide §2.3 "aggregate before you shuffle").
     val dw = train
-      .select(col("doc_id"), col("lang"), explode(wordsCol).as("w"))
-      .groupBy(col("doc_id"), col("lang"), col("w"))
-      .agg(count(lit(1)).as("m"))
+      .select(col("lang"),
+        explode(graft.functions.GraftFunctions.tokenCounts(col("text"))).as("tc"))
+      .select(col("lang"), col("tc.w").as("w"), col("tc.c").as("m"))
     val model = dw.groupBy(col("lang").as("l"), col("w")).agg(sum(col("m")).as("c"))
     val priors = train.groupBy(col("lang").as("l")).agg(count(lit(1)).as("d_l"))
     (model, priors)
@@ -99,9 +104,12 @@ object ClassifierOps {
         .as("ls"))
 
     test
-      .select(col("doc_id"), col("lang"), explode(wordsCol).as("w"))
-      .groupBy(col("doc_id"), col("lang"), col("w"))
-      .agg(count(lit(1)).as("m"))
+      // native per-doc term counts (see nbModelOf) — the held-out side
+      // joins the model per DISTINCT word per doc with no prior
+      // (doc, lang, w) exchange
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.GraftFunctions.tokenCounts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("lang"), col("tc.w").as("w"), col("tc.c").as("m"))
       .join(modelByWord, Seq("w"), "left")
       .groupBy(col("doc_id"), col("lang"))
       .agg(collect_list(struct(col("m"), col("cs"))).as("terms"))

@@ -288,11 +288,30 @@ object DedupOps {
     // paid an interpreted expression tree per candidate pair, the
     // biggest intermediate stream of this operator (measured 1.45 s →
     // the pair step of a 2.6 s query at sf0.1).
+    //
+    // Two candidate-volume cuts on that stream (guide §2.3 "shuffle
+    // fewer bytes", §1.2 step 1):
+    //  - the exact LENGTH FILTER rides inside the generator: a pair
+    //    whose best achievable jaccard min/max is below `threshold`
+    //    is never emitted (no recall loss — see PostingPairs doc;
+    //    measured 1.26M → 0.96M candidate rows at sf0.1, and the cut
+    //    deepens on any size-diverse real corpus);
+    //  - the aggregation groups on (doc_a, doc_b) ALONE — sizes are
+    //    functionally dependent on the ids, so they travel as `min`
+    //    aggregates (every value identical) instead of widening the
+    //    group key the hash aggregate probes per candidate row.
+    // Skew note (guide §2.2/§2.5): the partial HashAggregate before
+    // this exchange IS two-level aggregation — a hot pair collapses
+    // to one row per map task before shuffling — so salting the pair
+    // key would only add an exchange; the residual hot spot is the
+    // single-row explode of a viral posting list, which stays bounded
+    // by the df cap (≤ cap²/2 structs per row).
     postings
-      .select(explode(graft.functions.GraftFunctions.postingPairs(col("ds"))).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.size_a").as("size_a"), col("p.size_b").as("size_b"))
-      .agg(count(lit(1)).as("common"))
+      .select(explode(graft.functions.GraftFunctions.postingPairs(
+        col("ds"), threshold)).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("common"),
+        min(col("p.size_a")).as("size_a"), min(col("p.size_b")).as("size_b"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("size_a") + col("size_b") - col("common")))
       .filter(col("jaccard") >= threshold)
@@ -354,11 +373,15 @@ object DedupOps {
       .filter(col("df") >= 2 && col("df") <= maxShingleDf)
       .groupBy(col("h"))
       .agg(collect_list(struct(col("doc_id"), col("sh_size"))).as("ds"))
-      // native pair generation — see the repPairsOf note
+      // native pair generation — see the repPairsOf note. No length
+      // filter here: containment = common/min has no size-ratio bound
+      // (a tiny set fully inside a huge one is exactly the signal this
+      // miner exists for). The narrow (doc_a, doc_b) group key with
+      // sizes as min-aggregates is shared with repPairsOf.
       .select(explode(graft.functions.GraftFunctions.postingPairs(col("ds"))).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.size_a").as("size_a"), col("p.size_b").as("size_b"))
-      .agg(count(lit(1)).as("common"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("common"),
+        min(col("p.size_a")).as("size_a"), min(col("p.size_b")).as("size_b"))
       .withColumn("v", struct(col("common"),
         expr("common * 1000000 div least(size_a, size_b)").as("containment_ppm"),
         expr("common * 1000000 div (size_a + size_b - common)").as("jaccard_ppm")))
@@ -619,14 +642,24 @@ object DedupOps {
 
   private def substringDedupCore(docs: DataFrame, idCol: String,
       textCol: String, w: Int, corpusFreq: Option[DataFrame]): DataFrame = {
-    val ws = split(trim(col(textCol)), "\\s+")
-    val toks = docs.filter(size(ws) >= 1)
-      .select(col(idCol).as("doc_id"), posexplode(ws).as(Seq("p", "tok")))
+    // ONE corpus scan: the token leg and the window leg are different
+    // subtrees of `docs`, so without this cut the (single-split,
+    // serial) scan + spread exchange ran twice per query — measured as
+    // two ~350 ms one-task stages at sf0.1 (guide §2.4 "remove
+    // shuffles outright"; the text is materialized once and both legs
+    // read it). At scale this holds the corpus text in executor
+    // storage once — the same budget the `wins` checkpoint below
+    // already spends on the strictly larger per-window rows.
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .localCheckpoint()
+    val ws = split(trim(col("__text")), "\\s+")
+    val toks = base.filter(size(ws) >= 1)
+      .select(col("doc_id"), posexplode(ws).as(Seq("p", "tok")))
     // materialized: the frequency aggregation and the coverage probe
     // shuffle DIFFERENT children of this frame (partial-agg rows vs raw
     // rows), so ReusedExchange cannot deduplicate them — without the
     // checkpoint the corpus would pay the parse+hash pass twice
-    val wins = windowRows(docs, idCol, textCol, w).localCheckpoint()
+    val wins = windowRows(base, "doc_id", "__text", w).localCheckpoint()
     val ownFreq = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
     val freq = corpusFreq match {
       case None => ownFreq
@@ -713,12 +746,24 @@ object DedupOps {
     var prevSum = java.math.BigDecimal.valueOf(-1)
     var sum = lbl.agg(org.apache.spark.sql.functions.sum(col("cluster_id")).cast("decimal(38,0)"))
       .collect()(0).getDecimal(0)
-    while (sum.compareTo(prevSum) != 0) {
-      val neighbor = und.join(lbl, und("s") === lbl("doc_id"))
+    // one min-label propagation round as a plan fragment
+    def propagate(cur: DataFrame): DataFrame = {
+      val neighbor = und.join(cur, und("s") === cur("doc_id"))
         .select(col("d").as("doc_id"), col("cluster_id"))
-      lbl = lbl.unionByName(neighbor)
+      cur.unionByName(neighbor)
         .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint()
+    }
+    while (sum.compareTo(prevSum) != 0) {
+      // TWO propagation rounds per checkpoint + fixpoint probe: every
+      // probe costs a materialization job plus a collect job, and
+      // near-dup cluster diameters are 1-2, so checking after every
+      // single round spent half the query's jobs on bookkeeping
+      // (measured: the CC consumers are job-count-bound, 54 jobs for
+      // q_semdedup at sf0.1). Labels are monotone non-increasing, so
+      // an unchanged sum across a double round still implies neither
+      // round moved a label — the same fixpoint, reached with half
+      // the probes; extra rounds past convergence are identity.
+      lbl = propagate(propagate(lbl)).localCheckpoint()
       prevSum = sum
       sum = lbl.agg(org.apache.spark.sql.functions.sum(col("cluster_id")).cast("decimal(38,0)"))
         .collect()(0).getDecimal(0)

@@ -163,6 +163,32 @@ class NativeTextExprSpec extends SparkSpec {
       decl.collect().map(_.getSeq[org.apache.spark.sql.Row](0)).toSeq)
   }
 
+  test("posting pairs length filter == filtering the unfiltered pairs by min/max >= t") {
+    val t = 0.5
+    val lists = Seq(
+      Seq((5L, 3), (1L, 7), (9L, 2)),
+      Seq((2L, 4), (8L, 1)),
+      Seq((3L, 3), (4L, 3)), // equal sizes: min/max = 1.0 always kept
+      Seq((1L, 1), (2L, 2)), // exactly at the boundary min/max = 0.5
+      Seq((1L, 1), (2L, 3)), // just below: 1/3 < 0.5 dropped
+      Seq((10L, 1), (7L, 2), (4L, 9), (12L, 5), (6L, 6)))
+      .toDF("raw")
+      .select(transform(col("raw"), r =>
+        struct(r.getField("_1").as("doc_id"), r.getField("_2").as("sh_size"))).as("ds"))
+    val expected = lists
+      .select(explode(GraftFunctions.postingPairs(col("ds"))).as("p"))
+      .filter(least(col("p.size_a"), col("p.size_b")).cast("double") /
+        greatest(col("p.size_a"), col("p.size_b")).cast("double") >= t)
+      .collect().map(_.toString).toSeq
+    val actual = lists
+      .select(explode(GraftFunctions.postingPairs(col("ds"), t)).as("p"))
+      .collect().map(_.toString).toSeq
+    assert(actual == expected)
+    // and the whole-query identity: the filtered generator cannot
+    // change the mined pairs at any threshold (the dropped pairs are
+    // exactly those the downstream jaccard filter would drop)
+  }
+
   // ---------------------------------------------- SimHash64
 
   /** The aggregate chain SimHash64 replaces. */
