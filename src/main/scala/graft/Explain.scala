@@ -91,7 +91,9 @@ object Explain {
       "q_dedup_embedding_lsh" -> Seq("Generate", "HashAggregate"),
       // chunk frequency must be a hash aggregation (map-side partials
       // collapse viral chunks), never a window on the chunk key
-      "q_chunk_dedup"        -> Seq("HashAggregate", "Generate", "ObjectHashAggregate"),
+      // r11: the chunker Generate moved into the materialization job
+      // of the once-computed chunk frame (see chunkDedupOf)
+      "q_chunk_dedup"        -> Seq("HashAggregate", "ObjectHashAggregate"),
       // the rule cascade runs at scan speed: one codegen projection
       "q_gopher_filter"      -> Seq("Project"),
       // HTML boilerplate extraction: one codegen string projection —
@@ -158,7 +160,9 @@ object Explain {
       "q_embed_centroids"    -> Seq("Generate", "ObjectHashAggregate"),
       // outliers: distance joins through narrow (label, idx) rows;
       // the rank window partitions on the bounded label key
-      "q_embed_outliers"     -> Seq("Generate", "ObjectHashAggregate", "Window"),
+      // r11: the 64× posexplode moved into the materialization job of
+      // the once-exploded ex frame (see embedOutliers)
+      "q_embed_outliers"     -> Seq("ObjectHashAggregate", "Window"),
       // leaderboard: df via hash agg (map-side collapses the viral
       // phrases), top-k as a per-partition heap, no global sort
       "q_top_ngrams"         -> Seq("HashAggregate", "TakeOrderedAndProject"),

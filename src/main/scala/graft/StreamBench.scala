@@ -204,8 +204,12 @@ object StreamBench {
     // rollup; the corpus side is codes, never floats)
     locally {
       import graft.operators.AnnOps
-      val (cents, cb, encoded) = AnnOps.ivfpqFor(spark, srcDir)
-      val encArrays = AnnOps.ivfpqEncodedArrays(encoded).localCheckpoint()
+      val (cents, cb, _) = AnnOps.ivfpqFor(spark, srcDir)
+      // the cluster-bucketed standing index (repartitioned on the probe
+      // join's key before materialization — the persisted layout), so
+      // each micro-batch's stream-static join reads the index side
+      // already placed instead of re-exchanging it per batch
+      val encArrays = AnnOps.ivfpqArraysFor(spark, srcDir)
       val vecRows: Seq[(Long, Seq[Float])] = (0 until mult).flatMap { i =>
         Tables.embeddings(spark, srcDir)
           .select(col("vec_id") + lit(i * shift), col("embedding"))

@@ -66,11 +66,36 @@ final case class LmModel(
 object LmModel {
   private val Whitespace = java.util.regex.Pattern.compile("\\s+")
 
+  /** Driver-size contract of the closure-scorer fast path: the model
+    * tables are collected to the driver and shipped in every task
+    * closure, which is only sane for a bounded trained vocabulary.
+    * The previous unguarded collect was an OOM CLIFF when violated —
+    * the limit+1 probe bounds what the driver ever holds and fails
+    * fast with the documented escape hatch
+    * ([[graft.streaming.EventStream.lmScoreStreamJoin]], the
+    * stream-static broadcast-join shape that never collects the
+    * vocabulary) instead of killing the driver. */
+  val maxModelRows: Int = 5000000
+
   def of(cb: org.apache.spark.sql.DataFrame,
-      cw: org.apache.spark.sql.DataFrame): LmModel =
+      cw: org.apache.spark.sql.DataFrame,
+      maxRows: Int = maxModelRows): LmModel = {
+    def bounded(df: org.apache.spark.sql.DataFrame, what: String) = {
+      val rows = df.limit(maxRows + 1).collect()
+      if (rows.length > maxRows)
+        throw new IllegalArgumentException(
+          s"LmModel.of: $what exceeds $maxRows rows — the closure-scorer " +
+            "fast path assumes a driver-sized trained vocabulary; use " +
+            "EventStream.lmScoreStreamJoin (stream-static broadcast join) " +
+            "for unbounded vocabularies")
+      rows
+    }
     LmModel(
-      cb.select("bg", "cb").collect().map(r => (r.getString(0), r.getLong(1))),
-      cw.select("w1", "cw").collect().map(r => (r.getString(0), r.getLong(1))))
+      bounded(cb.select("bg", "cb"), "bigram table")
+        .map(r => (r.getString(0), r.getLong(1))),
+      bounded(cw.select("w1", "cw"), "context table")
+        .map(r => (r.getString(0), r.getLong(1))))
+  }
 }
 
 /** `graft_lm_score(text)` under a captured [[LmModel]]: per-document

@@ -34,17 +34,27 @@ object AnnOps {
   /** Shared brute-force cosine top-k: broadcast the query frame against
     * the candidate corpus, rank per query (ties → smaller neighbor id).
     * [[annTopk]] and [[knnGraph]] are both this plan with different
-    * query sets. */
-  private def cosineTopkOf(q: DataFrame, cand: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    * query sets. The scoring stays the deliberate exact all-pairs mine;
+    * only the top-k SELECTION is the native bounded aggregate
+    * ([[graft.functions.TopKScoreIdAgg]], the streaming probes'
+    * mechanism): value-identical to the row_number window over
+    * (cosine desc, neighbor asc) — the id is negated so the
+    * descending (cosine, nid) order ties to the smallest neighbor,
+    * exactly the window's order, pinned by TopKAggSpec and the oracle
+    * hash — but the exchange carries at most k pairs per query per
+    * partition instead of every scored candidate row (measured: the
+    * q_knn_graph candidate exchange was 5.0 MB + a per-query sort;
+    * guide §2.3 "aggregate before you shuffle"). */
+  private def cosineTopkOf(q: DataFrame, cand: DataFrame): DataFrame =
     cand.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select("query_id", "rank", "neighbor_id")
+      .groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.topkScoreId(
+        col("cosine"), -col("neighbor_id"), topK, ascending = false).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r0", "c")))
+      .select(col("query_id"), (col("r0") + 1).cast("int").as("rank"),
+        (-col("c.id")).as("neighbor_id"))
       .orderBy("query_id", "rank")
-  }
 
   private def asQueries(e: DataFrame): DataFrame =
     e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
@@ -464,9 +474,16 @@ object AnnOps {
     * an approx-quantile cutoff broadcast back, the [[q_ppl_buckets]]
     * shape. */
   def embedOutliers(s: SparkSession, dir: String): DataFrame = {
+    // materialized once: the centroid aggregation and the distance
+    // join probe are different consumers of the exploded frame, and
+    // join-pushed filters deny AQE exchange reuse — without the cut
+    // the corpus scan + 64× posexplode ran twice per query (measured
+    // as two ~600 ms serial scan stages at sf0.1; the
+    // q_pmi_collocations reuse-denial mechanism, guide §2.4)
     val ex = Tables.spread(s, Tables.embeddings(s, dir))
       .select(col("label"), col("vec_id"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("idx", "x")))
+      .localCheckpoint()
     val cents = ex.groupBy(col("label"), col("idx"))
       .agg(count(lit(1)).as("n"),
         aggregate(array_sort(collect_list(struct(col("x"), col("vec_id")))),
@@ -657,20 +674,25 @@ object AnnOps {
     annIvfCandidates(probes, assigned)
   }
 
-  private def annIvfCandidates(probes: DataFrame, assigned: DataFrame): DataFrame = {
-
-    // candidates = vectors in probed clusters (equi-join on cluster_id)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+  private def annIvfCandidates(probes: DataFrame, assigned: DataFrame): DataFrame =
+    // candidates = vectors in probed clusters (equi-join on cluster_id);
+    // top-k selection is the native bounded aggregate — identical
+    // (cosine desc, neighbor asc) order as the row_number window it
+    // replaces (see cosineTopkOf), with the exchange capped at k pairs
+    // per query per partition instead of every candidate row. A vector
+    // lives in exactly one cell, so (query, neighbor) rows are unique
+    // and the aggregate's duplicate-collapse can never fire.
     probes.join(assigned.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
         col("norm").as("cn"), col("cluster_id")), Seq("cluster_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select("query_id", "rank", "neighbor_id")
+      .groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.topkScoreId(
+        col("cosine"), -col("neighbor_id"), topK, ascending = false).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r0", "c")))
+      .select(col("query_id"), (col("r0") + 1).cast("int").as("rank"),
+        (-col("c.id")).as("neighbor_id"))
       .orderBy("query_id", "rank")
-  }
 
   // ------------------------------------------------ int8 quantization
 
@@ -904,43 +926,60 @@ object AnnOps {
     * whose shortlist an exact pass re-ranks. */
   val pqShortlist = 50
 
-  /** PQ-ADC top-k with exact re-rank: the query side builds its
-    * per-(subspace, code) distance lookup table — m×k rows per query,
-    * kilobytes — which broadcast-joins the encoded corpus on
-    * (subspace, code); summing the m partial distances per (query,
-    * vector) recovers the PQ approximate distance, and the best
-    * `pqShortlist` candidates per query are re-ranked with the exact
-    * cosine. The full corpus is only ever touched as (vec_id, subspace,
-    * code) triples; float vectors are fetched by equi-join for
-    * shortlist rows alone — the plan that holds when the corpus no
-    * longer fits in aggregate executor memory as floats. */
+  /** PQ-ADC top-k with exact re-rank. The approximate stage is the
+    * deterministic native ADC fold against the array-form encoded
+    * corpus (one (neighbor_id, codes) row per vector): the query's
+    * normalized subvectors and the broadcast codebook grid ride the
+    * plan, the per-candidate distance is ONE allocation-free JVM loop
+    * ([[graft.functions.AdcDistance]] — subspace order, so the double
+    * is identical run to run, unlike the previous LUT join whose m
+    * partial distances summed in shuffle order), and the per-query
+    * shortlist is the native bounded top-k (O(pqShortlist) state,
+    * map-side partials capped at k — guide §2.3 "aggregate before you
+    * shuffle"). The previous shape broadcast-joined an m·k LUT against
+    * the (vec_id, subspace, code) rows, multiplying the corpus stream
+    * ×|queries| BEFORE a (query, vector) hash aggregation — measured
+    * as the query's dominant stage (515 ms of a 2.4 s warm run at
+    * sf0.1, 390 KB pair-partial exchange). Same candidate set, same
+    * distance values (mod fold-order ulps), same (d2, id) tie order
+    * (TopKAggSpec pins the agg ≡ sorted-slice); the best `pqShortlist`
+    * candidates per query are re-ranked with the exact cosine
+    * unchanged. The full corpus is only ever touched as codes; float
+    * vectors are fetched by equi-join for shortlist rows alone — the
+    * plan that holds when the corpus no longer fits in aggregate
+    * executor memory as floats. */
   def annPq(s: SparkSession, dir: String): DataFrame = {
-    val (cb, encoded) = pqFor(s, dir)
-    annPqSearch(embeddingsWithNorm(s, dir), cb, encoded)
+    val (cb, _) = pqFor(s, dir)
+    annPqSearchArrays(embeddingsWithNorm(s, dir), cb, pqArraysFor(s, dir))
   }
 
   /** PQ-ADC search against an already-trained codebook and encoded
     * corpus: `e` is the (vec_id, v, norm) corpus frame (queries are its
     * vec_id < nQueries rows; exact re-rank fetches shortlist vectors
-    * from it by equi-join). */
-  def annPqSearch(e: DataFrame, cb: DataFrame, encoded: DataFrame): DataFrame = {
-    // query LUT: distance from each query subvector to every centroid
-    val lut = subvectors(e.filter(col("vec_id") < nQueries))
-      .join(broadcast(codebookArr(cb)), "subspace")
-      .select(col("vec_id").as("query_id"), col("subspace"),
-        explode(codeScores(col("sv"))).as("sc"))
-      .select(col("query_id"), col("subspace"),
-        col("sc.code").as("code"), col("sc.d2").as("d2"))
+    * from it by equi-join). Row-form `encoded` is pivoted to the
+    * array form internally — callers with a standing array-form table
+    * use [[annPqSearchArrays]] directly. */
+  def annPqSearch(e: DataFrame, cb: DataFrame, encoded: DataFrame): DataFrame =
+    annPqSearchArrays(e, cb, pqEncodedArrays(encoded))
 
-    val wApprox = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_d2").asc, col("neighbor_id").asc)
-    val shortlist = encoded.join(broadcast(lut), Seq("subspace", "code"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-      .agg(sum(col("d2")).as("approx_d2"))
-      .withColumn("arank", row_number().over(wApprox))
-      .filter(col("arank") <= pqShortlist)
-      .select("query_id", "neighbor_id")
+  /** Core PQ-ADC search over the array-form encoded corpus — see
+    * [[annPq]]. */
+  def annPqSearchArrays(e: DataFrame, cb: DataFrame, encArrays: DataFrame): DataFrame = {
+    // the query's normalized subvectors, map-side (10-row broadcast)
+    val probes = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        subSplit(transform(col("v"), x => x / col("norm"))).as("rq"))
+    val shortlist = encArrays
+      .join(broadcast(probes), col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_d2", org.apache.spark.sql.GraftBridge.column(
+        graft.functions.AdcDistance(
+          org.apache.spark.sql.GraftBridge.expression(col("rq")),
+          org.apache.spark.sql.GraftBridge.expression(col("codes")), gridOf(cb))))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.topkScoreId(
+        col("approx_d2"), col("neighbor_id"), pqShortlist, ascending = true).as("top"))
+      .select(col("query_id"), explode(col("top")).as("c"))
+      .select(col("query_id"), col("c.id").as("neighbor_id"))
 
     // exact re-rank of the shortlist only
     val wExact = Window.partitionBy(col("query_id"))
@@ -957,6 +996,24 @@ object AnnOps {
       .select("query_id", "rank", "neighbor_id")
       .orderBy("query_id", "rank")
   }
+
+  /** The plain-PQ encoded corpus re-pivoted to ONE row per vector —
+    * (neighbor_id, codes in subspace order) — the cell-less sibling of
+    * [[ivfpqEncodedArrays]], persistable next to the row form. */
+  def pqEncodedArrays(encoded: DataFrame): DataFrame =
+    encoded.groupBy(col("vec_id").as("neighbor_id"))
+      .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
+        t => t.getField("code")).as("codes"))
+
+  private val pqArraysCache = new graft.SessionCache[DataFrame]()
+
+  /** Session-cached array-form PQ-encoded corpus (standing artifact,
+    * derived once from [[pqFor]]'s row form like the IVFADC array
+    * table). */
+  def pqArraysFor(s: SparkSession, dir: String): DataFrame =
+    pqArraysCache.getOrCompute(s, dir) {
+      pqEncodedArrays(pqFor(s, dir)._2).localCheckpoint()
+    }
 
   // ------------------------------------------------ IVF-PQ (IVFADC)
 
@@ -1011,33 +1068,35 @@ object AnnOps {
     * Composes the two pruning regimes a 100 TB vector corpus needs
     * AT ONCE: partition pruning (IVF) and compression (PQ). */
   def annIvfPqSearch(q: DataFrame, cents: DataFrame, cb: DataFrame,
-      encoded: DataFrame, e: DataFrame): DataFrame = {
-    val probes = q
-      .crossJoin(broadcast(centArr(cents)))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"),
-        explode(probeIdsCol(col("v"), col("norm"), nprobe)).as("cluster_id"))
-    val lut = probes
-      .join(broadcast(centById(cents)), Seq("cluster_id"))
-      .select(col("query_id"), col("cluster_id"),
-        zip_with(col("qv"), col("ccv"),
-          (x, c) => x / col("qn") - c / col("ccn")).as("qr"))
-      .select(col("query_id"), col("cluster_id"),
-        posexplode(subSplit(col("qr"))).as(Seq("subspace", "sv")))
-      .join(broadcast(codebookArr(cb)), "subspace")
-      .select(col("query_id"), col("cluster_id"), col("subspace"),
-        explode(codeScores(col("sv"))).as("sc"))
-      .select(col("query_id"), col("cluster_id"), col("subspace"),
-        col("sc.code").as("code"), col("sc.d2").as("d2"))
+      encoded: DataFrame, e: DataFrame): DataFrame =
+    annIvfPqSearchArrays(q, cents, cb, ivfpqEncodedArrays(encoded), e)
 
-    val wApprox = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_d2").asc, col("neighbor_id").asc)
-    val shortlist = encoded.join(broadcast(lut), Seq("cluster_id", "subspace", "code"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-      .agg(sum(col("d2")).as("approx_d2"))
-      .withColumn("arank", row_number().over(wApprox))
-      .filter(col("arank") <= pqShortlist)
-      .select("query_id", "neighbor_id")
+  /** Core IVFADC search over the array-form encoded corpus. The
+    * approximate stage is the SAME machinery as the streaming probe
+    * ([[adcProbes]] + [[adcCandidates]] + the native bounded top-k):
+    * probe residuals compute map-side against two broadcast scalars,
+    * candidates are one equi-join on cluster_id, and the ADC distance
+    * is the deterministic subspace-ordered native fold — one JVM loop
+    * per candidate. The previous shape broadcast-joined a per-(query,
+    * cell) m·k LUT against the (vec_id, cluster_id, subspace, code)
+    * rows and re-summed the m partials in a (query, vector) hash
+    * aggregation (shuffle-order double sum; measured as the query's
+    * dominant stage, 669 ms of a 2.1 s warm run at sf0.1). Same
+    * candidate set (vectors of probed cells), same distances mod
+    * fold-order ulps, same (d2, id) tie order (TopKAggSpec pins the
+    * agg ≡ the sorted slice the rank window computed); the exact
+    * re-rank of the `pqShortlist` survivors is unchanged. */
+  def annIvfPqSearchArrays(q: DataFrame, cents: DataFrame, cb: DataFrame,
+      encArrays: DataFrame, e: DataFrame): DataFrame = {
+    val probes = adcProbes(
+      q.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn")), cents)
+    val shortlist = adcCandidates(probes, encArrays, gridOf(cb))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.topkScoreId(
+        col("approx_d2"), col("neighbor_id"), pqShortlist, ascending = true).as("top"))
+      .select(col("query_id"), explode(col("top")).as("c"))
+      .select(col("query_id"), col("c.id").as("neighbor_id"))
 
     val wExact = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -1058,10 +1117,31 @@ object AnnOps {
     * trained IVF index as the coarse quantizer, so a deployment that
     * already runs IVF upgrades to IVFADC without retraining Lloyd. */
   def annIvfPq(s: SparkSession, dir: String): DataFrame = {
-    val (cents, cb, encoded) = ivfpqFor(s, dir)
-    annIvfPqSearch(embeddingsWithNorm(s, dir).filter(col("vec_id") < nQueries),
-      cents, cb, encoded, embeddingsWithNorm(s, dir))
+    val (cents, cb, _) = ivfpqFor(s, dir)
+    annIvfPqSearchArrays(embeddingsWithNorm(s, dir).filter(col("vec_id") < nQueries),
+      cents, cb, ivfpqArraysFor(s, dir), embeddingsWithNorm(s, dir))
   }
+
+  private val ivfpqArraysCache = new graft.SessionCache[DataFrame]()
+
+  /** Session-cached array-form IVFADC encoded corpus — the standing
+    * probe table ([[ivfpqEncodedArrays]] of the row form), derived
+    * once per (session, corpus) like the row form itself. It is
+    * PRE-BUCKETED on cluster_id before materialization — the exact
+    * layout [[writeIvfPqArrays]] persists — and the checkpoint
+    * preserves that partitioning, so every probe join on cluster_id
+    * (the batch search and each micro-batch of
+    * [[graft.streaming.EventStream.ivfpqProbeStream]]) reads the
+    * index side already placed and re-exchanges only the query rows
+    * (guide §2.4 "two operations keyed the same way share one
+    * exchange"; a stream-static join re-plans the static side per
+    * batch, so an unpartitioned index paid its exchange on every
+    * micro-batch). */
+  def ivfpqArraysFor(s: SparkSession, dir: String): DataFrame =
+    ivfpqArraysCache.getOrCompute(s, dir) {
+      ivfpqEncodedArrays(ivfpqFor(s, dir)._3)
+        .repartition(col("cluster_id")).localCheckpoint()
+    }
 
   /** Persist the IVFADC artifacts: the coarse centroids are the IVF
     * index's own (shared), so only the residual codebook and the

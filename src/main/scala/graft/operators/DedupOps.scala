@@ -496,11 +496,16 @@ object DedupOps {
     // (value-identical to the interpreted let-bound
     // transform/array_join/slice chain, spec-pinned; `split` never
     // returns an empty array, so the old `size(ws) >= 1` filter was
-    // vacuous and posexplode reproduces its rows exactly)
+    // vacuous and posexplode reproduces its rows exactly).
+    // Materialized once: the frequency aggregation and the join-back
+    // consume different children of this frame, so AQE exchange reuse
+    // cannot fire (join-pushed filters — the pmi mechanism) and the
+    // corpus scan + chunker pass ran twice per query (guide §2.4).
     val chunks = docs
       .select(col(idCol).as("doc_id"),
         posexplode(graft.functions.GraftFunctions.chunkStrings(col(textCol), n))
           .as(Seq("pos", "chunk")))
+      .localCheckpoint()
     val freq = chunks.groupBy(col("chunk")).agg(count(lit(1)).as("c"))
     chunks.join(freq, Seq("chunk"))
       .groupBy(col("doc_id"))

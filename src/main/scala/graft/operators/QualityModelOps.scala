@@ -436,11 +436,17 @@ object QualityModelOps {
     // the first digest byte (an int) — `substring(md5(f),1,2)` is its
     // two hex chars — and never leaves the query, so no hex formatting
     // is needed anywhere. (Optimization guide §1.2 step 2 / §2.3.)
+    // materialized ONCE: fb has three consumers (cr, ct, and the final
+    // join probe) whose join-pushed filters deny AQE exchange reuse,
+    // so without the cut the corpus scan + native bucket pass ran
+    // three times per query (the q_pmi_collocations mechanism, guide
+    // §2.4). fb is ≤ 256 compact (bucket, m) rows per document.
     val fb = docs
       .select(col("source"), col("doc_id"),
         explode(graft.functions.GraftFunctions.md5BucketCounts(col("text"))).as("bm"))
       .select(col("source"), col("doc_id"),
         col("bm.bucket").as("bucket"), col("bm.m").as("m"))
+      .localCheckpoint()
     val cr = fb.groupBy(col("bucket")).agg(sum(col("m")).as("cr"))
     val ct = fb.filter(col("source").isin(refSources: _*))
       .groupBy(col("bucket")).agg(sum(col("m")).as("ct"))

@@ -79,12 +79,15 @@ object SearchOps {
     * trained/inline (df, stats) model. */
   private def bm25TopKFrom(base: DataFrame, terms: Seq[String], topN: Int,
       dfT: DataFrame, stats: DataFrame): DataFrame = {
-    // query-term tf: the isin filter runs BEFORE the aggregation, so
-    // the shuffle carries only matching tokens; dl rides the group key
+    // query-term tf: the term filter runs INSIDE the token array,
+    // before the explode — the Generate materializes a row only for
+    // matching tokens (|q| ≈ a handful per doc) instead of one row per
+    // token occurrence that a post-explode isin then discards; dl
+    // rides the group key (guide §2.3 "project before the exchange",
+    // applied to the Generate)
     val tf = base
       .select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
-        explode(col("ws")).as("tok"))
-      .filter(col("tok").isin(terms: _*))
+        explode(filter(col("ws"), t => t.isInCollection(terms))).as("tok"))
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).cast("double").as("tf"))
 
